@@ -1,0 +1,30 @@
+"""Process-level environment flags, read once at import time.
+
+Mirrors the reference two-tier config system (rain-neuromorphics/torchmx
+``torchmx/env_variables.py:1-16``): typed dataclass configs are the user-facing
+quantization config (see ``config.py``); these env flags toggle implementation
+details at the op level.
+
+Flags (all compared as strings, as in the reference):
+
+* ``TORCHMX_LOG_LEVEL``   – logging level, default ``"INFO"``.
+* ``TORCHMX_LOG_FILE``    – optional log file path.
+* ``MX_HARDWARE_EXACT_QUANTIZATION`` – ``"True"`` selects the hardware-exact
+  integer bit-manipulation quantizer; default ``"False"`` selects the
+  simulated fp32-divide quantizer.  Both are bit-identical by contract
+  (cross-checked in tests) — the toggle exists to continuously verify that.
+* ``TORCHMX_QUANTIZE_BACKEND`` – ``"jnp"`` (default) or ``"pallas"``: selects
+  the pure-jnp reference implementation or the fused Pallas TPU kernels for
+  quantize / dequant-matmul.  TPU-build extension of the reference's
+  exact/simulated toggle (generalised to a backend selector).
+"""
+
+import os
+
+TORCHMX_LOG_LEVEL = os.environ.get("TORCHMX_LOG_LEVEL", "INFO")
+
+TORCHMX_LOG_FILE = os.environ.get("TORCHMX_LOG_FILE", "")
+
+MX_EXACT_QUANTIZATION = os.environ.get("MX_HARDWARE_EXACT_QUANTIZATION", "False")
+
+TORCHMX_QUANTIZE_BACKEND = os.environ.get("TORCHMX_QUANTIZE_BACKEND", "jnp")

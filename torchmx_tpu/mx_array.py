@@ -1,0 +1,483 @@
+"""``MXArray`` — the MX-quantized tensor abstraction, as a JAX pytree.
+
+The TPU-native counterpart of the reference's ``MXTensor`` torch subclass
+(rain-neuromorphics/torchmx ``torchmx/mx_tensor.py:357-528``).  Instead of
+ATen dispatch overrides, ``MXArray`` is a registered pytree whose leaves are
+the packed payload and the E8M0 scale; quantization metadata is static aux
+data, so MXArrays flow through ``jax.jit`` / ``pjit`` / ``shard_map`` /
+checkpointing natively.
+
+Fields:
+    * ``scale_e8m0`` — uint8, payload shape with ``block_dim`` divided by
+      ``block_size`` (padded block count).
+    * ``data`` — uint8 payload (int8 for the int8 format; fp4 packs two codes
+      per byte along ``block_dim``, high nibble first).  Stored **unpadded**
+      (sliced back after quantization), like the reference.
+    * static: ``elem_dtype``, ``block_size``, ``orig_dtype``, ``block_dim``,
+      ``padding``.
+
+Structural ops (``transpose`` / ``reshape`` / ``broadcast_to``) co-transform
+payload and scale and remap ``block_dim`` — the semantics of the reference's
+ATen overrides (``torchmx/ops.py:71-248``) without the dispatch machinery.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import dtypes
+from . import env_variables as env
+from .mx_quantization import (
+    dequantize_to_dtype,
+    get_e8m0_shared_exponent,
+    pow2_split_factors,
+    quantize_mx_with_e8m0_shared_exponent_hw_exact,
+    quantize_mx_with_e8m0_shared_exponent_simulated,
+)
+from .utils import tensor_size_fp4x2_to_hp
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Op-level seam: quantize_mx / dequantize_mx
+#
+# These are the jit-traceable analogs of the reference's torch.library custom
+# ops (``mx_tensor.py:36-193``); abstract eval (the reference's register_fake
+# meta kernels) comes free from jax tracing.  The Pallas TPU kernels plug in
+# behind the same signatures (see ``ops/``).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("elem_dtype_name", "block_size", "use_hw_exact"))
+def _quantize_mx_impl(
+    data_hp: Array, elem_dtype_name: str, block_size: int, use_hw_exact: bool
+) -> Tuple[Array, Array]:
+    elem_dtype = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_dtype_name]
+    orig_shape = data_hp.shape
+    blocked = data_hp.reshape(-1, block_size)
+    shared_exponent = get_e8m0_shared_exponent(blocked, elem_dtype)
+
+    if use_hw_exact:
+        data_lp = quantize_mx_with_e8m0_shared_exponent_hw_exact(
+            blocked, elem_dtype, shared_exponent[:, None], orig_shape
+        )
+    else:
+        data_lp = quantize_mx_with_e8m0_shared_exponent_simulated(
+            blocked, elem_dtype, shared_exponent[:, None], orig_shape
+        )
+    scale = shared_exponent.reshape(orig_shape[:-1] + (-1,))
+    return scale, data_lp
+
+
+def quantize_mx(
+    data_hp: Array, elem_dtype_name: str, block_size: int
+) -> Tuple[Array, Array]:
+    """Quantize along the last dim into (E8M0 scale, low-precision payload).
+
+    For input shape ``(..., D)`` with ``D % block_size == 0`` returns
+    ``scale`` of shape ``(..., D // block_size)`` (uint8) and payload of shape
+    ``(..., D)`` (uint8/int8; fp4: ``(..., D // 2)`` packed).
+
+    Mirrors reference ``mx_tensor.py:36-96``.  The quantizer implementation is
+    selected by ``MX_HARDWARE_EXACT_QUANTIZATION`` (fp dtypes only), exactly
+    like the reference (``mx_tensor.py:80-90``); both are bit-identical.
+    """
+    elem_dtype = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_dtype_name]
+    assert data_hp.dtype == jnp.bfloat16, (
+        f"Only bfloat16 input dtype is supported, got {data_hp.dtype}"
+    )
+    assert data_hp.shape[-1] % block_size == 0, (
+        "The last dimension of the input tensor must be a multiple of block_size"
+    )
+    use_hw_exact = (
+        elem_dtype in dtypes.SUPPORTED_FP_ELEM_DTYPES
+        and env.MX_EXACT_QUANTIZATION == "True"
+    )
+    return _quantize_mx_impl(data_hp, elem_dtype_name, block_size, use_hw_exact)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("elem_dtype_name", "block_size", "target_dtype", "block_dim"),
+)
+def dequantize_mx(
+    data_lp: Array,
+    shared_exp_e8m0: Array,
+    elem_dtype_name: str,
+    block_size: int,
+    target_dtype,
+    block_dim: int,
+) -> Array:
+    """Decode an MX payload + scale back to ``target_dtype``.
+
+    Mirrors reference ``mx_tensor.py:123-164``: decode elements (fp via exact
+    bf16 reconstruction, int8 via direct cast), then apply the power-of-two
+    scale (NaN-propagating) repeated ``block_size`` times along ``block_dim``.
+
+    The scale is applied in fp32 as two fp32-normal factors
+    (:func:`~torchmx_tpu.mx_quantization.pow2_split_factors`) and converted to
+    ``target_dtype`` once at the end.  On CPU this is bit-identical to the
+    reference's "cast scale to target dtype, multiply in target dtype"
+    (elements and power-of-two scales are exact in fp32; one final rounding);
+    on TPU it is additionally safe against subnormal flushing.
+    """
+    elem_dtype = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_dtype_name]
+    if elem_dtype in dtypes.SUPPORTED_FP_ELEM_DTYPES:
+        data_hp = dequantize_to_dtype(data_lp, elem_dtype, jnp.float32, block_dim)
+    elif elem_dtype == dtypes.int8:
+        data_hp = data_lp.astype(jnp.float32)
+    else:
+        raise AssertionError(f"unsupported dtype: {elem_dtype}")
+
+    e = shared_exp_e8m0.astype(jnp.int32)
+    s1, s2 = pow2_split_factors(e - 127)
+    s1 = jnp.where(e == dtypes.E8M0_EXPONENT_NAN_VAL, jnp.nan, s1)
+    s1 = jnp.repeat(s1, block_size, axis=block_dim)
+    s2 = jnp.repeat(s2, block_size, axis=block_dim)
+    return ((data_hp * s1) * s2).astype(target_dtype)
+
+
+# ---------------------------------------------------------------------------
+# MXArray pytree
+# ---------------------------------------------------------------------------
+
+
+def _normalize_dim(dim: int, ndim: int) -> int:
+    return dim if dim >= 0 else dim + ndim
+
+
+@jax.tree_util.register_pytree_node_class
+class MXArray:
+    """MX block-floating-point array: packed payload + per-block E8M0 scale."""
+
+    def __init__(
+        self,
+        scale_e8m0: Array,
+        data: Array,
+        elem_dtype: dtypes.DType,
+        block_size: int,
+        orig_dtype,
+        padding: int = 0,
+        block_dim: Optional[int] = None,
+    ):
+        if block_dim is None:
+            block_dim = data.ndim - 1
+        else:
+            block_dim = _normalize_dim(block_dim, data.ndim)
+
+        if not isinstance(elem_dtype, dtypes.DType):
+            elem_dtype = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_dtype]
+        assert (
+            elem_dtype in dtypes.SUPPORTED_ELEM_DTYPES
+        ), f"unsupported elem_dtype {elem_dtype}"
+        assert scale_e8m0.dtype == jnp.uint8, "scale must be uint8"
+        assert data.dtype in (jnp.uint8, jnp.int8), f"{data.dtype} is unsupported"
+
+        self.scale_e8m0 = scale_e8m0
+        self.data = data
+        self.elem_dtype = elem_dtype
+        self.block_size = block_size
+        self.orig_dtype = jnp.dtype(orig_dtype)
+        self.block_dim = block_dim
+        self.padding = padding
+
+        # Consistency: scale implies the logical element count on block_dim
+        # (reference ``mx_tensor.py:417-435``).
+        expected = list(scale_e8m0.shape)
+        expected[block_dim] = expected[block_dim] * block_size - padding
+        if tuple(expected) != self.shape:
+            raise ValueError(
+                f"scale shape {scale_e8m0.shape} (block_size={block_size}, "
+                f"padding={padding}) implies logical shape {tuple(expected)}, "
+                f"but payload implies {self.shape}"
+            )
+
+    # -- shape/dtype surface -------------------------------------------------
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        """Logical (unquantized) shape."""
+        s = list(self.data.shape)
+        if self.elem_dtype == dtypes.float4_e2m1:
+            s = tensor_size_fp4x2_to_hp(s, self.block_dim)
+            s[self.block_dim] -= self.padding % 2
+        return tuple(s)
+
+    @property
+    def ndim(self) -> int:
+        return self.data.ndim
+
+    @property
+    def dtype(self):
+        return self.orig_dtype
+
+    def __repr__(self) -> str:
+        r = (
+            f"MXArray(elem_dtype={self.elem_dtype}, shape={self.shape}, "
+            f"block_size={self.block_size}, block_dim={self.block_dim}, "
+            f"orig_dtype={self.orig_dtype}"
+        )
+        if self.padding > 0:
+            r += f", padding={self.padding}"
+        return r + ")"
+
+    def _quantization_type(self) -> str:
+        return (
+            f"shape={self.shape}, block_size={self.block_size}, "
+            f"elem_dtype={self.elem_dtype}, orig_dtype={self.orig_dtype}"
+        )
+
+    # -- pytree protocol -------------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.scale_e8m0, self.data)
+        aux = (
+            self.elem_dtype.name,
+            self.block_size,
+            str(self.orig_dtype),
+            self.block_dim,
+            self.padding,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        scale, data = children
+        name, block_size, orig_dtype, block_dim, padding = aux
+        obj = object.__new__(cls)
+        # Bypass __init__ validation: during tracing/transforms children may
+        # be placeholders without shapes.
+        obj.scale_e8m0 = scale
+        obj.data = data
+        obj.elem_dtype = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[name]
+        obj.block_size = block_size
+        obj.orig_dtype = jnp.dtype(orig_dtype)
+        obj.block_dim = block_dim
+        obj.padding = padding
+        return obj
+
+    # -- quantize / dequantize -------------------------------------------------
+
+    @staticmethod
+    def to_mx(
+        data_hp: Array,
+        elem_dtype: dtypes.DType | str,
+        block_size: int = 32,
+    ) -> "MXArray":
+        """Quantize a bf16 array to MX along its last dimension.
+
+        Pads the last dim to a block multiple, quantizes, and slices the
+        payload back to the logical size (fp4: ceil-halved bytes), recording
+        ``padding`` (reference ``mx_tensor.py:196-252``).
+        """
+        if isinstance(elem_dtype, str):
+            elem_dtype = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_dtype]
+        padding = (block_size - data_hp.shape[-1] % block_size) % block_size
+        size_before_padding = data_hp.shape[-1]
+        if padding > 0:
+            assert block_size % 2 == 0, (
+                f"block_size must be even to support padding but got {block_size}"
+            )
+            pad_width = [(0, 0)] * (data_hp.ndim - 1) + [(0, padding)]
+            data_hp = jnp.pad(data_hp, pad_width)
+
+        scale, data_lp = quantize_mx(data_hp, elem_dtype.name, block_size)
+
+        if elem_dtype == dtypes.float4_e2m1:
+            size_before_padding = math.ceil(size_before_padding / 2)
+        data_lp = data_lp[..., :size_before_padding]
+
+        return MXArray(scale, data_lp, elem_dtype, block_size, data_hp.dtype, padding)
+
+    def to_dtype(self, target_dtype) -> Array:
+        """Dequantize to ``target_dtype`` (bf16 or f32).
+
+        Re-pads the payload along ``block_dim``, decodes, and slices back
+        (reference ``mx_tensor.py:255-331``).
+        """
+        data_lp = self.data
+        bd = self.block_dim
+        org_size = data_lp.shape[bd]
+        if self.elem_dtype == dtypes.float4_e2m1:
+            org_size = org_size * 2 - (self.padding % 2)
+
+        if self.padding > 0:
+            pad_size = self.padding
+            if self.elem_dtype == dtypes.float4_e2m1:
+                pad_size = pad_size // 2
+            pad_width = [(0, 0)] * data_lp.ndim
+            pad_width[bd] = (0, pad_size)
+            data_lp = jnp.pad(data_lp, pad_width)
+
+        out = dequantize_mx(
+            data_lp,
+            self.scale_e8m0,
+            self.elem_dtype.name,
+            self.block_size,
+            target_dtype,
+            bd,
+        )
+
+        if self.padding > 0:
+            out = jax.lax.slice_in_dim(out, 0, org_size, axis=bd)
+        return out
+
+    # -- structural ops (scale/payload co-transformation) ----------------------
+
+    def transpose(self, axes: Optional[Sequence[int]] = None) -> "MXArray":
+        """Permute dims; payload and scale permute together and ``block_dim``
+        is remapped (semantics of reference ``ops.py:122-158``)."""
+        if axes is None:
+            axes = tuple(reversed(range(self.ndim)))
+        axes = tuple(_normalize_dim(a, self.ndim) for a in axes)
+        new_block_dim = axes.index(self.block_dim)
+        return MXArray(
+            jnp.transpose(self.scale_e8m0, axes),
+            jnp.transpose(self.data, axes),
+            self.elem_dtype,
+            self.block_size,
+            self.orig_dtype,
+            self.padding,
+            new_block_dim,
+        )
+
+    def swapaxes(self, dim0: int, dim1: int) -> "MXArray":
+        """Swap two dims (analog of ``aten.transpose.int``, ``ops.py:139-158``)."""
+        axes = list(range(self.ndim))
+        d0, d1 = _normalize_dim(dim0, self.ndim), _normalize_dim(dim1, self.ndim)
+        axes[d0], axes[d1] = axes[d1], axes[d0]
+        return self.transpose(axes)
+
+    @property
+    def T(self) -> "MXArray":
+        """2-D transpose (analog of ``aten.t``, ``ops.py:122-136``)."""
+        assert self.ndim == 2, "T only supports 2-D MXArrays"
+        return self.transpose((1, 0))
+
+    def reshape(self, *new_shape) -> "MXArray":
+        """Reshape leading (non-block) dims; ``block_dim`` must stay at the
+        same distance from the end with its size unchanged.
+
+        Covers the reference's ``aten.view`` support surface (block_dim last,
+        or second-last for the 4-D attention lowering; ``ops.py:181-248``).
+        """
+        if len(new_shape) == 1 and isinstance(new_shape[0], (tuple, list)):
+            new_shape = tuple(new_shape[0])
+        logical = self.shape
+        if -1 in new_shape:
+            known = math.prod(d for d in new_shape if d != -1)
+            total = math.prod(logical)
+            new_shape = tuple(total // known if d == -1 else d for d in new_shape)
+        assert math.prod(new_shape) == math.prod(logical), (
+            f"cannot reshape {logical} -> {new_shape}"
+        )
+        tail = self.ndim - self.block_dim  # 1 = last, 2 = second-last, ...
+        new_block_dim = len(new_shape) - tail
+        assert new_block_dim >= 0 and new_shape[new_block_dim] == logical[self.block_dim], (
+            f"reshape may not move/resize the blocked dim: {logical} -> {new_shape} "
+            f"(block_dim={self.block_dim})"
+        )
+        # Trailing dims from block_dim onward must be preserved verbatim.
+        assert new_shape[new_block_dim:] == logical[self.block_dim:], (
+            f"reshape may only change leading dims: {logical} -> {new_shape}"
+        )
+        data_shape = list(new_shape)
+        scale_shape = list(new_shape)
+        data_shape[new_block_dim] = self.data.shape[self.block_dim]
+        scale_shape[new_block_dim] = self.scale_e8m0.shape[self.block_dim]
+        for off in range(1, tail):
+            data_shape[new_block_dim + off] = self.data.shape[self.block_dim + off]
+            scale_shape[new_block_dim + off] = self.scale_e8m0.shape[self.block_dim + off]
+        return MXArray(
+            self.scale_e8m0.reshape(scale_shape),
+            self.data.reshape(data_shape),
+            self.elem_dtype,
+            self.block_size,
+            self.orig_dtype,
+            self.padding,
+            new_block_dim,
+        )
+
+    def broadcast_to(self, target_shape: Sequence[int]) -> "MXArray":
+        """Broadcast size-1 dims (analog of ``aten.expand``, ``ops.py:71-96``).
+
+        The blocked dim cannot be broadcast.
+        """
+        target_shape = tuple(target_shape)
+        logical = self.shape
+        extra = len(target_shape) - len(logical)
+        assert extra >= 0, f"cannot broadcast {logical} to {target_shape}"
+        new_block_dim = self.block_dim + extra
+        assert target_shape[new_block_dim] == logical[self.block_dim], (
+            "cannot broadcast the blocked dim"
+        )
+        data_shape = list(target_shape)
+        scale_shape = list(target_shape)
+        data_shape[new_block_dim] = self.data.shape[self.block_dim]
+        scale_shape[new_block_dim] = self.scale_e8m0.shape[self.block_dim]
+        return MXArray(
+            jnp.broadcast_to(self.scale_e8m0, scale_shape),
+            jnp.broadcast_to(self.data, data_shape),
+            self.elem_dtype,
+            self.block_size,
+            self.orig_dtype,
+            self.padding,
+            new_block_dim,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable casts (straight-through estimators)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def fake_quantize(data_hp: Array, elem_dtype_name: str, block_size: int) -> Array:
+    """Quantize-dequantize roundtrip with a straight-through gradient.
+
+    Forward: ``to_mx`` then ``to_dtype`` back to the input dtype; backward:
+    identity.  The JAX analog of the reference's ``ToMXConstrFunc`` /
+    ``FromMXConstrFunc`` autograd pair (``mx_tensor.py:196-331``).
+    """
+    mx = MXArray.to_mx(data_hp, elem_dtype_name, block_size)
+    return mx.to_dtype(data_hp.dtype)
+
+
+def _fake_quantize_fwd(data_hp, elem_dtype_name, block_size):
+    return fake_quantize(data_hp, elem_dtype_name, block_size), None
+
+
+def _fake_quantize_bwd(res, g):
+    return (g, None, None)
+
+
+fake_quantize.defvjp(_fake_quantize_fwd, _fake_quantize_bwd)
+
+
+def make_quantize_gradient(elem_dtype_name: str, block_size: int = 32):
+    """Identity forward; the cotangent is MX quantize-dequantized in backward.
+
+    Analog of the reference's ``NoopFwToMXBw`` training hook
+    (``mx_tensor.py:334-354``) — JAX cotangents must be arrays, so the
+    backward returns the dequantized MX gradient rather than an MXArray.
+    """
+
+    @jax.custom_vjp
+    def _f(x):
+        return x
+
+    def _fwd(x):
+        return x, x.dtype
+
+    def _bwd(dtype, g):
+        g_mx = MXArray.to_mx(g.astype(jnp.bfloat16), elem_dtype_name, block_size)
+        return (g_mx.to_dtype(dtype),)
+
+    _f.defvjp(_fwd, _bwd)
+    return _f

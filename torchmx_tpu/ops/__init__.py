@@ -1,0 +1,8 @@
+"""MX compute ops: matmul / linear / attention building blocks.
+
+The simulated (dequantize-then-dot) implementations here are the numerics
+reference; the Pallas fused kernels (``ops.pallas_*``) plug in behind the
+same signatures, selected by ``TORCHMX_QUANTIZE_BACKEND``.
+"""
+
+from .matmul import mx_linear, mx_matmul  # noqa: F401
