@@ -1,14 +1,22 @@
-"""Generic emulated cast to arbitrary (e, m) float formats.
+"""Generic emulated cast to arbitrary (e, m) float formats — bit-exact.
 
 Used to simulate reduced-precision hardware accumulators (e.g. fp22_e8m13)
-on top of fp32/fp64 math.  Deliberately non-OCP: preserves inf/NaN and is
-saturating.  Mirrors the reference semantics
-(rain-neuromorphics/torchmx ``torchmx/custom_float_cast.py:6-121``).
+on top of fp32 math.  Deliberately non-OCP: preserves inf/NaN and is
+saturating.  Semantics follow the reference
+(rain-neuromorphics/torchmx ``torchmx/custom_float_cast.py:6-121``), but the
+implementation is pure integer bit manipulation: XLA's ``log2``/``exp2`` are
+polynomial approximations (inexact even at integer points) and XLA flushes
+fp32 subnormals in arithmetic, so the reference's float-arithmetic recipe
+cannot be made bit-exact under XLA.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+from .mx_quantization import leading_one_position
 
 
 def _get_min_norm(exponent_bits: int) -> float:
@@ -17,16 +25,33 @@ def _get_min_norm(exponent_bits: int) -> float:
     return 0 if exponent_bits == 0 else 2.0**emin
 
 
-def _round_mantissa(mantissa: jnp.ndarray, round_mode: str = "round_to_even") -> jnp.ndarray:
-    """Round scaled-up mantissas: truncate or round-half-to-even."""
-    if round_mode == "truncate":
-        return jnp.sign(mantissa) * jnp.floor(jnp.abs(mantissa))
-    if round_mode == "round_to_even":
-        abs_m = jnp.abs(mantissa)
-        # Ties at .5 below an odd integer: floor(abs + 0.5) overshoots by 1.
-        even_mask = ((abs_m - 0.5) % 2 == 0).astype(mantissa.dtype)
-        return jnp.sign(mantissa) * (jnp.floor(abs_m + 0.5) - even_mask)
-    raise ValueError(f"Invalid rounding mode: {round_mode}")
+def _rne_shift(value: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """Drop ``shift`` low bits with round-to-nearest-even (shift clipped to [0, 31])."""
+    shift = jnp.clip(shift, 0, 31)
+    sh1 = jnp.maximum(shift - 1, 0)
+    half_minus_1 = jnp.where(shift > 0, (1 << sh1) - 1, 0)
+    keep_lsb = jnp.where(shift > 0, (value >> shift) & 1, 0)
+    return (value + keep_lsb + half_minus_1) >> shift
+
+
+def _compose_f32(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Exact fp32 magnitude bits of ``q * 2**t`` (q: int32 >= 0, value
+    f32-representable; q <= 2^24, t >= -149)."""
+    pos = leading_one_position(q, 25)
+    e_out = pos + t
+    # Normal fp32 output.
+    shift_up = jnp.clip(23 - pos, 0, 31)
+    mant = (q << shift_up) & 0x7FFFFF
+    normal_bits = ((e_out + 127) << 23) | mant
+    # Subnormal fp32 output: bits = q << (t + 149) (exact when representable).
+    sub_sh = t + 149
+    sub_bits = jnp.where(
+        sub_sh >= 0,
+        q << jnp.clip(sub_sh, 0, 31),
+        q >> jnp.clip(-sub_sh, 0, 31),
+    )
+    bits = jnp.where(e_out >= -126, normal_bits, sub_bits)
+    return jnp.where(q == 0, 0, bits)
 
 
 def hp_to_floatx(
@@ -37,34 +62,81 @@ def hp_to_floatx(
     round_mode: str = "round_to_even",
     keep_subnormals: bool = True,
 ) -> jnp.ndarray:
-    """Quantize fp32/fp64 values to a custom (e, m) format, in-place of dtype.
+    """Quantize fp32 values onto a custom (e, m) float grid, staying in fp32.
 
     Notes:
         * inf/NaN pass through unchanged (the target is assumed to encode them);
         * values beyond ``max_normal`` saturate to ``sign * max_normal``
           (OCP "saturating mode");
         * with ``keep_subnormals=False`` magnitudes below the min normal flush
-          to zero.
+          to zero;
+        * ``round_mode``: ``"round_to_even"`` or ``"truncate"`` (toward zero).
     """
-    assert hp_data.dtype in (jnp.float32, jnp.float64), f"Invalid dtype: {hp_data.dtype}"
+    if hp_data.dtype == jnp.float64:
+        # f64 inputs are handled at f32 precision (the emulation targets have
+        # at most fp32 range/precision).
+        hp_data = hp_data.astype(jnp.float32)
+    assert hp_data.dtype == jnp.float32, f"Invalid dtype: {hp_data.dtype}"
     assert round_mode in ("truncate", "round_to_even"), f"Invalid round mode: {round_mode}"
 
+    mb = mantissa_bits
+    min_exp = 2 - (2 ** (exponent_bits - 1))  # min normal unbiased exponent
+
+    u32 = jax.lax.bitcast_convert_type(hp_data, jnp.uint32)
+    sign_bit = (u32 & jnp.uint32(0x80000000)).astype(jnp.uint32)
+    mag = (u32 & 0x7FFFFFFF).astype(jnp.int32)
+    E = (mag >> 23) & 0xFF
+    M = mag & 0x7FFFFF
+
+    # Normalized 24-bit significand and binade exponent, exact for both
+    # normal and subnormal fp32 inputs.
+    p = leading_one_position(M, 23)
+    sig_sub = M << jnp.clip(23 - p, 0, 31)
+    sig = jnp.where(E == 0, sig_sub, (1 << 23) | M)
+    e = jnp.where(E == 0, p - 149, E - 127)
+
+    shift_n = 23 - mb
+
+    def reduce_sig(extra_shift):
+        total = shift_n + extra_shift
+        if round_mode == "truncate":
+            return sig >> jnp.clip(total, 0, 31)
+        return _rne_shift(sig, total)
+
+    # Normal-output path (e >= min_exp): carry from rounding bumps e.
+    q_n = reduce_sig(jnp.zeros_like(e))
+    carry = q_n >= (1 << (mb + 1))
+    q_n = jnp.where(carry, q_n >> 1, q_n)
+    e_n = jnp.where(carry, e + 1, e)
+    t_n = e_n - mb  # value = q_n * 2^t_n  (q_n in [2^mb, 2^(mb+1)))
+
+    # Subnormal-output path (e < min_exp): extra per-lane shift; value grid is
+    # multiples of 2^(min_exp - mb).
+    q_s = reduce_sig(min_exp - e)
+    t_s = jnp.full_like(e, min_exp - mb)
+
+    use_sub = e < min_exp
+    q = jnp.where(use_sub, q_s, q_n)
+    t = jnp.where(use_sub, t_s, t_n)
+    out_mag = _compose_f32(q, t)
+
+    # Saturation (positive-float ordering == integer ordering on magnitudes).
+    max_bits = int(
+        np.asarray(np.float32(max_normal)).view(np.uint32)
+    )
+    out_mag = jnp.where(mag > max_bits, max_bits, out_mag)
+
+    # inf/NaN pass-through.
+    out_mag = jnp.where(E == 255, mag, out_mag)
+
+    # Optional subnormal flush on the *input* magnitude.
     if not keep_subnormals:
         min_norm = _get_min_norm(exponent_bits)
-        hp_data = jnp.where(jnp.abs(hp_data) < min_norm, 0.0, hp_data)
+        min_bits = int(np.asarray(np.float32(min_norm)).view(np.uint32))
+        out_mag = jnp.where(mag < min_bits, 0, out_mag)
 
-    # floor(log2(|x|)); the +1.0-at-zero trick keeps log2 finite for x == 0.
-    unbiased_exponent = jnp.floor(
-        jnp.log2(jnp.abs(hp_data) + (hp_data == 0).astype(hp_data.dtype))
-    )
-    target_min_exponent = -(2 ** (exponent_bits - 1)) + 2
-    unbiased_exponent = jnp.clip(unbiased_exponent, min=target_min_exponent)
+    # Zero input -> signed zero.
+    out_mag = jnp.where(mag == 0, 0, out_mag)
 
-    # Scale so `mantissa_bits` bits land in the integer part, round, scale back.
-    mantissa = hp_data / jnp.exp2(unbiased_exponent) * (2**mantissa_bits)
-    rounded = _round_mantissa(mantissa, round_mode)
-    out = rounded / (2**mantissa_bits) * jnp.exp2(unbiased_exponent)
-
-    out = jnp.where(jnp.abs(hp_data) > max_normal, jnp.sign(hp_data) * max_normal, out)
-    out = jnp.where(jnp.isinf(hp_data), hp_data, out)
-    return out
+    out_bits = sign_bit | out_mag.astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(out_bits, jnp.float32)

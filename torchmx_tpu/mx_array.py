@@ -437,7 +437,7 @@ class MXArray:
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fake_quantize(data_hp: Array, elem_dtype_name: str, block_size: int) -> Array:
     """Quantize-dequantize roundtrip with a straight-through gradient.
 
@@ -453,8 +453,8 @@ def _fake_quantize_fwd(data_hp, elem_dtype_name, block_size):
     return fake_quantize(data_hp, elem_dtype_name, block_size), None
 
 
-def _fake_quantize_bwd(res, g):
-    return (g, None, None)
+def _fake_quantize_bwd(elem_dtype_name, block_size, res, g):
+    return (g,)
 
 
 fake_quantize.defvjp(_fake_quantize_fwd, _fake_quantize_bwd)
@@ -473,11 +473,11 @@ def make_quantize_gradient(elem_dtype_name: str, block_size: int = 32):
         return x
 
     def _fwd(x):
-        return x, x.dtype
+        return x, None
 
-    def _bwd(dtype, g):
+    def _bwd(_, g):
         g_mx = MXArray.to_mx(g.astype(jnp.bfloat16), elem_dtype_name, block_size)
-        return (g_mx.to_dtype(dtype),)
+        return (g_mx.to_dtype(g.dtype),)
 
     _f.defvjp(_fwd, _bwd)
     return _f

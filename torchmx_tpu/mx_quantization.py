@@ -529,7 +529,9 @@ def dequantize_to_dtype(
     mantissa_bf16 = mantissa.astype(jnp.bfloat16) / (2**mb)
     mantissa_bf16 = jnp.where(exp_field == 0, mantissa_bf16, 1 + mantissa_bf16)
     exponent = jnp.where(exp_field == 0, 1, exp_field) - elem_dtype.exponent_bias
-    two_pow = jnp.exp2(exponent.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Exact bit-assembled power of two (jnp.exp2 is a polynomial approximation
+    # under XLA and not guaranteed exact even at integer points).
+    two_pow = _exp2i(exponent).astype(jnp.bfloat16)
     y = sign_bf16 * two_pow * mantissa_bf16
 
     if elem_dtype == dtypes.float8_e4m3:
