@@ -1,0 +1,23 @@
+"""Quantized NNX layers.
+
+The MX attention modules import the model family (which itself builds on
+``layers.linear``), so they are exposed lazily to avoid a circular import.
+"""
+
+from .linear import Linear, MXInferenceLinear  # noqa: F401
+
+_LAZY = {
+    "MXInferenceLlamaAttention": ".mx_llama_attention",
+    "MXInferenceLlamaMLP": ".mx_llama_attention",
+    "MXInferenceQwen2Attention": ".mx_qwen2_attention",
+    "MXInferenceQwen2MLP": ".mx_qwen2_attention",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(_LAZY[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

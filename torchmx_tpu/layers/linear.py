@@ -1,0 +1,112 @@
+"""Linear layers: high-precision base + MX-quantized inference version.
+
+``Linear`` stores its weight in the torch/HF layout ``(out_features,
+in_features)`` so HF checkpoints import without transposition and MX blocking
+lands on the contraction dim.  ``MXInferenceLinear`` is the TPU-native
+counterpart of the reference's ``MXInferenceLinear``
+(rain-neuromorphics/torchmx ``torchmx/layers/mx_linear.py:8-95``): the weight
+is quantized once at conversion; activations are quantized dynamically per
+forward.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..config import QLinearConfig
+from ..mx_array import MXArray
+from ..ops import mx_linear
+
+
+class Linear(nnx.Module):
+    """Plain bf16 linear with torch-layout weight ``(out, in)``."""
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        *,
+        use_bias: bool = True,
+        dtype=jnp.bfloat16,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        self.in_features = in_features
+        self.out_features = out_features
+        if rngs is None:
+            w = jnp.zeros((out_features, in_features), dtype)
+        else:
+            w = nnx.initializers.lecun_normal()(
+                rngs.params(), (out_features, in_features), dtype
+            )
+        self.weight = nnx.Param(w)
+        self.bias = nnx.Param(jnp.zeros((out_features,), dtype)) if use_bias else None
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.weight.get_value()
+        out = jax.lax.dot_general(
+            x,
+            w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if self.bias is not None:
+            out = out + self.bias.get_value().astype(out.dtype)
+        return out
+
+
+class MXInferenceLinear(nnx.Module):
+    """Linear with MX-quantized weight and dynamically MX-quantized activations.
+
+    The weight is stored as an :class:`MXArray` (packed payload + E8M0 scale)
+    inside an ``nnx.Param`` so it shards/checkpoints like any other param.
+    Forward mirrors reference ``mx_linear.py:61-95``: quantize the activation
+    with ``activations_config``, then run the MX linear (bias in high
+    precision).
+    """
+
+    def __init__(self, weight_mx: MXArray, bias, qconfig: QLinearConfig):
+        self.weight = nnx.Param(weight_mx)
+        self.bias = nnx.Param(bias) if bias is not None else None
+        self.qconfig = qconfig
+        self.out_features, self.in_features = weight_mx.shape
+
+    @classmethod
+    def from_float(cls, mod: Linear, qconfig: QLinearConfig) -> "MXInferenceLinear":
+        """Convert a high-precision ``Linear`` (reference ``mx_linear.py:21-59``).
+
+        fp32 weights (e.g. straight off disk) are cast to bf16 first, like the
+        reference's meta-device path (``mx_linear.py:68-92``).
+        """
+        w = mod.weight.get_value()
+        return cls.from_weights(
+            w, mod.bias.get_value() if mod.bias is not None else None, qconfig
+        )
+
+    @classmethod
+    def from_weights(cls, weight: jax.Array, bias, qconfig: QLinearConfig) -> "MXInferenceLinear":
+        if weight.dtype != jnp.bfloat16:
+            weight = weight.astype(jnp.bfloat16)
+        w_mx = MXArray.to_mx(
+            weight,
+            qconfig.weights_config.elem_dtype,
+            qconfig.weights_config.block_size,
+        )
+        return cls(w_mx, bias, qconfig)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        a_cfg = self.qconfig.activations_config
+        x_mx = MXArray.to_mx(
+            x.astype(jnp.bfloat16), a_cfg.elem_dtype, a_cfg.block_size
+        )
+        bias = self.bias.get_value() if self.bias is not None else None
+        return mx_linear(x_mx, self.weight.get_value(), bias, out_dtype=jnp.bfloat16)
+
+    def __repr__(self) -> str:
+        return (
+            f"MXInferenceLinear(in={self.in_features}, out={self.out_features}, "
+            f"qconfig={self.qconfig})"
+        )

@@ -1,0 +1,113 @@
+"""MX-quantized Llama attention and MLP inference modules.
+
+TPU-native counterparts of the reference's ``MXInferenceLlamaAttention`` /
+``MXInferenceLlamaMLP`` (rain-neuromorphics/torchmx
+``torchmx/layers/mx_llama_attention.py:20-266``).  Instead of re-implementing
+the HF forward, the MX versions subclass our NNX ``LlamaAttention`` and
+override three seams:
+
+* projections become :class:`MXInferenceLinear`;
+* Q/K/V are MX-quantized before the attention matmuls when
+  ``qconfig.is_qkv_quantization_enabled``: Q and K blocked along ``head_dim``
+  (the Q.K^T contraction dim) and V blocked along the kv sequence length (the
+  P.V contraction dim) via the transpose-quantize-transpose-back trick
+  (reference ``:208-213``);
+* the post-softmax attention weights are MX-quantized (reference ``:231-240``;
+  pre-softmax quantization awaits an approximate softmax, same TODO as the
+  reference).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import nnx
+
+from ..config import QAttentionConfig, QLinearConfig
+from ..mx_array import MXArray
+from ..ops import mx_matmul
+from ..models.llama import LlamaAttention, LlamaMLP
+from .linear import MXInferenceLinear
+
+
+class MXInferenceLlamaMLP(nnx.Module):
+    """Llama MLP with MX-quantized gate/up/down projections
+    (reference ``mx_llama_attention.py:20-60``)."""
+
+    def __init__(self, gate_proj, up_proj, down_proj, qconfig: QLinearConfig):
+        self.gate_proj = gate_proj
+        self.up_proj = up_proj
+        self.down_proj = down_proj
+        self.qconfig = qconfig
+
+    @classmethod
+    def from_float(cls, mod: LlamaMLP, qconfig: QLinearConfig) -> "MXInferenceLlamaMLP":
+        assert isinstance(mod, LlamaMLP), f"mod must be a LlamaMLP, got {type(mod)}"
+        return cls(
+            MXInferenceLinear.from_float(mod.gate_proj, qconfig),
+            MXInferenceLinear.from_float(mod.up_proj, qconfig),
+            MXInferenceLinear.from_float(mod.down_proj, qconfig),
+            qconfig,
+        )
+
+    def __call__(self, x):
+        import jax
+
+        return self.down_proj(jax.nn.silu(self.gate_proj(x)) * self.up_proj(x))
+
+
+class MXInferenceLlamaAttention(LlamaAttention):
+    """Llama attention with MX projections and optional Q/K/V/attn-weights
+    quantization inside the 4-D matmuls (reference ``:63-266``)."""
+
+    @classmethod
+    def from_float(
+        cls, mod: LlamaAttention, qconfig: QAttentionConfig
+    ) -> "MXInferenceLlamaAttention":
+        assert isinstance(mod, LlamaAttention), (
+            f"mod must be a LlamaAttention, got {type(mod)}"
+        )
+        self = cls(mod.config, mod.layer_idx)
+        self.qconfig = qconfig
+        p = qconfig.projection_config
+        self.q_proj = MXInferenceLinear.from_float(mod.q_proj, p)
+        self.k_proj = MXInferenceLinear.from_float(mod.k_proj, p)
+        self.v_proj = MXInferenceLinear.from_float(mod.v_proj, p)
+        self.o_proj = MXInferenceLinear.from_float(mod.o_proj, p)
+        return self
+
+    # -- seams ----------------------------------------------------------------
+
+    def _quantize_qkv(self, q, k, v):
+        if not self.qconfig.is_qkv_quantization_enabled:
+            return q, k, v
+        qc, kc, vc = (
+            self.qconfig.query_config,
+            self.qconfig.key_config,
+            self.qconfig.value_config,
+        )
+        # (b, h, s, -head_dim-): blocked along the Q.K^T contraction dim.
+        q_mx = MXArray.to_mx(q.astype(jnp.bfloat16), qc.elem_dtype, qc.block_size)
+        k_mx = MXArray.to_mx(k.astype(jnp.bfloat16), kc.elem_dtype, kc.block_size)
+        # V: transpose so blocking lands on the kv length (the P.V contraction
+        # dim), then transpose back (reference ``:208-213``).
+        v_mx = MXArray.to_mx(
+            v.swapaxes(2, 3).astype(jnp.bfloat16), vc.elem_dtype, vc.block_size
+        ).swapaxes(2, 3)
+        return q_mx, k_mx, v_mx
+
+    def _quantize_attn_weights(self, attn_weights):
+        if not self.qconfig.is_qkv_quantization_enabled:
+            return attn_weights
+        ac = self.qconfig.attention_weights_config
+        # (b, h, q_len, -kv_len-): blocked along the P.V contraction dim.
+        return MXArray.to_mx(
+            attn_weights.astype(jnp.bfloat16), ac.elem_dtype, ac.block_size
+        )
+
+    def _matmul(self, a, b):
+        return mx_matmul(a, b, out_dtype=jnp.bfloat16)
+
+    def extra_repr(self) -> str:
+        return f"qconfig={self.qconfig}"

@@ -1,0 +1,22 @@
+"""Model families (JAX/NNX): Llama and Qwen2, with HF checkpoint import."""
+
+from .llama import (  # noqa: F401
+    LayerKVCache,
+    LlamaAttention,
+    LlamaConfig,
+    LlamaDecoderLayer,
+    LlamaForCausalLM,
+    LlamaMLP,
+    LlamaModel,
+    MXLayerKVCache,
+    make_causal_mask,
+    make_decode_mask,
+)
+from .qwen2 import (  # noqa: F401
+    Qwen2Attention,
+    Qwen2Config,
+    Qwen2DecoderLayer,
+    Qwen2ForCausalLM,
+    Qwen2MLP,
+    Qwen2Model,
+)

@@ -1,0 +1,100 @@
+"""Greedy / sampling decode loop with a static KV cache.
+
+The prefill and decode steps are jitted once each; every subsequent decode
+step reuses the compiled executable (zero recompiles — the TPU analog of the
+reference's zero-graph-breaks ``torch.compile`` guarantee,
+``tests/test_mx_tensor.py:432-456``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from .llama import make_decode_mask, make_prefill_mask
+
+
+def _prefill(graphdef, state, input_ids, caches, prompt_len, max_len):
+    model = nnx.merge(graphdef, state)
+    b, s = input_ids.shape
+    mask = make_prefill_mask(s, max_len)[None, None]
+    logits, new_caches = model(
+        input_ids,
+        attention_mask=mask,
+        position_ids=jnp.arange(s)[None, :],
+        caches=caches,
+        cache_position=0,
+    )
+    # Logits at the last real prompt token.
+    last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)
+    return last[:, 0, :], new_caches
+
+
+def _decode_step(graphdef, state, token, pos, caches, max_len):
+    model = nnx.merge(graphdef, state)
+    b = token.shape[0]
+    mask = make_decode_mask(max_len, pos + 1)[None, None, None, :]
+    logits, new_caches = model(
+        token,
+        attention_mask=mask,
+        position_ids=jnp.full((b, 1), pos, jnp.int32),
+        caches=caches,
+        cache_position=pos,
+    )
+    return logits[:, -1, :], new_caches
+
+
+def generate(
+    model,
+    input_ids: jax.Array,
+    max_new_tokens: int,
+    *,
+    kv_cache_config=None,
+    prompt_len: Optional[jax.Array] = None,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Generate ``max_new_tokens`` tokens (greedy if temperature == 0).
+
+    Args:
+        model: a ``LlamaForCausalLM``-family NNX model.
+        input_ids: (batch, prompt_len) int32 token ids.
+        kv_cache_config: optional ``MXConfig`` enabling the MX-quantized KV
+            cache (TPU-build extension).
+        prompt_len: per-row valid prompt lengths (defaults to full width).
+
+    Returns (batch, max_new_tokens) generated ids.
+    """
+    graphdef, state = nnx.split(model)
+    b, s = input_ids.shape
+    max_len = s + max_new_tokens
+    caches = model.init_cache(b, max_len, kv_cache_config)
+    if prompt_len is None:
+        prompt_len = jnp.full((b,), s, jnp.int32)
+
+    prefill = jax.jit(functools.partial(_prefill, graphdef), static_argnames="max_len")
+    decode = jax.jit(functools.partial(_decode_step, graphdef), static_argnames="max_len")
+
+    logits, caches = prefill(state, input_ids, caches, prompt_len, max_len=max_len)
+
+    def pick(logits, key):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    out = []
+    token = pick(logits, rng)
+    out.append(token)
+    pos = jnp.asarray(s, jnp.int32)
+    for i in range(max_new_tokens - 1):
+        rng, sub = jax.random.split(rng)
+        logits, caches = decode(state, token[:, None], pos, caches, max_len=max_len)
+        token = pick(logits, sub)
+        out.append(token)
+        pos = pos + 1
+    return jnp.stack(out, axis=1)

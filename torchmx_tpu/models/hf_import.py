@@ -1,0 +1,131 @@
+"""HF checkpoint import: load Llama/Qwen2 weights into the NNX models.
+
+Two entry points:
+
+* :func:`load_hf_model` — from a local HF checkpoint directory
+  (``config.json`` + ``*.safetensors``), no torch involved.
+* :func:`from_hf_torch` — from an in-memory HF transformers torch model
+  (used by parity tests against the HF reference implementation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ..utils import get_logger
+from .llama import LlamaConfig, LlamaForCausalLM
+from .qwen2 import Qwen2Config, Qwen2ForCausalLM
+
+logger = get_logger(__name__)
+
+_ARCH_MAP = {
+    "LlamaForCausalLM": (LlamaConfig, LlamaForCausalLM),
+    "Qwen2ForCausalLM": (Qwen2Config, Qwen2ForCausalLM),
+}
+
+
+def _to_bf16_jnp(arr: np.ndarray) -> jnp.ndarray:
+    # ml_dtypes bfloat16 numpy arrays convert directly.
+    return jnp.asarray(arr).astype(jnp.bfloat16)
+
+
+def _assign_params(model, named_arrays, strict: bool = True):
+    """Assign HF-named weights (model.layers.N.self_attn.q_proj.weight, ...)
+    onto the NNX module tree."""
+    assigned, skipped = 0, []
+    for name, arr in named_arrays:
+        obj = model
+        parts = name.split(".")
+        ok = True
+        for p in parts[:-1]:
+            if p.isdigit():
+                obj = obj[int(p)]
+            elif hasattr(obj, p):
+                obj = getattr(obj, p)
+            else:
+                ok = False
+                break
+        leaf = parts[-1]
+        if not ok or not hasattr(obj, leaf):
+            skipped.append(name)
+            continue
+        param = getattr(obj, leaf)
+        value = _to_bf16_jnp(arr)
+        if isinstance(param, nnx.Variable):
+            if param.get_value().shape != value.shape:
+                raise ValueError(
+                    f"shape mismatch for {name}: {param.get_value().shape} vs {value.shape}"
+                )
+            param.set_value(value)
+            assigned += 1
+        else:
+            skipped.append(name)
+    if skipped:
+        msg = f"skipped {len(skipped)} weights: {skipped[:8]}..."
+        if strict:
+            # rotary inv_freq buffers etc. are fine to skip
+            real = [s for s in skipped if "inv_freq" not in s]
+            if real:
+                raise ValueError(msg)
+        logger.info(msg)
+    logger.info("assigned %d weight tensors", assigned)
+    return model
+
+
+def load_hf_model(checkpoint_dir: str, max_position_embeddings: Optional[int] = None):
+    """Load a local HF checkpoint directory into the matching NNX model.
+
+    Reads ``config.json`` for the architecture and ``*.safetensors`` shards
+    for the weights (pure numpy; no torch).
+    """
+    from safetensors import safe_open
+
+    with open(os.path.join(checkpoint_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    arch = hf_cfg.get("architectures", ["LlamaForCausalLM"])[0]
+    if arch not in _ARCH_MAP:
+        raise ValueError(f"Unsupported architecture {arch}; supported: {list(_ARCH_MAP)}")
+    cfg_cls, model_cls = _ARCH_MAP[arch]
+    config = cfg_cls.from_hf(hf_cfg)
+    if max_position_embeddings is not None:
+        config.max_position_embeddings = max_position_embeddings
+    model = model_cls(config)  # zero-init params, then overwritten
+
+    def arrays():
+        files = sorted(
+            f for f in os.listdir(checkpoint_dir) if f.endswith(".safetensors")
+        )
+        for fname in files:
+            with safe_open(os.path.join(checkpoint_dir, fname), framework="np") as st:
+                for key in st.keys():
+                    yield key, st.get_tensor(key)
+
+    _assign_params(model, arrays())
+    return model, config
+
+
+def from_hf_torch(hf_model, config_cls=None):
+    """Convert an in-memory HF transformers (torch) model to NNX.
+
+    Used in tests to validate numerics against the HF reference forward.
+    """
+    hf_cfg = hf_model.config
+    arch = (hf_cfg.architectures or [type(hf_model).__name__])[0]
+    cfg_cls, model_cls = _ARCH_MAP.get(arch, (LlamaConfig, LlamaForCausalLM))
+    if config_cls is not None:
+        cfg_cls = config_cls
+    config = cfg_cls.from_hf(hf_cfg)
+    model = model_cls(config)
+
+    def arrays():
+        for name, tensor in hf_model.state_dict().items():
+            yield name, tensor.detach().to("cpu").float().numpy()
+
+    _assign_params(model, arrays())
+    return model, config

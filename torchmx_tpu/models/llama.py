@@ -1,0 +1,492 @@
+"""Llama model family in JAX/NNX (bf16), with MX-quantizable seams.
+
+A from-scratch TPU-native reimplementation of the HF Llama architecture used
+by the reference's quantized-attention layers
+(rain-neuromorphics/torchmx ``torchmx/layers/mx_llama_attention.py``), built
+for XLA: static shapes, functional KV cache (plain ``lax.dynamic_update_slice``
+ring), fp32 softmax, GQA via ``repeat_kv``, rotary embeddings with optional
+Llama-3 scaling.  Decode steps jit with zero recompiles (the analog of the
+reference's zero-graph-breaks guarantee, ``tests/test_mx_tensor.py:432-456``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..layers.linear import Linear
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class LlamaConfig:
+    """Architecture hyperparameters (subset of HF ``LlamaConfig``)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    attention_bias: bool = False
+    # Bias on q/k/v projections only (Qwen2-style; o_proj stays bias-free).
+    attention_qkv_bias: bool = False
+    mlp_bias: bool = False
+    tie_word_embeddings: bool = False
+    attention_dropout: float = 0.0
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf(cls, hf_config: Any) -> "LlamaConfig":
+        """Build from an HF ``LlamaConfig``/``Qwen2Config``-like object or dict."""
+        get = (lambda k, d=None: hf_config.get(k, d)) if isinstance(hf_config, dict) else (
+            lambda k, d=None: getattr(hf_config, k, d)
+        )
+        return cls(
+            vocab_size=get("vocab_size"),
+            hidden_size=get("hidden_size"),
+            intermediate_size=get("intermediate_size"),
+            num_hidden_layers=get("num_hidden_layers"),
+            num_attention_heads=get("num_attention_heads"),
+            num_key_value_heads=get("num_key_value_heads") or get("num_attention_heads"),
+            head_dim=get("head_dim"),
+            max_position_embeddings=get("max_position_embeddings", 2048),
+            rms_norm_eps=get("rms_norm_eps", 1e-6),
+            rope_theta=get("rope_theta", 10000.0),
+            rope_scaling=get("rope_scaling"),
+            attention_bias=bool(get("attention_bias", False)),
+            mlp_bias=bool(get("mlp_bias", False)),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings
+# ---------------------------------------------------------------------------
+
+
+def compute_rope_inv_freq(config: LlamaConfig) -> jnp.ndarray:
+    """Base inverse frequencies, with optional Llama-3 rope scaling."""
+    d = config.head_dim
+    inv_freq = 1.0 / (
+        config.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )
+    rs = config.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        factor = rs["factor"]
+        low_factor = rs["low_freq_factor"]
+        high_factor = rs["high_freq_factor"]
+        old_len = rs["original_max_position_embeddings"]
+        low_wavelen = old_len / low_factor
+        high_wavelen = old_len / high_factor
+        wavelen = 2 * math.pi / inv_freq
+        scaled = inv_freq / factor
+        smooth = (old_len / wavelen - low_factor) / (high_factor - low_factor)
+        smoothed = (1 - smooth) * scaled + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen < high_wavelen,
+            inv_freq,
+            jnp.where(wavelen > low_wavelen, scaled, smoothed),
+        )
+    return inv_freq
+
+
+def rope_cos_sin(
+    inv_freq: Array, position_ids: Array, dtype=jnp.bfloat16
+) -> Tuple[Array, Array]:
+    """cos/sin tables for given positions: shapes ``(*pos.shape, head_dim)``."""
+    freqs = position_ids[..., None].astype(jnp.float32) * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def rotate_half(x: Array) -> Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary_pos_emb(q: Array, k: Array, cos: Array, sin: Array) -> Tuple[Array, Array]:
+    """HF-convention RoPE on (b, h, s, d) tensors with (b, s, d) cos/sin."""
+    cos = cos[:, None, :, :]
+    sin = sin[:, None, :, :]
+    q_rot = q * cos + rotate_half(q) * sin
+    k_rot = k * cos + rotate_half(k) * sin
+    return q_rot.astype(q.dtype), k_rot.astype(k.dtype)
+
+
+def repeat_kv(x: Array, n_rep: int) -> Array:
+    """(b, kv_heads, s, d) -> (b, kv_heads * n_rep, s, d) (GQA expand)."""
+    if n_rep == 1:
+        return x
+    b, kv, s, d = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, :], (b, kv, n_rep, s, d))
+    return x.reshape(b, kv * n_rep, s, d)
+
+
+# ---------------------------------------------------------------------------
+# KV cache (functional, static-size)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LayerKVCache:
+    """High-precision per-layer KV cache: (b, kv_heads, max_len, head_dim)."""
+
+    k: Array
+    v: Array
+
+    @staticmethod
+    def create(batch: int, kv_heads: int, max_len: int, head_dim: int, dtype=jnp.bfloat16):
+        shape = (batch, kv_heads, max_len, head_dim)
+        return LayerKVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    def update(self, k_new: Array, v_new: Array, pos: Array) -> Tuple[Array, Array, "LayerKVCache"]:
+        """Write ``k_new/v_new`` (b, kv, s, d) at ``pos`` and return full buffers."""
+        k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), (0, 0, pos, 0))
+        v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), (0, 0, pos, 0))
+        return k, v, LayerKVCache(k=k, v=v)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MXLayerKVCache:
+    """MX-quantized per-layer KV cache (TPU-build extension; the reference
+    keeps its cache in high precision — ``mx_llama_attention.py:180`` TODO).
+
+    K and V are stored quantized along ``head_dim`` (per-token blocks), 4-8x
+    smaller than bf16 in HBM; dequantized on read.  Payloads are kept
+    unpacked-per-byte here (fp4 packing in the cache lands with the Pallas
+    paged-attention kernel).
+    """
+
+    k_data: Array  # uint8/int8 (b, kv, max_len, d)
+    k_scale: Array  # uint8 (b, kv, max_len, d // block)
+    v_data: Array
+    v_scale: Array
+    elem_dtype_name: str = dataclasses.field(metadata=dict(static=True))
+    block_size: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def create(
+        batch: int,
+        kv_heads: int,
+        max_len: int,
+        head_dim: int,
+        elem_dtype_name: str = "float8_e4m3",
+        block_size: int = 32,
+    ):
+        from .. import dtypes as _dt
+
+        elem = _dt.STR_TO_SUPPORTED_ELEM_DTYPE[elem_dtype_name]
+        payload_d = head_dim // 2 if elem == _dt.float4_e2m1 else head_dim
+        payload_dtype = jnp.int8 if elem == _dt.int8 else jnp.uint8
+        data_shape = (batch, kv_heads, max_len, payload_d)
+        scale_shape = (batch, kv_heads, max_len, head_dim // block_size)
+        return MXLayerKVCache(
+            k_data=jnp.zeros(data_shape, payload_dtype),
+            k_scale=jnp.zeros(scale_shape, jnp.uint8),
+            v_data=jnp.zeros(data_shape, payload_dtype),
+            v_scale=jnp.zeros(scale_shape, jnp.uint8),
+            elem_dtype_name=elem_dtype_name,
+            block_size=block_size,
+        )
+
+    def update(self, k_new: Array, v_new: Array, pos: Array):
+        """Quantize incoming K/V along head_dim, write at ``pos``, and return
+        the **dequantized** full buffers (so attention math sees the exact
+        values later reads will see)."""
+        from ..mx_array import quantize_mx, dequantize_mx
+
+        ks, kd = quantize_mx(k_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size)
+        vs, vd = quantize_mx(v_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size)
+        at = (0, 0, pos, 0)
+        k_data = jax.lax.dynamic_update_slice(self.k_data, kd, at)
+        k_scale = jax.lax.dynamic_update_slice(self.k_scale, ks, at)
+        v_data = jax.lax.dynamic_update_slice(self.v_data, vd, at)
+        v_scale = jax.lax.dynamic_update_slice(self.v_scale, vs, at)
+        new = MXLayerKVCache(
+            k_data=k_data,
+            k_scale=k_scale,
+            v_data=v_data,
+            v_scale=v_scale,
+            elem_dtype_name=self.elem_dtype_name,
+            block_size=self.block_size,
+        )
+        k_full = dequantize_mx(
+            k_data, k_scale, self.elem_dtype_name, self.block_size, jnp.bfloat16, 3
+        )
+        v_full = dequantize_mx(
+            v_data, v_scale, self.elem_dtype_name, self.block_size, jnp.bfloat16, 3
+        )
+        return k_full, v_full, new
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+
+class RMSNorm(nnx.Module):
+    def __init__(self, dim: int, eps: float, dtype=jnp.bfloat16):
+        self.weight = nnx.Param(jnp.ones((dim,), dtype))
+        self.eps = eps
+
+    def __call__(self, x: Array) -> Array:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.eps)
+        return (xf * self.weight.get_value().astype(jnp.float32)).astype(x.dtype)
+
+
+class LlamaMLP(nnx.Module):
+    def __init__(self, config: LlamaConfig, rngs: Optional[nnx.Rngs] = None):
+        self.config = config
+        h, i = config.hidden_size, config.intermediate_size
+        self.gate_proj = Linear(h, i, use_bias=config.mlp_bias, rngs=rngs)
+        self.up_proj = Linear(h, i, use_bias=config.mlp_bias, rngs=rngs)
+        self.down_proj = Linear(i, h, use_bias=config.mlp_bias, rngs=rngs)
+
+    def __call__(self, x: Array) -> Array:
+        return self.down_proj(jax.nn.silu(self.gate_proj(x)) * self.up_proj(x))
+
+
+class LlamaAttention(nnx.Module):
+    """Eager GQA attention with RoPE and fp32 softmax (HF semantics)."""
+
+    def __init__(self, config: LlamaConfig, layer_idx: int = 0, rngs: Optional[nnx.Rngs] = None):
+        self.config = config
+        self.layer_idx = layer_idx
+        h = config.hidden_size
+        self.num_heads = config.num_attention_heads
+        self.num_key_value_heads = config.num_key_value_heads
+        self.num_key_value_groups = self.num_heads // self.num_key_value_heads
+        self.head_dim = config.head_dim
+        qkv_bias = config.attention_bias or config.attention_qkv_bias
+        self.q_proj = Linear(h, self.num_heads * self.head_dim, use_bias=qkv_bias, rngs=rngs)
+        self.k_proj = Linear(h, self.num_key_value_heads * self.head_dim, use_bias=qkv_bias, rngs=rngs)
+        self.v_proj = Linear(h, self.num_key_value_heads * self.head_dim, use_bias=qkv_bias, rngs=rngs)
+        self.o_proj = Linear(self.num_heads * self.head_dim, h, use_bias=config.attention_bias, rngs=rngs)
+
+    # -- seams the MX subclass overrides ------------------------------------
+    def _quantize_qkv(self, q: Array, k: Array, v: Array):
+        return q, k, v
+
+    def _quantize_attn_weights(self, attn_weights):
+        return attn_weights
+
+    def _matmul(self, a, b):
+        return jnp.matmul(a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def __call__(
+        self,
+        hidden_states: Array,
+        *,
+        cos: Array,
+        sin: Array,
+        attention_mask: Optional[Array] = None,
+        cache=None,
+        cache_position: Optional[Array] = None,
+    ):
+        bsz, q_len, _ = hidden_states.shape
+        q = self.q_proj(hidden_states)
+        k = self.k_proj(hidden_states)
+        v = self.v_proj(hidden_states)
+
+        # (b, heads, s, d)
+        q = q.reshape(bsz, q_len, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(bsz, q_len, self.num_key_value_heads, self.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(bsz, q_len, self.num_key_value_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        q, k = apply_rotary_pos_emb(q, k, cos, sin)
+
+        new_cache = None
+        if cache is not None:
+            k, v, new_cache = cache.update(k, v, cache_position)
+
+        k = repeat_kv(k, self.num_key_value_groups)
+        v = repeat_kv(v, self.num_key_value_groups)
+
+        orig_dtype = hidden_states.dtype
+        q, k, v = self._quantize_qkv(q, k, v)
+
+        # (b, h, q_len, kv_len)
+        attn_weights = self._matmul(q, _swap_last2(k)) / math.sqrt(self.head_dim)
+        if attention_mask is not None:
+            attn_weights = attn_weights + attention_mask
+
+        attn_weights = jax.nn.softmax(attn_weights.astype(jnp.float32), axis=-1).astype(
+            orig_dtype
+        )
+        attn_weights = self._quantize_attn_weights(attn_weights)
+
+        attn_output = self._matmul(attn_weights, v)
+        attn_output = attn_output.transpose(0, 2, 1, 3).reshape(bsz, q_len, -1)
+        return self.o_proj(attn_output), new_cache
+
+
+def _swap_last2(x):
+    """Transpose the last two dims of an Array or MXArray."""
+    return x.swapaxes(-2, -1)
+
+
+class LlamaDecoderLayer(nnx.Module):
+    # Extension points for sibling model families (e.g. Qwen2).
+    attention_cls = None  # resolved below (class not yet defined here)
+    mlp_cls = None
+
+    def __init__(self, config: LlamaConfig, layer_idx: int, rngs: Optional[nnx.Rngs] = None):
+        attention_cls = type(self).attention_cls or LlamaAttention
+        mlp_cls = type(self).mlp_cls or LlamaMLP
+        self.self_attn = attention_cls(config, layer_idx, rngs=rngs)
+        self.mlp = mlp_cls(config, rngs=rngs)
+        self.input_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps)
+        self.post_attention_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps)
+
+    def __call__(self, x, *, cos, sin, attention_mask, cache=None, cache_position=None):
+        attn_out, new_cache = self.self_attn(
+            self.input_layernorm(x),
+            cos=cos,
+            sin=sin,
+            attention_mask=attention_mask,
+            cache=cache,
+            cache_position=cache_position,
+        )
+        x = x + attn_out
+        x = x + self.mlp(self.post_attention_layernorm(x))
+        return x, new_cache
+
+
+class Embedding(nnx.Module):
+    def __init__(self, num_embeddings: int, dim: int, dtype=jnp.bfloat16, rngs=None):
+        if rngs is None:
+            w = jnp.zeros((num_embeddings, dim), dtype)
+        else:
+            w = nnx.initializers.normal(0.02)(rngs.params(), (num_embeddings, dim), dtype)
+        self.weight = nnx.Param(w)
+
+    def __call__(self, ids: Array) -> Array:
+        return jnp.take(self.weight.get_value(), ids, axis=0)
+
+
+class LlamaModel(nnx.Module):
+    layer_cls = None  # extension point (e.g. Qwen2DecoderLayer)
+
+    def __init__(self, config: LlamaConfig, rngs: Optional[nnx.Rngs] = None):
+        self.config = config
+        layer_cls = type(self).layer_cls or LlamaDecoderLayer
+        self.embed_tokens = Embedding(config.vocab_size, config.hidden_size, rngs=rngs)
+        self.layers = nnx.List(
+            [layer_cls(config, i, rngs=rngs) for i in range(config.num_hidden_layers)]
+        )
+        self.norm = RMSNorm(config.hidden_size, config.rms_norm_eps)
+        self.inv_freq = nnx.Variable(compute_rope_inv_freq(config))
+
+    def __call__(
+        self,
+        input_ids: Array,
+        *,
+        attention_mask: Optional[Array] = None,
+        position_ids: Optional[Array] = None,
+        caches=None,
+        cache_position: Optional[Array] = None,
+    ):
+        b, s = input_ids.shape
+        x = self.embed_tokens(input_ids)
+        if position_ids is None:
+            position_ids = jnp.arange(s)[None, :]
+        cos, sin = rope_cos_sin(self.inv_freq.get_value(), position_ids, x.dtype)
+        if attention_mask is None and caches is None:
+            attention_mask = make_causal_mask(s, s, dtype=jnp.float32)[None, None]
+
+        new_caches = [] if caches is not None else None
+        for i, layer in enumerate(self.layers):
+            cache_i = caches[i] if caches is not None else None
+            x, nc = layer(
+                x,
+                cos=cos,
+                sin=sin,
+                attention_mask=attention_mask,
+                cache=cache_i,
+                cache_position=cache_position,
+            )
+            if new_caches is not None:
+                new_caches.append(nc)
+        return self.norm(x), new_caches
+
+
+class LlamaForCausalLM(nnx.Module):
+    model_cls = None  # extension point (e.g. Qwen2Model)
+
+    def __init__(self, config: LlamaConfig, rngs: Optional[nnx.Rngs] = None):
+        self.config = config
+        model_cls = type(self).model_cls or LlamaModel
+        self.model = model_cls(config, rngs=rngs)
+        if config.tie_word_embeddings:
+            self.lm_head = None
+        else:
+            self.lm_head = Linear(config.hidden_size, config.vocab_size, use_bias=False, rngs=rngs)
+
+    def __call__(self, input_ids: Array, **kwargs):
+        hidden, new_caches = self.model(input_ids, **kwargs)
+        if self.lm_head is None:
+            logits = hidden @ self.model.embed_tokens.weight.get_value().T
+        else:
+            logits = self.lm_head(hidden)
+        return logits, new_caches
+
+    def init_cache(
+        self, batch: int, max_len: int, kv_cache_config=None
+    ):
+        """Allocate per-layer KV caches (hp, or MX-quantized if a config is given)."""
+        c = self.config
+        if kv_cache_config is None:
+            return [
+                LayerKVCache.create(batch, c.num_key_value_heads, max_len, c.head_dim)
+                for _ in range(c.num_hidden_layers)
+            ]
+        return [
+            MXLayerKVCache.create(
+                batch,
+                c.num_key_value_heads,
+                max_len,
+                c.head_dim,
+                kv_cache_config.elem_dtype_name,
+                kv_cache_config.block_size,
+            )
+            for _ in range(c.num_hidden_layers)
+        ]
+
+
+def make_causal_mask(q_len: int, kv_len: int, dtype=jnp.float32) -> Array:
+    """Additive causal mask (0 on allowed, large-negative on masked)."""
+    i = jnp.arange(q_len)[:, None]
+    j = jnp.arange(kv_len)[None, :]
+    return jnp.where(j <= i + (kv_len - q_len), 0.0, jnp.finfo(dtype).min).astype(dtype)
+
+
+def make_prefill_mask(q_len: int, kv_len: int, dtype=jnp.float32) -> Array:
+    """Causal mask for queries at positions 0..q_len-1 over a kv_len cache."""
+    i = jnp.arange(q_len)[:, None]
+    j = jnp.arange(kv_len)[None, :]
+    return jnp.where(j <= i, 0.0, jnp.finfo(dtype).min).astype(dtype)
+
+
+def make_decode_mask(kv_len: int, valid_len: Array, dtype=jnp.float32) -> Array:
+    """Additive mask over a static cache: positions >= valid_len are masked."""
+    j = jnp.arange(kv_len)
+    return jnp.where(j < valid_len, 0.0, jnp.finfo(dtype).min).astype(dtype)
