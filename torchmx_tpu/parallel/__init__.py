@@ -1,0 +1,12 @@
+"""Multi-chip execution: mesh creation and sharding rules.
+
+The reference has no distributed backend (no ``torch.distributed`` anywhere;
+TP explicitly rejected at ``mx_llama_attention.py:137-139``).  The TPU-native
+framework scales through GSPMD: annotate parameter/activation shardings over a
+``jax.sharding.Mesh`` and let XLA insert the ICI/DCN collectives.  Packed MX
+payloads and their E8M0 scales shard **congruently** (a scale shard is its
+payload shard divided by ``block_size`` along the blocked dim), so collectives
+move packed uint8 bytes — 4-8x cheaper than bf16.
+"""
+
+from .mesh import create_mesh, shard_model, MODEL_AXIS, DATA_AXIS  # noqa: F401

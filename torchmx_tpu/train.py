@@ -1,0 +1,75 @@
+"""Quantization-aware training step (straight-through estimator).
+
+The reference exposes training hooks (``ToMXConstrFunc`` STE backward and
+``NoopFwToMXBw`` gradient quantization, ``mx_tensor.py:196-354``) but no
+training loop.  The TPU build provides a full jittable, mesh-shardable QAT
+step: forward with MX fake-quantization on the weights (STE), cross-entropy
+loss, optax update.  Used by the multi-chip dry run and as the training-path
+surface of the framework.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import nnx
+
+from .config import QLinearConfig
+from .mx_array import fake_quantize
+
+
+def fake_quantize_linear_weights(model, qconfig: QLinearConfig):
+    """Return a pure state transform applying STE MX fake-quantization to the
+    model's weight matrices before the forward pass.
+
+    Selection is by leaf shape: every 2-D bf16 param is a weight matrix
+    (linear weights and the embedding table); 1-D params (biases, norms) pass
+    through untouched.
+    """
+    del model  # selection is shape-based; kept for future path-based rules
+    w_cfg = qconfig.weights_config
+
+    def transform_state(state):
+        def fq(leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim == 2 and leaf.dtype == jnp.bfloat16:
+                return fake_quantize(leaf, w_cfg.elem_dtype_name, w_cfg.block_size)
+            return leaf
+
+        return jax.tree_util.tree_map(fq, state)
+
+    return transform_state
+
+
+def make_qat_train_step(model, qconfig: QLinearConfig, learning_rate: float = 1e-4):
+    """Build (train_step, opt_state) for STE quantization-aware training.
+
+    ``train_step(state, opt_state, batch) -> (state, opt_state, loss)`` is a
+    pure jittable function over the NNX state pytree; shard the state with
+    ``parallel.shard_model`` before jitting for multi-chip execution.
+    """
+    graphdef, state = nnx.split(model)
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(state)
+    transform = fake_quantize_linear_weights(model, qconfig)
+
+    def loss_fn(state, input_ids, labels):
+        fq_state = transform(state)
+        m = nnx.merge(graphdef, fq_state)
+        logits, _ = m(input_ids)
+        logits = logits.astype(jnp.float32)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits[:, :-1], labels[:, 1:]
+        )
+        return loss.mean()
+
+    def train_step(state, opt_state, input_ids, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(state, input_ids, labels)
+        updates, opt_state = tx.update(grads, opt_state, state)
+        state = optax.apply_updates(state, updates)
+        return state, opt_state, loss
+
+    return train_step, state, opt_state, graphdef
