@@ -68,13 +68,14 @@ def _timed_loop(step_fn, x, *consts):
 
 def main():
     from torchmx_tpu.mx_array import MXArray
-    from torchmx_tpu.ops import mx_linear
+    from torchmx_tpu.ops import mx_matmul
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
     w = jnp.asarray(rng.standard_normal((N, K)) * 0.02, jnp.bfloat16)
 
-    w_mx = MXArray.to_mx(w, "float4_e2m1", 32)
+    # K-major kernel layout, as stored by MXInferenceLinear.
+    w_mx = MXArray.to_mx(w, "float4_e2m1", 32).T
     w_mx = jax.tree_util.tree_map(jax.device_put, w_mx)
 
     def bf16_step(x, w):
@@ -83,8 +84,10 @@ def main():
         ).astype(jnp.bfloat16)
 
     def mx_step(x, w_mx):
-        x_mx = MXArray.to_mx(x, "float8_e4m3", 32)
-        return mx_linear(x_mx, w_mx, out_dtype=jnp.bfloat16)
+        from torchmx_tpu.ops import mx_fake_quantize
+
+        x_fq = mx_fake_quantize(x, "float8_e4m3", 32)
+        return mx_matmul(x_fq, w_mx, out_dtype=jnp.bfloat16)
 
     t_bf16 = _timed_loop(bf16_step, x, w)
     t_mx = _timed_loop(mx_step, x, w_mx)

@@ -1,0 +1,139 @@
+"""Pallas kernel correctness tests (interpret mode on CPU; native on TPU).
+
+The kernels must be bit-identical to the jnp reference paths:
+* fused dequant-matmul == dequantize-then-dot (fp8/fp6/int8 exactly; fp4 has
+  a different accumulation order from the two half-K nibble-plane dots, so it
+  is compared within fp32-accumulation tolerance);
+* quantize kernel == ``quantize_mx`` (bit-exact, all formats);
+* fake-quantize kernel == quantize->dequantize roundtrip (bit-exact).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchmx_tpu import dtypes
+from torchmx_tpu import env_variables as env
+from torchmx_tpu.mx_array import MXArray, quantize_mx
+from torchmx_tpu.ops import pallas_matmul as pm
+from torchmx_tpu.ops import pallas_quantize as pq
+
+ALL_NAMES = ["float8_e4m3", "float6_e3m2", "float6_e2m3", "float4_e2m1", "int8"]
+
+
+def rand_bf16(key, shape, spread=3.0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    mag = jax.random.normal(k1, shape) * jnp.exp2(
+        jax.random.normal(k2, shape) * spread
+    )
+    return mag.astype(jnp.bfloat16)
+
+
+@pytest.mark.parametrize("ename", ALL_NAMES)
+def test_fused_matmul_matches_dequant_then_dot(ename):
+    x = rand_bf16(0, (128, 256), spread=1.0)
+    w = (jax.random.normal(jax.random.PRNGKey(1), (128, 256)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    w_km = MXArray.to_mx(w, ename, 32).T  # kernel layout (K, N)
+    out = pm.matmul_any(x, w_km, jnp.bfloat16)
+    assert out is not None
+    gt = jnp.matmul(
+        x, w_km.to_dtype(jnp.bfloat16), preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+    a, r = np.asarray(out, np.float32), np.asarray(gt, np.float32)
+    if ename == "float4_e2m1":
+        # Two half-K nibble-plane dots accumulate in a different order.
+        np.testing.assert_allclose(a, r, rtol=2e-2, atol=1e-2)
+    elif jax.default_backend() == "tpu":
+        # On hardware the kernel reproduces the MXU bf16 dot bit-for-bit.
+        np.testing.assert_array_equal(a, r)
+    else:
+        # Interpret mode runs an f32-upcast dot; the XLA CPU bf16 dot used
+        # for the ground truth may differ by 1 ulp in reduction order.
+        np.testing.assert_allclose(a, r, rtol=5e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("ename", ALL_NAMES)
+def test_quantize_kernel_bit_exact(ename):
+    x = rand_bf16(2, (128, 128))
+    s_ref, c_ref = quantize_mx(x, ename, 32)
+    out = pq.quantize_mx_pallas(x, ename, 32)
+    assert out is not None
+    s, c = out
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+
+
+@pytest.mark.parametrize("ename", ALL_NAMES)
+def test_fake_quantize_kernel_bit_exact(ename):
+    x = rand_bf16(3, (128, 128))
+    # Include some specials: a NaN block and a zero block.
+    x = x.at[0, 0].set(jnp.nan).at[1, :32].set(0.0)
+    ref = MXArray.to_mx(x, ename, 32).to_dtype(jnp.bfloat16)
+    out = pq.fake_quantize_pallas(x, ename, 32)
+    assert out is not None
+    a = np.asarray(out, np.float32)
+    r = np.asarray(ref, np.float32)
+    both_nan = np.isnan(a) & np.isnan(r)
+    np.testing.assert_array_equal(np.where(both_nan, 0, a), np.where(both_nan, 0, r))
+
+
+def test_decode_helper_matches_dequantize():
+    """The in-kernel decode (bit-surgery scale fold) must agree with
+    dequantize_mx over every code x a range of scales."""
+    from torchmx_tpu.mx_array import dequantize_mx
+
+    for elem in dtypes.SUPPORTED_FP_ELEM_DTYPES:
+        nbits = 1 + elem.exponent_bits + elem.mantissa_bits
+        codes = np.arange(2**nbits, dtype=np.int32)
+        # Scales reachable from quantizing finite bf16: se <= 254 - max_pow2.
+        for se_val in [1, 64, 127, 200, 254 - elem.max_pow2]:
+            se = np.full_like(codes, se_val)
+            got = pm.decode_codes_to_bf16(
+                jnp.asarray(codes).reshape(1, -1), jnp.asarray(se).reshape(1, -1), elem
+            ).reshape(-1)
+            ref = dequantize_mx(
+                jnp.asarray(codes, jnp.uint8).reshape(-1, 1),
+                jnp.asarray(se[:, None], jnp.uint8)[:, :1],
+                elem.name,
+                1,
+                jnp.bfloat16,
+                1,
+            )[:, 0]
+            g = np.asarray(got, np.float32)
+            r = np.asarray(ref, np.float32)
+            # The kernel flushes sub-bf16-normal results to 0; the reference
+            # keeps bf16 subnormals.  Compare where the reference is normal.
+            keep = (np.abs(r) >= 2.0**-126) | (r == 0)
+            both_nan = np.isnan(g) & np.isnan(r)
+            keep &= ~both_nan
+            np.testing.assert_array_equal(g[keep], r[keep])
+
+
+@pytest.mark.parametrize("ename", ["float8_e4m3", "float4_e2m1"])
+def test_mx_matmul_auto_backend_dispatch(ename):
+    """mx_matmul with backend=pallas routes K-major weights to the kernel."""
+    from torchmx_tpu.ops import mx_matmul
+
+    x = rand_bf16(4, (64, 128), spread=1.0)
+    w_km = MXArray.to_mx(
+        (jax.random.normal(jax.random.PRNGKey(5), (64, 128)) * 0.1).astype(jnp.bfloat16),
+        ename,
+        32,
+    ).T
+    old = env.TORCHMX_QUANTIZE_BACKEND
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "pallas"
+        out_pallas = mx_matmul(x, w_km, out_dtype=jnp.bfloat16)
+        env.TORCHMX_QUANTIZE_BACKEND = "jnp"
+        out_jnp = mx_matmul(x, w_km, out_dtype=jnp.bfloat16)
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old
+    np.testing.assert_allclose(
+        np.asarray(out_pallas, np.float32),
+        np.asarray(out_jnp, np.float32),
+        rtol=2e-2,
+        atol=1e-2,
+    )

@@ -13,10 +13,11 @@ Flags (all compared as strings, as in the reference):
   integer bit-manipulation quantizer; default ``"False"`` selects the
   simulated fp32-divide quantizer.  Both are bit-identical by contract
   (cross-checked in tests) — the toggle exists to continuously verify that.
-* ``TORCHMX_QUANTIZE_BACKEND`` – ``"jnp"`` (default) or ``"pallas"``: selects
-  the pure-jnp reference implementation or the fused Pallas TPU kernels for
-  quantize / dequant-matmul.  TPU-build extension of the reference's
-  exact/simulated toggle (generalised to a backend selector).
+* ``TORCHMX_QUANTIZE_BACKEND`` – ``"auto"`` (default: fused Pallas kernels on
+  TPU, pure-jnp elsewhere), ``"pallas"`` (force kernels; interpreter mode
+  off-TPU), or ``"jnp"`` (force the bit-parity simulation path).  TPU-build
+  extension of the reference's exact/simulated toggle (generalised to a
+  backend selector).
 """
 
 import os
@@ -27,4 +28,4 @@ TORCHMX_LOG_FILE = os.environ.get("TORCHMX_LOG_FILE", "")
 
 MX_EXACT_QUANTIZATION = os.environ.get("MX_HARDWARE_EXACT_QUANTIZATION", "False")
 
-TORCHMX_QUANTIZE_BACKEND = os.environ.get("TORCHMX_QUANTIZE_BACKEND", "jnp")
+TORCHMX_QUANTIZE_BACKEND = os.environ.get("TORCHMX_QUANTIZE_BACKEND", "auto")

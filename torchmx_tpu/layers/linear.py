@@ -19,7 +19,7 @@ from flax import nnx
 
 from ..config import QLinearConfig
 from ..mx_array import MXArray
-from ..ops import mx_linear
+from ..ops import mx_fake_quantize, mx_matmul
 
 
 class Linear(nnx.Module):
@@ -63,16 +63,21 @@ class MXInferenceLinear(nnx.Module):
 
     The weight is stored as an :class:`MXArray` (packed payload + E8M0 scale)
     inside an ``nnx.Param`` so it shards/checkpoints like any other param.
-    Forward mirrors reference ``mx_linear.py:61-95``: quantize the activation
-    with ``activations_config``, then run the MX linear (bias in high
-    precision).
+    Storage is **K-major** (payload ``(in_features, out_features)``, blocked on
+    the contraction dim) — the layout the fused Pallas dequant-matmul kernel
+    consumes directly (see ``ops/pallas_matmul.py``); the jnp simulation path
+    handles it via ``block_dim``.  Forward mirrors reference
+    ``mx_linear.py:61-95``: quantize the activation with
+    ``activations_config``, then run the MX matmul (bias in high precision).
     """
 
     def __init__(self, weight_mx: MXArray, bias, qconfig: QLinearConfig):
+        if weight_mx.block_dim == weight_mx.ndim - 1:
+            weight_mx = weight_mx.T  # to K-major kernel layout
         self.weight = nnx.Param(weight_mx)
         self.bias = nnx.Param(bias) if bias is not None else None
         self.qconfig = qconfig
-        self.out_features, self.in_features = weight_mx.shape
+        self.in_features, self.out_features = weight_mx.shape
 
     @classmethod
     def from_float(cls, mod: Linear, qconfig: QLinearConfig) -> "MXInferenceLinear":
@@ -99,11 +104,16 @@ class MXInferenceLinear(nnx.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         a_cfg = self.qconfig.activations_config
-        x_mx = MXArray.to_mx(
-            x.astype(jnp.bfloat16), a_cfg.elem_dtype, a_cfg.block_size
+        # Dynamic activation quantization: a fused single-pass kernel on the
+        # Pallas backend, a quantize->dequantize pair on the jnp path; the
+        # subsequent matmul consumes the roundtripped bf16 values either way.
+        x_fq = mx_fake_quantize(
+            x.astype(jnp.bfloat16), a_cfg.elem_dtype_name, a_cfg.block_size
         )
-        bias = self.bias.get_value() if self.bias is not None else None
-        return mx_linear(x_mx, self.weight.get_value(), bias, out_dtype=jnp.bfloat16)
+        out = mx_matmul(x_fq, self.weight.get_value(), out_dtype=jnp.bfloat16)
+        if self.bias is not None:
+            out = out + self.bias.get_value().astype(out.dtype)
+        return out
 
     def __repr__(self) -> str:
         return (

@@ -6,3 +6,4 @@ same signatures, selected by ``TORCHMX_QUANTIZE_BACKEND``.
 """
 
 from .matmul import mx_linear, mx_matmul  # noqa: F401
+from .quantize import mx_fake_quantize  # noqa: F401

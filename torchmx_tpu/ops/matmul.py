@@ -41,16 +41,28 @@ def _result_dtype(*operands: ArrayLike):
     return operands[0].dtype
 
 
+def _use_pallas() -> bool:
+    mode = env.TORCHMX_QUANTIZE_BACKEND
+    if mode == "pallas":
+        return True
+    if mode == "auto":
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu"
+    return False
+
+
 def mx_matmul(a: ArrayLike, b: ArrayLike, out_dtype=None) -> Array:
     """``a @ b`` where either operand may be an MXArray.
 
-    Supports 2-D and batched (3-D/4-D attention) shapes.  Operands are
-    dequantized to the original high precision and contracted with fp32
-    accumulation, matching the reference's simulation semantics
-    (``ops.py:60-107``: ``aten.mm/matmul/bmm`` handlers).
+    Supports 2-D and batched (3-D/4-D attention) shapes.  On the simulation
+    path, operands are dequantized to the original high precision and
+    contracted with fp32 accumulation, matching the reference's semantics
+    (``ops.py:60-107``: ``aten.mm/matmul/bmm`` handlers); eligible shapes with
+    K-major MXArray weights route through the fused Pallas kernels.
     """
     out_dtype = out_dtype or _result_dtype(a, b)
-    if env.TORCHMX_QUANTIZE_BACKEND == "pallas":
+    if _use_pallas():
         from . import pallas_matmul
 
         out = pallas_matmul.matmul_any(a, b, out_dtype)
@@ -76,7 +88,7 @@ def mx_linear(
     with the contraction (last) dim blocked.
     """
     out_dtype = out_dtype or _result_dtype(x, weight)
-    if env.TORCHMX_QUANTIZE_BACKEND == "pallas":
+    if _use_pallas():
         from . import pallas_matmul
 
         out = pallas_matmul.linear_any(x, weight, out_dtype)

@@ -1,0 +1,34 @@
+"""Backend-dispatched quantization ops (jnp reference / Pallas kernels)."""
+
+from __future__ import annotations
+
+import jax
+
+from .. import env_variables as env
+
+
+def _use_pallas() -> bool:
+    mode = env.TORCHMX_QUANTIZE_BACKEND
+    if mode == "pallas":
+        return True
+    if mode == "auto":
+        return jax.default_backend() == "tpu"
+    return False
+
+
+def mx_fake_quantize(x: jax.Array, elem_dtype_name: str, block_size: int = 32) -> jax.Array:
+    """MX quantize-dequantize roundtrip (dynamic activation quantization).
+
+    On the Pallas backend this is a single fused VMEM pass
+    (``fake_quantize_pallas``); otherwise the jnp quantize + dequantize pair.
+    Numerics are identical by construction.
+    """
+    if _use_pallas():
+        from . import pallas_quantize
+
+        out = pallas_quantize.fake_quantize_pallas(x, elem_dtype_name, block_size)
+        if out is not None:
+            return out
+    from ..mx_array import MXArray
+
+    return MXArray.to_mx(x, elem_dtype_name, block_size).to_dtype(x.dtype)

@@ -73,17 +73,24 @@ def _path_str(path) -> str:
     return ".".join(parts)
 
 
+_MX_LEAF = re.compile(r"\.weight\..*\b[01]$")
+
+
 def spec_for_path(path_str: str, ndim: int) -> P:
-    """PartitionSpec for a param path; scale/payload of MXArray weights get
-    the same spec (congruent sharding)."""
+    """PartitionSpec for a param path.
+
+    MXArray weight leaves (payload/scale, recognized by the flattened-index
+    suffix) are stored **K-major** (in, out) by ``MXInferenceLinear``, so
+    their 2-D spec is the transpose of the plain (out, in) weight rule;
+    payload and scale share it (congruent sharding).
+    """
     for rule, spec in _WEIGHT_RULES:
         if rule.search(path_str):
             if ndim == 1:
                 return P(spec[0]) if len(spec) and spec[0] else P(None)
-            if ndim == len(spec):
-                return spec
-            # MXArray leaves keep the weight's 2-D spec.
             if ndim == 2:
+                if _MX_LEAF.search(path_str):
+                    return P(spec[1], spec[0])
                 return spec
             return P(*([None] * ndim))
     return P(*([None] * ndim))
