@@ -81,9 +81,10 @@ def test_fake_quantize_kernel_bit_exact(ename):
 
 
 def test_decode_helper_matches_dequantize():
-    """The in-kernel decode (bit-surgery scale fold) must agree with
-    dequantize_mx over every code x a range of scales."""
-    from torchmx_tpu.mx_array import dequantize_mx
+    """The in-kernel decode (bit-surgery scale fold) must agree with the
+    reference element decode x power-of-two scale over every code and a range
+    of reachable scales."""
+    from torchmx_tpu.mx_quantization import dequantize_to_dtype, pow2_split_factors
 
     for elem in dtypes.SUPPORTED_FP_ELEM_DTYPES:
         nbits = 1 + elem.exponent_bits + elem.mantissa_bits
@@ -94,14 +95,11 @@ def test_decode_helper_matches_dequantize():
             got = pm.decode_codes_to_bf16(
                 jnp.asarray(codes).reshape(1, -1), jnp.asarray(se).reshape(1, -1), elem
             ).reshape(-1)
-            ref = dequantize_mx(
-                jnp.asarray(codes, jnp.uint8).reshape(-1, 1),
-                jnp.asarray(se[:, None], jnp.uint8)[:, :1],
-                elem.name,
-                1,
-                jnp.bfloat16,
-                1,
-            )[:, 0]
+            elems_f32 = dequantize_to_dtype(
+                jnp.asarray(codes, jnp.uint8), elem, jnp.float32, is_packed_fp4=False
+            )
+            s1, s2 = pow2_split_factors(jnp.asarray(se) - 127)
+            ref = ((elems_f32 * s1) * s2).astype(jnp.bfloat16)
             g = np.asarray(got, np.float32)
             r = np.asarray(ref, np.float32)
             # The kernel flushes sub-bf16-normal results to 0; the reference
