@@ -74,8 +74,9 @@ def main():
     x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
     w = jnp.asarray(rng.standard_normal((N, K)) * 0.02, jnp.bfloat16)
 
-    # K-major kernel layout, as stored by MXInferenceLinear.
-    w_mx = MXArray.to_mx(w, "float4_e2m1", 32).T
+    # K-major kernel layout with fp4 halves packing, as stored by
+    # MXInferenceLinear.
+    w_mx = MXArray.to_mx(w, "float4_e2m1", 32).T.to_fp4_halves()
     w_mx = jax.tree_util.tree_map(jax.device_put, w_mx)
 
     def bf16_step(x, w):

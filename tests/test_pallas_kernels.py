@@ -110,6 +110,31 @@ def test_decode_helper_matches_dequantize():
             np.testing.assert_array_equal(g[keep], r[keep])
 
 
+def test_fp4_halves_layout_roundtrip_and_matmul():
+    """The fp4 kernel "halves" packing dequantizes identically to the
+    reference "pair" packing, and the single-dot halves kernel matches the
+    dequant-then-dot ground truth."""
+    x = rand_bf16(6, (64, 256), spread=1.0)
+    w = (jax.random.normal(jax.random.PRNGKey(7), (128, 256)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    w_km = MXArray.to_mx(w, "float4_e2m1", 32).T  # (K=256, N=128), pair
+    w_h = w_km.to_fp4_halves()
+    assert w_h.fp4_pack == "halves" and w_h.shape == w_km.shape
+    np.testing.assert_array_equal(
+        np.asarray(w_h.to_dtype(jnp.bfloat16)),
+        np.asarray(w_km.to_dtype(jnp.bfloat16)),
+    )
+    out = pm.matmul_any(x, w_h, jnp.bfloat16)
+    assert out is not None
+    gt = jnp.matmul(
+        x, w_km.to_dtype(jnp.bfloat16), preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(gt, np.float32), rtol=2e-2, atol=1e-2
+    )
+
+
 @pytest.mark.parametrize("ename", ["float8_e4m3", "float4_e2m1"])
 def test_mx_matmul_auto_backend_dispatch(ename):
     """mx_matmul with backend=pallas routes K-major weights to the kernel."""

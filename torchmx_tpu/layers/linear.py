@@ -74,6 +74,18 @@ class MXInferenceLinear(nnx.Module):
     def __init__(self, weight_mx: MXArray, bias, qconfig: QLinearConfig):
         if weight_mx.block_dim == weight_mx.ndim - 1:
             weight_mx = weight_mx.T  # to K-major kernel layout
+        if (
+            weight_mx.elem_dtype.name == "float4_e2m1"
+            and weight_mx.fp4_pack == "pair"
+            and weight_mx.ndim == 2
+            and weight_mx.block_dim == 0
+            and weight_mx.padding == 0
+            and weight_mx.shape[0] % 64 == 0
+        ):
+            # fp4 kernel layout: byte p holds elements (p, p + K/2), letting
+            # the fused matmul read x as contiguous half-tiles (one full-K
+            # MXU dot per tile instead of two strided half-K dots).
+            weight_mx = weight_mx.to_fp4_halves()
         self.weight = nnx.Param(weight_mx)
         self.bias = nnx.Param(bias) if bias is not None else None
         self.qconfig = qconfig

@@ -165,6 +165,7 @@ class MXArray:
         orig_dtype,
         padding: int = 0,
         block_dim: Optional[int] = None,
+        fp4_pack: str = "pair",
     ):
         if block_dim is None:
             block_dim = data.ndim - 1
@@ -179,6 +180,7 @@ class MXArray:
         assert scale_e8m0.dtype == jnp.uint8, "scale must be uint8"
         assert data.dtype in (jnp.uint8, jnp.int8), f"{data.dtype} is unsupported"
 
+        assert fp4_pack in ("pair", "halves"), fp4_pack
         self.scale_e8m0 = scale_e8m0
         self.data = data
         self.elem_dtype = elem_dtype
@@ -186,6 +188,11 @@ class MXArray:
         self.orig_dtype = jnp.dtype(orig_dtype)
         self.block_dim = block_dim
         self.padding = padding
+        # fp4 payload byte layout: "pair" = reference layout, neighbours
+        # (2p, 2p+1) share a byte (``utils.py:120-145``); "halves" = TPU
+        # kernel layout, byte p holds elements (p, p + K/2) so the fused
+        # matmul kernel reads contiguous x half-tiles (no strided slicing).
+        self.fp4_pack = fp4_pack
 
         # Consistency: scale implies the logical element count on block_dim
         # (reference ``mx_tensor.py:417-435``).
@@ -243,13 +250,14 @@ class MXArray:
             str(self.orig_dtype),
             self.block_dim,
             self.padding,
+            self.fp4_pack,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         scale, data = children
-        name, block_size, orig_dtype, block_dim, padding = aux
+        name, block_size, orig_dtype, block_dim, padding, fp4_pack = aux
         obj = object.__new__(cls)
         # Bypass __init__ validation: during tracing/transforms children may
         # be placeholders without shapes.
@@ -260,6 +268,7 @@ class MXArray:
         obj.orig_dtype = jnp.dtype(orig_dtype)
         obj.block_dim = block_dim
         obj.padding = padding
+        obj.fp4_pack = fp4_pack
         return obj
 
     # -- quantize / dequantize -------------------------------------------------
@@ -295,12 +304,58 @@ class MXArray:
 
         return MXArray(scale, data_lp, elem_dtype, block_size, data_hp.dtype, padding)
 
+    def to_fp4_halves(self) -> "MXArray":
+        """Repack a 2-D K-major fp4 payload into the kernel "halves" layout.
+
+        Requires fp4, block_dim == 0, no padding, and K % 64 == 0 (each half
+        must stay 32-block-aligned).  One XLA shuffle at quantization time;
+        the fused Pallas matmul then consumes x as two contiguous half-tiles.
+        """
+        assert self.elem_dtype == dtypes.float4_e2m1 and self.fp4_pack == "pair"
+        assert self.data.ndim == 2 and self.block_dim == 0 and self.padding == 0
+        K = self.shape[0]
+        assert K % 64 == 0, f"halves layout needs K % 64 == 0, got {K}"
+        from .packing import unpack_uint4
+
+        codes = unpack_uint4(self.data, packing_dim=0)  # (K, N), one code/byte
+        hi, lo = codes[: K // 2], codes[K // 2 :]
+        data = ((hi << 4) | (lo & 0xF)).astype(jnp.uint8)
+        return MXArray(
+            self.scale_e8m0,
+            data,
+            self.elem_dtype,
+            self.block_size,
+            self.orig_dtype,
+            self.padding,
+            self.block_dim,
+            fp4_pack="halves",
+        )
+
+    def _halves_to_pair(self) -> "MXArray":
+        """Inverse of :meth:`to_fp4_halves`."""
+        assert self.fp4_pack == "halves"
+        from .packing import pack_uint4
+
+        b = self.data.astype(jnp.uint8)
+        codes = jnp.concatenate([b >> 4, b & 0xF], axis=0)  # (K, N)
+        return MXArray(
+            self.scale_e8m0,
+            pack_uint4(codes, packing_dim=0),
+            self.elem_dtype,
+            self.block_size,
+            self.orig_dtype,
+            self.padding,
+            self.block_dim,
+        )
+
     def to_dtype(self, target_dtype) -> Array:
         """Dequantize to ``target_dtype`` (bf16 or f32).
 
         Re-pads the payload along ``block_dim``, decodes, and slices back
         (reference ``mx_tensor.py:255-331``).
         """
+        if self.fp4_pack == "halves":
+            return self._halves_to_pair().to_dtype(target_dtype)
         data_lp = self.data
         bd = self.block_dim
         org_size = data_lp.shape[bd]
@@ -333,6 +388,7 @@ class MXArray:
     def transpose(self, axes: Optional[Sequence[int]] = None) -> "MXArray":
         """Permute dims; payload and scale permute together and ``block_dim``
         is remapped (semantics of reference ``ops.py:122-158``)."""
+        assert self.fp4_pack == "pair", "structural ops need the reference layout"
         if axes is None:
             axes = tuple(reversed(range(self.ndim)))
         axes = tuple(_normalize_dim(a, self.ndim) for a in axes)
@@ -367,6 +423,7 @@ class MXArray:
         Covers the reference's ``aten.view`` support surface (block_dim last,
         or second-last for the 4-D attention lowering; ``ops.py:181-248``).
         """
+        assert self.fp4_pack == "pair", "structural ops need the reference layout"
         if len(new_shape) == 1 and isinstance(new_shape[0], (tuple, list)):
             new_shape = tuple(new_shape[0])
         logical = self.shape
@@ -409,6 +466,7 @@ class MXArray:
 
         The blocked dim cannot be broadcast.
         """
+        assert self.fp4_pack == "pair", "structural ops need the reference layout"
         target_shape = tuple(target_shape)
         logical = self.shape
         extra = len(target_shape) - len(logical)

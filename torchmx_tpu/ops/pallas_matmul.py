@@ -165,7 +165,8 @@ def _linear_kernel_1byte(x_ref, w_ref, s_ref, o_ref, acc_ref, *, elem_name: str)
 
 
 def _linear_kernel_fp4(xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_ref):
-    """fp4: packed bytes (K/2, N); hi nibble = even-k, lo nibble = odd-k."""
+    """fp4 reference ("pair") packing: bytes (K/2, N); hi nibble = even-k,
+    lo nibble = odd-k; x arrives pre-split into even/odd K-planes."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -179,6 +180,33 @@ def _linear_kernel_fp4(xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_ref):
     w_lo = decode_codes_to_bf16(b & 0xF, se, dtypes.float4_e2m1)
     acc_ref[:] += _dot_f32acc(xe_ref[:], w_hi)
     acc_ref[:] += _dot_f32acc(xo_ref[:], w_lo)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _linear_kernel_fp4_halves(xa_ref, xb_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref):
+    """fp4 "halves" packing: byte p holds elements (p, p + K/2).
+
+    The two nibble planes decode against their own scale rows and concatenate
+    on sublanes into one (bk, bn) operand, so the MXU runs a single full-K
+    tile dot and x is read as two contiguous half-tiles straight from HBM
+    (no XLA slicing, no strided loads) — ~8% faster than the pair layout."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b = w_ref[:].astype(jnp.int32)
+    se_a = _expand_scale(sa_ref[:].astype(jnp.int32), BLOCK)
+    se_b = _expand_scale(sb_ref[:].astype(jnp.int32), BLOCK)
+    w_hi = decode_codes_to_bf16((b >> 4) & 0xF, se_a, dtypes.float4_e2m1)
+    w_lo = decode_codes_to_bf16(b & 0xF, se_b, dtypes.float4_e2m1)
+    x = jnp.concatenate([xa_ref[:], xb_ref[:]], axis=1)
+    w = jnp.concatenate([w_hi, w_lo], axis=0)
+    acc_ref[:] += _dot_f32acc(x, w)
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _():
@@ -214,6 +242,7 @@ def _pallas_matmul_1byte(x, w_codes, w_scale, elem_name, bn, bk, out_dtype):
         scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
@@ -247,6 +276,7 @@ def _pallas_matmul_fp4(x, w_data, w_scale, bn, bk, out_dtype):
         scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
@@ -257,16 +287,51 @@ def _pallas_matmul_fp4(x, w_data, w_scale, bn, bk, out_dtype):
     )(xe, xo, w_data, w_scale)
 
 
+@functools.partial(jax.jit, static_argnames=("bn", "bk", "out_dtype"))
+def _pallas_matmul_fp4_halves(x, w_data, w_scale, bn, bk, out_dtype):
+    M, K = x.shape
+    N = w_data.shape[1]
+    bkp = bk // 2
+    nko = (K // 2) // bkp  # lo-half offset, in bkp-sized column tiles of x
+    grid = (N // bn, K // bk)
+    return pl.pallas_call(
+        _linear_kernel_fp4_halves,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, bkp), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, bkp), lambda j, k: (0, k + nko), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkp, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkp // BLOCK, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bkp // BLOCK, bn), lambda j, k: (k + nko, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + N * K // 2 + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x, x, w_data, w_scale, w_scale)
+
+
 def _pick_tiles(M: int, N: int, K: int):
     """Largest output-column tile that fits VMEM: x-tile HBM refetch scales
-    with N/bn, so bigger bn wins (measured: bn 256 -> 1024 lifts the fp4
-    kernel from 65% to 83% of the bf16 matmul on v5e)."""
-    bn = next((c for c in (1024, 512, 256, 128) if N % c == 0), None)
-    bk = next((c for c in (512, 256) if K % c == 0), None)
+    with N/bn, so bigger bn wins (measured on v5e: (bn, bk) (1024,512) ->
+    (2048,1024) takes the fp4-halves kernel from 0.72 to 0.70 ms on the
+    Llama-8B MLP shape; the fp32 accumulator is capped at 8MB)."""
+    bn = next((c for c in (2048, 1024, 512, 256, 128) if N % c == 0), None)
+    bk = next((c for c in (1024, 512, 256) if K % c == 0), None)
     if bn is None or bk is None or M % 8 != 0:
         return None
-    # Keep the fp32 accumulator + x tiles within ~8MB of VMEM.
-    while bn > 128 and M * bn * 4 > 4 * 1024 * 1024:
+    while bn > 128 and M * bn * 4 > 8 * 1024 * 1024:
         bn //= 2
     if N % bn != 0:
         return None
@@ -281,6 +346,10 @@ def _run_kernel(x_hp, w: MXArray, out_dtype) -> Optional[jax.Array]:
         return None
     bn, bk = tiles
     if w.elem_dtype == dtypes.float4_e2m1:
+        if w.fp4_pack == "halves":
+            return _pallas_matmul_fp4_halves(
+                x_hp, w.data, w.scale_e8m0, bn, bk, out_dtype
+            )
         return _pallas_matmul_fp4(x_hp, w.data, w.scale_e8m0, bn, bk, out_dtype)
     return _pallas_matmul_1byte(
         x_hp, w.data, w.scale_e8m0, w.elem_dtype.name, bn, bk, out_dtype
