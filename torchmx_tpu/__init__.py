@@ -8,9 +8,10 @@ Llama / Qwen2 model families, a model-surgery quantization API, and
 mesh-sharded multi-chip execution.
 """
 
-from . import config, dtypes, env_variables, packing, utils  # noqa: F401
+from . import checkpoint, config, dtypes, env_variables, packing, utils  # noqa: F401
 from .config import MXConfig, QAttentionConfig, QLinearConfig  # noqa: F401
 from .mx_array import MXArray, fake_quantize, quantize_mx, dequantize_mx  # noqa: F401
 from .ops import mx_linear, mx_matmul  # noqa: F401
+from .utils import introspect  # noqa: F401
 
 __version__ = "0.1.0"

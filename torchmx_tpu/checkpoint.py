@@ -1,0 +1,154 @@
+"""Checkpoint / resume for MX-quantized models (orbax-backed).
+
+The reference's checkpoint story is serialization-only: ``MXTensor`` is
+registered with ``torch.serialization.add_safe_globals`` and implements
+``__tensor_flatten__/__tensor_unflatten__`` so MX-weighted models round-trip
+through ``state_dict`` / ``weights_only=True`` loads (reference
+``mx_tensor.py:495-528``).  The TPU-native equivalent: :class:`MXArray` is a
+registered JAX pytree, and this module persists any NNX model state — plain
+params and MXArray params alike — with orbax, storing the quantization
+metadata (elem_dtype, block_size, block_dim, padding, fp4_pack, orig_dtype)
+in a JSON sidecar so payload/scale arrays are rebuilt into ``MXArray``
+objects on load.
+
+Layout on disk::
+
+    <dir>/arrays/...      orbax PyTree checkpoint (flat {path: array})
+    <dir>/mx_meta.json    MXArray metadata + framework version
+
+Save/restore works on CPU and TPU; sharded arrays restore with the shardings
+of the template state passed to :func:`load_checkpoint`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+from .mx_array import MXArray
+
+_META_FILE = "mx_meta.json"
+_ARRAYS_DIR = "arrays"
+
+
+def _is_leaf(x) -> bool:
+    return isinstance(x, MXArray)
+
+
+def _path_str(path) -> str:
+    return jax.tree_util.keystr(path)
+
+
+def flatten_with_mx(tree) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Flatten a pytree into ``{path: array}``, expanding each MXArray leaf
+    into ``<path>.scale_e8m0`` / ``<path>.data`` entries plus a metadata
+    record (the persistence analog of reference ``__tensor_flatten__``,
+    ``mx_tensor.py:495-507``)."""
+    flat: Dict[str, Any] = {}
+    meta: Dict[str, Any] = {}
+    leaves = jax.tree_util.tree_flatten_with_path(tree, is_leaf=_is_leaf)[0]
+    for path, leaf in leaves:
+        key = _path_str(path)
+        if isinstance(leaf, MXArray):
+            flat[key + ".scale_e8m0"] = leaf.scale_e8m0
+            flat[key + ".data"] = leaf.data
+            meta[key] = {
+                "elem_dtype": leaf.elem_dtype.name,
+                "block_size": leaf.block_size,
+                "orig_dtype": str(leaf.orig_dtype),
+                "block_dim": leaf.block_dim,
+                "padding": leaf.padding,
+                "fp4_pack": leaf.fp4_pack,
+            }
+        else:
+            flat[key] = leaf
+    return flat, meta
+
+
+def unflatten_with_mx(template, flat: Dict[str, Any], meta: Dict[str, Any]):
+    """Rebuild a pytree with the structure of ``template`` from
+    :func:`flatten_with_mx` output (analog of ``__tensor_unflatten__``,
+    reference ``mx_tensor.py:509-520``)."""
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+        template, is_leaf=_is_leaf
+    )
+    new_leaves = []
+    for path, leaf in paths_and_leaves:
+        key = _path_str(path)
+        if isinstance(leaf, MXArray):
+            m = meta[key]
+            new_leaves.append(
+                MXArray(
+                    flat[key + ".scale_e8m0"],
+                    flat[key + ".data"],
+                    m["elem_dtype"],
+                    m["block_size"],
+                    m["orig_dtype"],
+                    m["padding"],
+                    m["block_dim"],
+                    fp4_pack=m.get("fp4_pack", "pair"),
+                )
+            )
+        else:
+            new_leaves.append(flat[key])
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_checkpoint(directory: str, state) -> None:
+    """Persist an NNX state (or any pytree, possibly containing MXArrays)."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    flat, meta = flatten_with_mx(state)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(directory, _ARRAYS_DIR), flat)
+    from . import __version__
+
+    with open(os.path.join(directory, _META_FILE), "w") as f:
+        json.dump({"version": __version__, "mx_arrays": meta}, f, indent=1)
+
+
+def load_checkpoint(directory: str, template):
+    """Restore a pytree saved by :func:`save_checkpoint`.
+
+    ``template`` must have the same structure (e.g. the ``nnx.State`` of a
+    freshly constructed model, or ``jax.eval_shape`` thereof); array leaves
+    are restored onto the default device.
+    """
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    with open(os.path.join(directory, _META_FILE)) as f:
+        meta = json.load(f)["mx_arrays"]
+    template_flat, _ = flatten_with_mx(template)
+    abstract = {
+        k: (
+            v
+            if isinstance(v, jax.ShapeDtypeStruct)
+            else jax.ShapeDtypeStruct(np.shape(v), v.dtype)
+        )
+        for k, v in template_flat.items()
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    flat = ckptr.restore(os.path.join(directory, _ARRAYS_DIR), item=abstract)
+    return unflatten_with_mx(template, flat, meta)
+
+
+def save_model(directory: str, model) -> None:
+    """Save an NNX model's full state (MX weights included)."""
+    from flax import nnx
+
+    save_checkpoint(directory, nnx.state(model))
+
+
+def load_model(directory: str, model):
+    """Restore state into ``model`` in place and return it."""
+    from flax import nnx
+
+    state = load_checkpoint(directory, nnx.state(model))
+    nnx.update(model, state)
+    return model
