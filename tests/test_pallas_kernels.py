@@ -110,6 +110,57 @@ def test_decode_helper_matches_dequantize():
             np.testing.assert_array_equal(g[keep], r[keep])
 
 
+def test_attention_forward_pallas_backend_all_quant():
+    """Fully-quantized attention (projections + Q/K/V + attention weights)
+    must run through the Pallas backend (interpret mode off-TPU) and match
+    the jnp backend within fp32-accumulation tolerance; regression for the
+    DType-vs-name coercion in mx_fake_quantize."""
+    from flax import nnx
+
+    from torchmx_tpu.config import MXConfig, QAttentionConfig, QLinearConfig
+    from torchmx_tpu.layers.mx_llama_attention import MXInferenceLlamaAttention
+    from torchmx_tpu.models.llama import LlamaAttention, LlamaConfig
+
+    cfg = LlamaConfig(
+        vocab_size=64,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    attn = LlamaAttention(cfg, 0, rngs=nnx.Rngs(0))
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float4_e2m1"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    q6 = MXConfig("float6_e3m2")
+    qattn = QAttentionConfig(
+        projection_config=qlin,
+        query_config=q6,
+        key_config=q6,
+        value_config=q6,
+        attention_weights_config=q6,
+    )
+    mx_attn = MXInferenceLlamaAttention.from_float(attn, qattn)
+    x = rand_bf16(8, (1, 32, 128), spread=0.5)
+    cos = jnp.ones((1, 32, cfg.head_dim), jnp.bfloat16)
+    sin = jnp.zeros_like(cos)
+
+    old = env.TORCHMX_QUANTIZE_BACKEND
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "pallas"
+        out_p, _ = mx_attn(x, cos=cos, sin=sin)
+        env.TORCHMX_QUANTIZE_BACKEND = "jnp"
+        out_j, _ = mx_attn(x, cos=cos, sin=sin)
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old
+    np.testing.assert_allclose(
+        np.asarray(out_p, np.float32), np.asarray(out_j, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
 def test_fp4_halves_layout_roundtrip_and_matmul():
     """The fp4 kernel "halves" packing dequantizes identically to the
     reference "pair" packing, and the single-dot halves kernel matches the

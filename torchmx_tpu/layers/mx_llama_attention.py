@@ -25,8 +25,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..config import QAttentionConfig, QLinearConfig
-from ..mx_array import MXArray
-from ..ops import mx_matmul
+from ..ops import mx_fake_quantize, mx_matmul
 from ..models.llama import LlamaAttention, LlamaMLP
 from .linear import MXInferenceLinear
 
@@ -87,22 +86,25 @@ class MXInferenceLlamaAttention(LlamaAttention):
             self.qconfig.key_config,
             self.qconfig.value_config,
         )
+        # The attention matmuls run on dequantized operands either way
+        # (reference ``ops.py:99-107``), so quantize-then-matmul is exactly
+        # fake-quantize (one fused Pallas pass) followed by the bf16 matmul.
         # (b, h, s, -head_dim-): blocked along the Q.K^T contraction dim.
-        q_mx = MXArray.to_mx(q.astype(jnp.bfloat16), qc.elem_dtype, qc.block_size)
-        k_mx = MXArray.to_mx(k.astype(jnp.bfloat16), kc.elem_dtype, kc.block_size)
+        q_fq = mx_fake_quantize(q.astype(jnp.bfloat16), qc.elem_dtype, qc.block_size)
+        k_fq = mx_fake_quantize(k.astype(jnp.bfloat16), kc.elem_dtype, kc.block_size)
         # V: transpose so blocking lands on the kv length (the P.V contraction
         # dim), then transpose back (reference ``:208-213``).
-        v_mx = MXArray.to_mx(
+        v_fq = mx_fake_quantize(
             v.swapaxes(2, 3).astype(jnp.bfloat16), vc.elem_dtype, vc.block_size
         ).swapaxes(2, 3)
-        return q_mx, k_mx, v_mx
+        return q_fq, k_fq, v_fq
 
     def _quantize_attn_weights(self, attn_weights):
         if not self.qconfig.is_qkv_quantization_enabled:
             return attn_weights
         ac = self.qconfig.attention_weights_config
         # (b, h, q_len, -kv_len-): blocked along the P.V contraction dim.
-        return MXArray.to_mx(
+        return mx_fake_quantize(
             attn_weights.astype(jnp.bfloat16), ac.elem_dtype, ac.block_size
         )
 

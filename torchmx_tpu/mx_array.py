@@ -95,6 +95,16 @@ def quantize_mx(
     assert data_hp.shape[-1] % block_size == 0, (
         "The last dimension of the input tensor must be a multiple of block_size"
     )
+    # Backend dispatch: the fused Pallas block-quantize kernel on TPU
+    # (bit-identical to both jnp quantizers by contract and by test),
+    # the jnp reference path otherwise.
+    mode = env.TORCHMX_QUANTIZE_BACKEND
+    if mode == "pallas" or (mode == "auto" and jax.default_backend() == "tpu"):
+        from .ops.pallas_quantize import quantize_mx_pallas
+
+        out = quantize_mx_pallas(data_hp, elem_dtype_name, block_size)
+        if out is not None:
+            return out
     use_hw_exact = (
         elem_dtype in dtypes.SUPPORTED_FP_ELEM_DTYPES
         and env.MX_EXACT_QUANTIZATION == "True"

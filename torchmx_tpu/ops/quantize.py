@@ -16,13 +16,15 @@ def _use_pallas() -> bool:
     return False
 
 
-def mx_fake_quantize(x: jax.Array, elem_dtype_name: str, block_size: int = 32) -> jax.Array:
+def mx_fake_quantize(x: jax.Array, elem_dtype_name, block_size: int = 32) -> jax.Array:
     """MX quantize-dequantize roundtrip (dynamic activation quantization).
 
     On the Pallas backend this is a single fused VMEM pass
     (``fake_quantize_pallas``); otherwise the jnp quantize + dequantize pair.
     Numerics are identical by construction.
     """
+    if not isinstance(elem_dtype_name, str):
+        elem_dtype_name = elem_dtype_name.name  # accept a DType
     if _use_pallas():
         from . import pallas_quantize
 
