@@ -4,6 +4,11 @@ the bf16 ground truth (analog of reference ``examples/check_mxtensor_ops.py``).
 Run: ``python examples/check_mx_ops.py``
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,6 +13,11 @@ Two quantization paths, mirroring the reference:
 Run: ``python examples/linear_model_hlo_graph.py [outdir]``
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import jax

@@ -6,6 +6,11 @@ breaks and dumps AtenIR).
 Run: ``python examples/llama_hlo_graph.py [outdir]``
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import jax.numpy as jnp

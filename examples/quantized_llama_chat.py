@@ -13,6 +13,11 @@ Without one, falls back to a tiny randomly initialized model and a byte-level
 MX KV cache) is exercised offline.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 import time

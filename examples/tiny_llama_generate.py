@@ -5,6 +5,11 @@ quantization as a TODO, ``mx_llama_attention.py:176-183``).
 Run: ``python examples/tiny_llama_generate.py``
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from torchmx_tpu.utils import introspect
 
 
 def _qlinear(seed=0, elem="float4_e2m1"):
-    lin = Linear(128, 64, rngs=nnx.Rngs(seed))
+    lin = Linear(512, 64, rngs=nnx.Rngs(seed))
     cfg = QLinearConfig(
         weights_config=MXConfig(elem),
         activations_config=MXConfig("float8_e4m3"),
@@ -55,7 +55,7 @@ def test_flatten_unflatten_mx_state():
 @pytest.mark.parametrize("elem", ["float4_e2m1", "float8_e4m3"])
 def test_checkpoint_roundtrip_quantized_model(tmp_path, elem):
     model = _qlinear(seed=1, elem=elem)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 128)), jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 512)), jnp.bfloat16)
     y_before = model(x)
 
     ckpt_dir = os.path.join(str(tmp_path), "ckpt")
@@ -123,7 +123,7 @@ def test_lowered_and_compiled_text_dump(tmp_path):
     def fwd(state, x):
         return nnx.merge(graphdef, state)(x)
 
-    x = jnp.zeros((4, 128), jnp.bfloat16)
+    x = jnp.zeros((4, 512), jnp.bfloat16)
     txt = introspect.lowered_text(fwd, state, x)
     assert "module" in txt and "dot" in txt  # StableHLO with a matmul inside
     p = os.path.join(str(tmp_path), "graphs", "fwd.hlo")
@@ -139,11 +139,11 @@ def test_recompile_counter_zero_recompiles():
     counter = introspect.RecompileCounter(
         lambda state, x: nnx.merge(graphdef, state)(x)
     )
-    x = jnp.zeros((4, 128), jnp.bfloat16)
+    x = jnp.zeros((4, 512), jnp.bfloat16)
     for _ in range(3):
         counter.fn(state, x)
     assert counter.count == 1
-    counter.fn(state, jnp.zeros((8, 128), jnp.bfloat16))  # new shape recompiles
+    counter.fn(state, jnp.zeros((8, 512), jnp.bfloat16))  # new shape recompiles
     assert counter.count == 2
 
 

@@ -165,11 +165,11 @@ def test_fp4_halves_layout_roundtrip_and_matmul():
     """The fp4 kernel "halves" packing dequantizes identically to the
     reference "pair" packing, and the single-dot halves kernel matches the
     dequant-then-dot ground truth."""
-    x = rand_bf16(6, (64, 256), spread=1.0)
-    w = (jax.random.normal(jax.random.PRNGKey(7), (128, 256)) * 0.05).astype(
+    x = rand_bf16(6, (64, 512), spread=1.0)
+    w = (jax.random.normal(jax.random.PRNGKey(7), (128, 512)) * 0.05).astype(
         jnp.bfloat16
     )
-    w_km = MXArray.to_mx(w, "float4_e2m1", 32).T  # (K=256, N=128), pair
+    w_km = MXArray.to_mx(w, "float4_e2m1", 32).T  # (K=512, N=128), pair
     w_h = w_km.to_fp4_halves()
     assert w_h.fp4_pack == "halves" and w_h.shape == w_km.shape
     np.testing.assert_array_equal(

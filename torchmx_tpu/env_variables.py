@@ -29,3 +29,8 @@ TORCHMX_LOG_FILE = os.environ.get("TORCHMX_LOG_FILE", "")
 MX_EXACT_QUANTIZATION = os.environ.get("MX_HARDWARE_EXACT_QUANTIZATION", "False")
 
 TORCHMX_QUANTIZE_BACKEND = os.environ.get("TORCHMX_QUANTIZE_BACKEND", "auto")
+
+# "auto" (default: the fused MX-KV-cache decode-attention kernel on TPU when
+# shapes are eligible), "pallas" (force; interpreter mode off-TPU), or "off"
+# (dequantize-the-cache reference path).  TPU-build extension.
+TORCHMX_FUSED_ATTENTION = os.environ.get("TORCHMX_FUSED_ATTENTION", "auto")

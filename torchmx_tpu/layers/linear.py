@@ -80,7 +80,7 @@ class MXInferenceLinear(nnx.Module):
             and weight_mx.ndim == 2
             and weight_mx.block_dim == 0
             and weight_mx.padding == 0
-            and weight_mx.shape[0] % 64 == 0
+            and weight_mx.shape[0] % 512 == 0  # kernel needs bk >= 512
         ):
             # fp4 kernel layout: byte p holds elements (p, p + K/2), letting
             # the fused matmul read x as contiguous half-tiles (one full-K

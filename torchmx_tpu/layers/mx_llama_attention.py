@@ -108,6 +108,12 @@ class MXInferenceLlamaAttention(LlamaAttention):
             attn_weights.astype(jnp.bfloat16), ac.elem_dtype, ac.block_size
         )
 
+    def _fused_cache_attention_ok(self) -> bool:
+        # With Q/K/V quantization configured, attention must run the
+        # quantize-Q/K/V path; the fused cache kernel computes hp-Q
+        # against the MX cache.
+        return not self.qconfig.is_qkv_quantization_enabled
+
     def _matmul(self, a, b):
         return mx_matmul(a, b, out_dtype=jnp.bfloat16)
 

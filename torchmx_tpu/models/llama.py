@@ -206,33 +206,40 @@ class MXLayerKVCache:
             block_size=block_size,
         )
 
-    def update(self, k_new: Array, v_new: Array, pos: Array):
-        """Quantize incoming K/V along head_dim, write at ``pos``, and return
-        the **dequantized** full buffers (so attention math sees the exact
-        values later reads will see)."""
-        from ..mx_array import quantize_mx, dequantize_mx
+    def write(self, k_new: Array, v_new: Array, pos: Array) -> "MXLayerKVCache":
+        """Quantize incoming K/V along head_dim and write codes at ``pos``."""
+        from ..mx_array import quantize_mx
 
         ks, kd = quantize_mx(k_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size)
         vs, vd = quantize_mx(v_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size)
         at = (0, 0, pos, 0)
-        k_data = jax.lax.dynamic_update_slice(self.k_data, kd, at)
-        k_scale = jax.lax.dynamic_update_slice(self.k_scale, ks, at)
-        v_data = jax.lax.dynamic_update_slice(self.v_data, vd, at)
-        v_scale = jax.lax.dynamic_update_slice(self.v_scale, vs, at)
-        new = MXLayerKVCache(
-            k_data=k_data,
-            k_scale=k_scale,
-            v_data=v_data,
-            v_scale=v_scale,
+        return MXLayerKVCache(
+            k_data=jax.lax.dynamic_update_slice(self.k_data, kd, at),
+            k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks, at),
+            v_data=jax.lax.dynamic_update_slice(self.v_data, vd, at),
+            v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs, at),
             elem_dtype_name=self.elem_dtype_name,
             block_size=self.block_size,
         )
-        k_full = dequantize_mx(
-            k_data, k_scale, self.elem_dtype_name, self.block_size, jnp.bfloat16, 3
+
+    def dequantize(self) -> Tuple[Array, Array]:
+        """Full dequantized (k, v) buffers."""
+        from ..mx_array import dequantize_mx
+
+        k = dequantize_mx(
+            self.k_data, self.k_scale, self.elem_dtype_name, self.block_size, jnp.bfloat16, 3
         )
-        v_full = dequantize_mx(
-            v_data, v_scale, self.elem_dtype_name, self.block_size, jnp.bfloat16, 3
+        v = dequantize_mx(
+            self.v_data, self.v_scale, self.elem_dtype_name, self.block_size, jnp.bfloat16, 3
         )
+        return k, v
+
+    def update(self, k_new: Array, v_new: Array, pos: Array):
+        """Quantize incoming K/V along head_dim, write at ``pos``, and return
+        the **dequantized** full buffers (so attention math sees the exact
+        values later reads will see)."""
+        new = self.write(k_new, v_new, pos)
+        k_full, v_full = new.dequantize()
         return k_full, v_full, new
 
 
@@ -289,6 +296,12 @@ class LlamaAttention(nnx.Module):
     def _quantize_attn_weights(self, attn_weights):
         return attn_weights
 
+    def _fused_cache_attention_ok(self) -> bool:
+        """May this layer take the fused MX-KV-cache attention kernel?  The
+        MX subclass disables it when Q/K/V quantization is configured (the
+        fused kernel computes hp-Q x MX-cache attention)."""
+        return True
+
     def _matmul(self, a, b):
         return jnp.matmul(a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
@@ -316,7 +329,24 @@ class LlamaAttention(nnx.Module):
 
         new_cache = None
         if cache is not None:
-            k, v, new_cache = cache.update(k, v, cache_position)
+            if isinstance(cache, MXLayerKVCache) and self._fused_cache_attention_ok():
+                from ..ops import pallas_attention
+
+                new_cache = cache.write(k, v, cache_position)
+                fused = pallas_attention.cached_attention_any(
+                    q,
+                    new_cache,
+                    attention_mask,
+                    1.0 / math.sqrt(self.head_dim),
+                )
+                if fused is not None:
+                    out = fused.transpose(0, 2, 1, 3).reshape(bsz, q_len, -1)
+                    return self.o_proj(out), new_cache
+                # Ineligible shape (e.g. prefill): fall back through the
+                # dequantized-cache path against the just-written cache.
+                k, v = new_cache.dequantize()
+            else:
+                k, v, new_cache = cache.update(k, v, cache_position)
 
         k = repeat_kv(k, self.num_key_value_groups)
         v = repeat_kv(v, self.num_key_value_groups)

@@ -347,6 +347,12 @@ def _run_kernel(x_hp, w: MXArray, out_dtype) -> Optional[jax.Array]:
     bn, bk = tiles
     if w.elem_dtype == dtypes.float4_e2m1:
         if w.fp4_pack == "halves":
+            # The per-half scale tile is (bk/64, bn); TPU blocks need the
+            # second-minor dim divisible by 8, so bk must be >= 512.
+            if bk % 512 != 0:
+                bk = 512 if K % 512 == 0 else None
+            if bk is None:
+                return None
             return _pallas_matmul_fp4_halves(
                 x_hp, w.data, w.scale_e8m0, bn, bk, out_dtype
             )

@@ -273,8 +273,13 @@ def _fake_quantize_lane_2d(x2, elem_name, bm, bk):
 
 
 def _lane_tiles(R: int, K: int):
+    # TPU block rule: minor dim divisible by 128 (or the full dim), second-
+    # minor divisible by 8 (or the full dim).
     bm = next((c for c in (256, 128, 512, 64, 32, 16, 8) if R % c == 0), None)
-    bk = next((c for c in (512, 256, 1024, 128, 64, 32) if K % c == 0), None)
+    bk = next(
+        (c for c in (512, 256, 1024, 128, 64, 32) if K % c == 0 and (c % 128 == 0 or c == K)),
+        None,
+    )
     return None if bm is None or bk is None else (bm, bk)
 
 
