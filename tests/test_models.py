@@ -147,3 +147,37 @@ def test_llama3_rope_scaling():
     assert scaled.shape == base.shape
     # Low-frequency components are divided by the factor.
     assert float(scaled[-1]) < float(base[-1])
+
+
+def test_streaming_quantized_load_matches_quantize_after_load(tmp_path):
+    """load_hf_model_quantized (quantize-as-you-stream, the analog of the
+    reference's accelerate/meta-device flow, ``mx_linear.py:45-57``) must be
+    bit-equal to loading high-precision then quantizing."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from torchmx_tpu.models.hf_import import load_hf_model, load_hf_model_quantized
+
+    torch.manual_seed(1)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    hf = transformers.LlamaForCausalLM(hf_cfg).to(torch.bfloat16).eval()
+    ckpt = str(tmp_path / "ckpt")
+    hf.save_pretrained(ckpt, safe_serialization=True)
+
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float6_e3m2"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    qattn = QAttentionConfig(projection_config=qlin)
+
+    m_ref, _ = load_hf_model(ckpt)
+    quantize_llm_(m_ref, qattn, qlin)
+    m_str, _ = load_hf_model_quantized(ckpt, qattn, qlin)
+
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, 256, (1, 16)), jnp.int32)
+    la, _ = m_ref(ids)
+    lb, _ = m_str(ids)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -1,5 +1,6 @@
-"""Fused MX-KV-cache decode attention: kernel vs dequantize-then-eager
-reference (interpret mode on CPU; native on TPU)."""
+"""Fused MX-KV-cache attention: kernel vs dequantize-then-eager reference
+(interpret mode on CPU; native on TPU).  Covers decode (sq=1), short prefill
+(single q tile), and long prefill (q tiling), with GQA and prefix masking."""
 
 import math
 
@@ -19,21 +20,25 @@ def _force_fused():
     return old
 
 
-def ref_attention(q, cache, mask, sm_scale, hq):
-    """The model's dequantized-cache path: full fp32 softmax, bf16 matmuls."""
+def ref_attention(q, cache, q_off, kv_len, sm_scale, hq):
+    """The model's dequantized-cache path: full fp32 softmax, bf16 matmuls,
+    causal + prefix mask."""
     k, v = cache.dequantize()
     groups = hq // k.shape[1]
     k = repeat_kv(k, groups)
     v = repeat_kv(v, groups)
+    sq, L = q.shape[2], k.shape[2]
     s = jnp.matmul(q, k.swapaxes(-2, -1), preferred_element_type=jnp.float32)
     s = s.astype(jnp.float32) * sm_scale
-    if mask is not None:
-        s = s + jnp.broadcast_to(mask, s.shape).astype(jnp.float32)
+    i = q_off + jnp.arange(sq)[:, None]
+    j = jnp.arange(L)[None, :]
+    mask = jnp.where((j <= i) & (j < kv_len), 0.0, jnp.finfo(jnp.float32).min)
+    s = s + mask[None, None]
     p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
     return jnp.matmul(p, v, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
 
-def make_cache(key, b, hkv, L, d, elem, kv_len):
+def make_cache(key, b, hkv, L, d, elem):
     k1, k2 = jax.random.split(jax.random.PRNGKey(key))
     k = (jax.random.normal(k1, (b, hkv, L, d)) * 0.3).astype(jnp.bfloat16)
     v = (jax.random.normal(k2, (b, hkv, L, d)) * 0.3).astype(jnp.bfloat16)
@@ -41,46 +46,60 @@ def make_cache(key, b, hkv, L, d, elem, kv_len):
     return cache.write(k, v, 0)
 
 
-@pytest.mark.parametrize("elem", ["float8_e4m3", "float6_e2m3", "int8"])
-@pytest.mark.parametrize("sq", [1, 4])
-def test_fused_cached_attention_matches_reference(elem, sq):
-    b, hq, hkv, d, L = 2, 4, 2, 128, 256
-    kv_len = 100
-    q = (jax.random.normal(jax.random.PRNGKey(7), (b, hq, sq, d)) * 0.3).astype(
-        jnp.bfloat16
-    )
-    cache = make_cache(3, b, hkv, L, d, elem, kv_len)
-    # Mask off positions >= kv_len (decode semantics).
-    mask = jnp.where(jnp.arange(L) < kv_len, 0.0, -jnp.inf)[None, None, None, :]
-
+def run_both(q, cache, q_off, kv_len, hq):
+    d = q.shape[-1]
     old = _force_fused()
     try:
-        out = pa.cached_attention_any(q, cache, mask, 1.0 / math.sqrt(d))
+        out = pa.cached_attention_any(q, cache, q_off, kv_len, 1.0 / math.sqrt(d))
     finally:
         env.TORCHMX_FUSED_ATTENTION = old
     assert out is not None
-    ref = ref_attention(q, cache, mask, 1.0 / math.sqrt(d), hq)
+    ref = ref_attention(q, cache, q_off, kv_len, 1.0 / math.sqrt(d), hq)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
     )
+    return out
 
 
-def test_fused_cached_attention_gqa_grouping():
-    """Rows fold as (head-in-group, sq): distinct q heads sharing a kv head
-    must get their own outputs."""
+@pytest.mark.parametrize("elem", ["float8_e4m3", "float6_e2m3", "int8"])
+@pytest.mark.parametrize("sq,q_off", [(1, 99), (4, 96)])
+def test_fused_decode_matches_reference(elem, sq, q_off):
+    b, hq, hkv, d, L = 2, 4, 2, 128, 256
+    q = (jax.random.normal(jax.random.PRNGKey(7), (b, hq, sq, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    cache = make_cache(3, b, hkv, L, d, elem)
+    run_both(q, cache, q_off, q_off + sq, hq)
+
+
+def test_fused_prefill_q_tiling_matches_reference():
+    """sq large enough that rows = sq*g exceeds one q tile."""
+    b, hq, hkv, d, L = 1, 4, 2, 128, 512
+    sq = 256  # rows = 512 > MAX_ROWS -> multiple q tiles
+    q = (jax.random.normal(jax.random.PRNGKey(5), (b, hq, sq, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    cache = make_cache(11, b, hkv, L, d, "float8_e4m3")
+    run_both(q, cache, 0, sq, hq)
+
+
+def test_fused_prefill_with_cache_offset():
+    """Chunked prefill: queries appended at q_off > 0."""
+    b, hq, hkv, d, L = 1, 2, 2, 128, 256
+    sq, q_off = 64, 128
+    q = (jax.random.normal(jax.random.PRNGKey(6), (b, hq, sq, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    cache = make_cache(12, b, hkv, L, d, "float8_e4m3")
+    run_both(q, cache, q_off, q_off + sq, hq)
+
+
+def test_fused_gqa_grouping():
+    """Distinct q heads sharing a kv head must get their own outputs."""
     b, hq, hkv, d, L = 1, 8, 2, 128, 128
     q = (jax.random.normal(jax.random.PRNGKey(0), (b, hq, 1, d))).astype(jnp.bfloat16)
-    cache = make_cache(1, b, hkv, L, d, "float8_e4m3", L)
-    old = _force_fused()
-    try:
-        out = pa.cached_attention_any(q, cache, None, 1.0 / math.sqrt(d))
-    finally:
-        env.TORCHMX_FUSED_ATTENTION = old
-    ref = ref_attention(q, cache, None, 1.0 / math.sqrt(d), hq)
-    np.testing.assert_allclose(
-        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
-    )
-    # sanity: outputs differ across heads (inputs differ)
+    cache = make_cache(1, b, hkv, L, d, "float8_e4m3")
+    out = run_both(q, cache, L - 1, L, hq)
     o = np.asarray(out, np.float32)
     assert not np.allclose(o[0, 0], o[0, 1])
 
@@ -90,16 +109,13 @@ def test_fused_eligibility_gates():
     q = jnp.zeros((b, hq, 1, d), jnp.bfloat16)
     old = _force_fused()
     try:
-        # fp4 cache -> fallback
+        # fp4 cache -> fallback (nibble-packed lanes)
         c4 = MXLayerKVCache.create(b, hkv, L, d, "float4_e2m1", 32)
-        assert pa.cached_attention_any(q, c4, None, 1.0) is None
-        # prefill-sized rows -> fallback
-        c8 = MXLayerKVCache.create(b, hkv, L, d, "float8_e4m3", 32)
-        qbig = jnp.zeros((b, hq, 64, d), jnp.bfloat16)
-        assert pa.cached_attention_any(qbig, c8, None, 1.0) is None
+        assert pa.cached_attention_any(q, c4, 0, 1, 1.0) is None
         # off -> fallback
+        c8 = MXLayerKVCache.create(b, hkv, L, d, "float8_e4m3", 32)
         env.TORCHMX_FUSED_ATTENTION = "off"
-        assert pa.cached_attention_any(q, c8, None, 1.0) is None
+        assert pa.cached_attention_any(q, c8, 0, 1, 1.0) is None
     finally:
         env.TORCHMX_FUSED_ATTENTION = old
 
@@ -107,7 +123,7 @@ def test_fused_eligibility_gates():
 def test_generate_with_fused_mx_cache_close_to_reference_path():
     """End-to-end decode through the model: the fused path must stay close to
     the dequantize-the-cache path on the same quantized cache (fp32
-    reordering tolerance), and produce finite logits."""
+    reordering tolerance)."""
     from flax import nnx
 
     from torchmx_tpu.config import MXConfig
@@ -141,6 +157,6 @@ def test_generate_with_fused_mx_cache_close_to_reference_path():
         env.TORCHMX_FUSED_ATTENTION = old
     a, r = np.asarray(out_fused), np.asarray(out_ref)
     # Greedy decode on a random tiny model: argmax flips are possible but the
-    # sequences should agree at the start (prefill path is shared).
+    # sequences should agree at the start (same prefill numerics class).
     assert a.shape == r.shape == (1, 64)
     assert (a == r).mean() > 0.5

@@ -59,7 +59,7 @@ def main():
             k_data=kd, k_scale=ks, v_data=vd, v_scale=vs,
             elem_dtype_name="float8_e4m3", block_size=32,
         )
-        out = pa.cached_attention_any(q, cache, mask, SCALE)
+        out = pa.cached_attention_any(q, cache, L - 1, L, SCALE)
         assert out is not None
         return out
 

@@ -37,7 +37,17 @@ def _to_bf16_jnp(arr: np.ndarray) -> jnp.ndarray:
 
 def _assign_params(model, named_arrays, strict: bool = True):
     """Assign HF-named weights (model.layers.N.self_attn.q_proj.weight, ...)
-    onto the NNX module tree."""
+    onto the NNX module tree.
+
+    If the resolved parent module is an ``MXInferenceLinear`` (i.e. the model
+    was surgically quantized *before* loading), the incoming high-precision
+    weight is quantized on the fly and only the packed MXArray is kept —
+    the streaming analog of the reference's accelerate/meta-device flow
+    (``mx_linear.py:45-57,68-92``), bounding peak memory at (quantized model
+    + one hp tensor) instead of the full bf16 model.
+    """
+    from ..layers.linear import MXInferenceLinear
+
     assigned, skipped = 0, []
     for name, arr in named_arrays:
         obj = model
@@ -57,7 +67,11 @@ def _assign_params(model, named_arrays, strict: bool = True):
             continue
         param = getattr(obj, leaf)
         value = _to_bf16_jnp(arr)
-        if isinstance(param, nnx.Variable):
+        if isinstance(obj, MXInferenceLinear) and leaf == "weight":
+            quantized = MXInferenceLinear.from_weights(value, None, obj.qconfig)
+            param.set_value(quantized.weight.get_value())
+            assigned += 1
+        elif isinstance(param, nnx.Variable):
             if param.get_value().shape != value.shape:
                 raise ValueError(
                     f"shape mismatch for {name}: {param.get_value().shape} vs {value.shape}"
@@ -96,6 +110,50 @@ def load_hf_model(checkpoint_dir: str, max_position_embeddings: Optional[int] = 
     if max_position_embeddings is not None:
         config.max_position_embeddings = max_position_embeddings
     model = model_cls(config)  # zero-init params, then overwritten
+
+    def arrays():
+        files = sorted(
+            f for f in os.listdir(checkpoint_dir) if f.endswith(".safetensors")
+        )
+        for fname in files:
+            with safe_open(os.path.join(checkpoint_dir, fname), framework="np") as st:
+                for key in st.keys():
+                    yield key, st.get_tensor(key)
+
+    _assign_params(model, arrays())
+    return model, config
+
+
+def load_hf_model_quantized(
+    checkpoint_dir: str,
+    qattention_config,
+    qmlp_config,
+    max_position_embeddings: Optional[int] = None,
+):
+    """Load + MX-quantize a local HF checkpoint with streaming quantization.
+
+    Surgery runs first (on the zero-initialized model), then each weight
+    tensor is quantized as it streams off disk — the full high-precision
+    model is never materialized (peak memory: packed model + one hp tensor).
+    An MXFP4-weight Llama-3-8B fits a single 16GB chip this way.
+
+    Returns ``(model, config)`` with MX-quantized projections/MLPs.
+    """
+    from safetensors import safe_open
+
+    from ..quant_api import quantize_llm_
+
+    with open(os.path.join(checkpoint_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    arch = hf_cfg.get("architectures", ["LlamaForCausalLM"])[0]
+    if arch not in _ARCH_MAP:
+        raise ValueError(f"Unsupported architecture {arch}; supported: {list(_ARCH_MAP)}")
+    cfg_cls, model_cls = _ARCH_MAP[arch]
+    config = cfg_cls.from_hf(hf_cfg)
+    if max_position_embeddings is not None:
+        config.max_position_embeddings = max_position_embeddings
+    model = model_cls(config)  # zero-init
+    quantize_llm_(model, qattention_config, qmlp_config)
 
     def arrays():
         files = sorted(

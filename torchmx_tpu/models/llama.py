@@ -329,21 +329,30 @@ class LlamaAttention(nnx.Module):
 
         new_cache = None
         if cache is not None:
-            if isinstance(cache, MXLayerKVCache) and self._fused_cache_attention_ok():
+            if (
+                isinstance(cache, MXLayerKVCache)
+                and cache_position is not None
+                and self._fused_cache_attention_ok()
+            ):
+                # Cache-backed attention is causal by construction (the
+                # standard prefill/decode masks, ``make_prefill_mask`` /
+                # ``make_decode_mask``), so the fused kernel masks from
+                # (cache_position, cache_position + q_len) directly.
                 from ..ops import pallas_attention
 
                 new_cache = cache.write(k, v, cache_position)
                 fused = pallas_attention.cached_attention_any(
                     q,
                     new_cache,
-                    attention_mask,
+                    cache_position,
+                    cache_position + q_len,
                     1.0 / math.sqrt(self.head_dim),
                 )
                 if fused is not None:
                     out = fused.transpose(0, 2, 1, 3).reshape(bsz, q_len, -1)
                     return self.o_proj(out), new_cache
-                # Ineligible shape (e.g. prefill): fall back through the
-                # dequantized-cache path against the just-written cache.
+                # Ineligible shape: fall back through the dequantized-cache
+                # path against the just-written cache.
                 k, v = new_cache.dequantize()
             else:
                 k, v, new_cache = cache.update(k, v, cache_position)
