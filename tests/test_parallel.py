@@ -1,0 +1,152 @@
+"""Parallelism tests on the virtual 8-device CPU mesh (the reference has no
+distributed code at all — SURVEY §2.3; these cover the TPU-build's GSPMD
+TP/DP sharding of packed MX payloads + scales)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from torchmx_tpu.config import MXConfig, QAttentionConfig, QLinearConfig
+from torchmx_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+from torchmx_tpu.mx_array import MXArray
+from torchmx_tpu.parallel import DATA_AXIS, MODEL_AXIS, create_mesh, input_sharding, shard_model
+from torchmx_tpu.parallel.mesh import spec_for_path
+from torchmx_tpu.quant_api import quantize_llm_
+
+
+def tiny_model(seed=0):
+    cfg = LlamaConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    return LlamaForCausalLM(cfg, rngs=nnx.Rngs(seed)), cfg
+
+
+def quantize(model, elem="float8_e4m3"):
+    qlin = QLinearConfig(
+        weights_config=MXConfig(elem), activations_config=MXConfig("float8_e4m3")
+    )
+    quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
+    return model
+
+
+def test_create_mesh_shapes():
+    assert len(jax.devices()) == 8
+    m = create_mesh()
+    assert m.devices.shape == (1, 8) and m.axis_names == (DATA_AXIS, MODEL_AXIS)
+    m2 = create_mesh((2, 4))
+    assert m2.devices.shape == (2, 4)
+    with pytest.raises(AssertionError):
+        create_mesh((3, 3))
+
+
+def test_spec_for_path_rules():
+    # Column-parallel plain weight (out, in).
+    assert spec_for_path("layers.0.self_attn.q_proj.weight", 2) == P(MODEL_AXIS, None)
+    # Row-parallel plain weight.
+    assert spec_for_path("layers.0.self_attn.o_proj.weight", 2) == P(None, MODEL_AXIS)
+    # MXArray weights (K-major storage): transposed spec, payload and scale alike.
+    assert spec_for_path("layers.0.self_attn.q_proj.weight.value", 2, is_mx=True) == P(None, MODEL_AXIS)
+    assert spec_for_path("layers.0.mlp.down_proj.weight.value", 2, is_mx=True) == P(MODEL_AXIS, None)
+    # Norms replicated.
+    assert spec_for_path("layers.0.input_layernorm.weight", 1) == P(None)
+
+
+def test_mx_payload_scale_shard_congruently():
+    model, _ = tiny_model()
+    quantize(model)
+    mesh = create_mesh()
+    shard_model(model, mesh)
+    w = model.model.layers[0].self_attn.q_proj.weight.get_value()
+    assert isinstance(w, MXArray)
+    data_spec = w.data.sharding.spec
+    scale_spec = w.scale_e8m0.sharding.spec
+    assert data_spec == scale_spec == P(None, MODEL_AXIS)
+    # Shard shapes stay block-aligned: scale dim == payload dim / 32 per shard.
+    assert w.data.shape[1] % 8 == 0
+
+
+def test_tp_sharded_quantized_forward_matches_replicated():
+    model, _ = tiny_model()
+    quantize(model)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 256, (2, 16)), jnp.int32)
+    ref_logits, _ = model(ids)
+
+    mesh = create_mesh()  # pure TP over 8 devices
+    shard_model(model, mesh)
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def fwd(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    with mesh:
+        tp_logits = fwd(state, ids)
+    # TP changes fp32 accumulation order; through dynamic activation
+    # quantization a 1-ulp input drift can flip an RNE rounding decision, so
+    # elementwise equality is not the invariant — distributional agreement is
+    # (unquantized TP matches to 0.9% RMS; see ADR in docs/architecture.md).
+    a = np.asarray(tp_logits, np.float32)
+    r = np.asarray(ref_logits, np.float32)
+    corr = np.corrcoef(a.ravel(), r.ravel())[0, 1]
+    assert corr > 0.99, f"TP logits corr {corr}"
+    assert (a.argmax(-1) == r.argmax(-1)).mean() > 0.8
+
+
+def test_dp_batch_sharded_forward_matches_replicated():
+    model, _ = tiny_model(seed=1)
+    quantize(model)
+    mesh = create_mesh((8, 1))
+    shard_model(model, mesh)
+    graphdef, state = nnx.split(model)
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 256, (8, 16)), jnp.int32)
+
+    @jax.jit
+    def fwd(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref = fwd(state, ids)  # same executable class, replicated input
+    with mesh:
+        ids_sharded = jax.device_put(ids, input_sharding(mesh))
+        out = fwd(state, ids_sharded)
+    # Batch rows are independent under DP: distributional agreement with the
+    # replicated run (jit fusion differences can still flip quantization
+    # rounding decisions on the margin).
+    a = np.asarray(out, np.float32)
+    r = np.asarray(ref, np.float32)
+    corr = np.corrcoef(a.ravel(), r.ravel())[0, 1]
+    assert corr > 0.99, f"DP logits corr {corr}"
+
+
+def test_qat_train_step_on_2x4_mesh():
+    from torchmx_tpu.train import make_qat_train_step
+
+    model, cfg = tiny_model(seed=2)
+    mesh = create_mesh((2, 4))
+    with mesh:
+        shard_model(model, mesh)
+        qlin = QLinearConfig(
+            weights_config=MXConfig("float8_e4m3"),
+            activations_config=MXConfig("float8_e4m3"),
+        )
+        train_step, state, opt_state, _ = make_qat_train_step(model, qlin)
+        step = jax.jit(train_step)
+        batch = jax.device_put(
+            jnp.zeros((4, 16), jnp.int32), NamedSharding(mesh, P(DATA_AXIS, None))
+        )
+        state, opt_state, loss = step(state, opt_state, batch, batch)
+        assert np.isfinite(float(loss))
+        # Second step reuses the executable (no recompilation crash) and
+        # changes the loss.
+        state, opt_state, loss2 = step(state, opt_state, batch, batch)
+        assert np.isfinite(float(loss2)) and float(loss2) != float(loss)

@@ -9,4 +9,11 @@ payload shard divided by ``block_size`` along the blocked dim), so collectives
 move packed uint8 bytes — 4-8x cheaper than bf16.
 """
 
-from .mesh import create_mesh, shard_model, MODEL_AXIS, DATA_AXIS  # noqa: F401
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    create_mesh,
+    input_sharding,
+    shard_model,
+    spec_for_path,
+)

@@ -73,15 +73,11 @@ def _path_str(path) -> str:
     return ".".join(parts)
 
 
-_MX_LEAF = re.compile(r"\.weight\..*\b[01]$")
-
-
-def spec_for_path(path_str: str, ndim: int) -> P:
+def spec_for_path(path_str: str, ndim: int, is_mx: bool = False) -> P:
     """PartitionSpec for a param path.
 
-    MXArray weight leaves (payload/scale, recognized by the flattened-index
-    suffix) are stored **K-major** (in, out) by ``MXInferenceLinear``, so
-    their 2-D spec is the transpose of the plain (out, in) weight rule;
+    MXArray weights are stored **K-major** (in, out) by ``MXInferenceLinear``,
+    so their 2-D spec is the transpose of the plain (out, in) weight rule;
     payload and scale share it (congruent sharding).
     """
     for rule, spec in _WEIGHT_RULES:
@@ -89,32 +85,66 @@ def spec_for_path(path_str: str, ndim: int) -> P:
             if ndim == 1:
                 return P(spec[0]) if len(spec) and spec[0] else P(None)
             if ndim == 2:
-                if _MX_LEAF.search(path_str):
-                    return P(spec[1], spec[0])
-                return spec
+                return P(spec[1], spec[0]) if is_mx else spec
             return P(*([None] * ndim))
     return P(*([None] * ndim))
+
+
+def _drop_indivisible(spec: P, shapes, mesh: Mesh) -> P:
+    """Replicate any dim whose size (in every co-sharded array) does not
+    divide by the mesh axis — e.g. tiny layers, or an MX blocked dim whose
+    scale rows are fewer than the shard count."""
+    out = []
+    for dim, ax in enumerate(spec):
+        if ax is None:
+            out.append(None)
+            continue
+        n = mesh.shape[ax]
+        out.append(ax if all(s[dim] % n == 0 for s in shapes) else None)
+    return P(*out)
 
 
 def shard_model(model, mesh: Mesh):
     """Apply TP sharding rules to an NNX model's state in place.
 
-    Walks every array leaf (including MXArray payload/scale leaves), derives
-    the PartitionSpec from the module path, and device_puts with the
-    corresponding NamedSharding.
+    MXArray params are placed as a unit: payload and scale get the same spec
+    (their shapes differ by ``block_size`` along the blocked dim and by 2x
+    byte-packing for fp4 — the divisibility guard checks both), so a scale
+    shard is always its payload shard's blocks.
     """
     from flax import nnx
+
+    from ..mx_array import MXArray
 
     graphdef, state = nnx.split(model)
 
     def place(path, leaf):
+        ps = _path_str(path)
+        if isinstance(leaf, MXArray):
+            spec = spec_for_path(ps, leaf.data.ndim, is_mx=True)
+            spec = _drop_indivisible(
+                spec, (leaf.scale_e8m0.shape, leaf.data.shape), mesh
+            )
+            sh = NamedSharding(mesh, spec)
+            return MXArray(
+                jax.device_put(leaf.scale_e8m0, sh),
+                jax.device_put(leaf.data, sh),
+                leaf.elem_dtype,
+                leaf.block_size,
+                leaf.orig_dtype,
+                leaf.padding,
+                leaf.block_dim,
+                fp4_pack=leaf.fp4_pack,
+            )
         if not hasattr(leaf, "shape"):
             return leaf
-        ps = _path_str(path)
         spec = spec_for_path(ps, getattr(leaf, "ndim", 0))
+        spec = _drop_indivisible(spec, (leaf.shape,), mesh)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    state = jax.tree_util.tree_map_with_path(place, state)
+    state = jax.tree_util.tree_map_with_path(
+        place, state, is_leaf=lambda x: isinstance(x, MXArray)
+    )
     nnx.update(model, state)
     return model
 
