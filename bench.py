@@ -93,6 +93,40 @@ def main():
     t_bf16 = _timed_loop(bf16_step, x, w)
     t_mx = _timed_loop(mx_step, x, w_mx)
 
+    # Secondary: fused MX-KV-cache decode attention vs a bf16 cache
+    # (b=4 hq=32 hkv=8 d=128 L=8192 fp8; the serving hot path).
+    import math
+
+    from torchmx_tpu.models.llama import LayerKVCache, MXLayerKVCache, repeat_kv
+    from torchmx_tpu.ops import pallas_attention as pa
+
+    B, HQ, HKV, D, L = 4, 32, 8, 128, 8192
+    qd = jnp.asarray(rng.standard_normal((B, HQ, 1, D)) * 0.3, jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
+    mx_cache = MXLayerKVCache.create(B, HKV, L, D, "float8_e4m3", 32).write(kc, vc, 0)
+    sm = 1.0 / math.sqrt(D)
+
+    def fused_attn_step(q, kd, ks, vd, vs):
+        cache = MXLayerKVCache(
+            k_data=kd, k_scale=ks, v_data=vd, v_scale=vs,
+            elem_dtype_name="float8_e4m3", block_size=32,
+        )
+        return pa.cached_attention_any(q, cache, L - 1, L, sm)
+
+    def bf16_attn_step(q, kf, vf):
+        kk = repeat_kv(kf, HQ // HKV)
+        vv = repeat_kv(vf, HQ // HKV)
+        s = jnp.matmul(q, kk.swapaxes(-2, -1), preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s.astype(jnp.float32) * sm, axis=-1).astype(jnp.bfloat16)
+        return jnp.matmul(p, vv, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    t_attn_mx = _timed_loop(
+        fused_attn_step, qd,
+        mx_cache.k_data, mx_cache.k_scale, mx_cache.v_data, mx_cache.v_scale,
+    )
+    t_attn_bf16 = _timed_loop(bf16_attn_step, qd, kc, vc)
+
     ratio = t_bf16 / t_mx
     flops = 2.0 * M * K * N
     print(
@@ -109,6 +143,12 @@ def main():
                     "mx_tflops": round(flops / t_mx / 1e12, 1),
                     "shape": [M, K, N],
                     "backend": jax.devices()[0].platform,
+                    "decode_attention": {
+                        "shape": {"b": B, "hq": HQ, "hkv": HKV, "d": D, "L": L},
+                        "fused_mx_fp8_cache_ms": round(t_attn_mx * 1e3, 3),
+                        "bf16_cache_ms": round(t_attn_bf16 * 1e3, 3),
+                        "speedup_vs_bf16_cache": round(t_attn_bf16 / t_attn_mx, 2),
+                    },
                 },
             }
         )
