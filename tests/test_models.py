@@ -181,3 +181,19 @@ def test_streaming_quantized_load_matches_quantize_after_load(tmp_path):
     la, _ = m_ref(ids)
     lb, _ = m_str(ids)
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_generate_scan_matches_stream_loop():
+    """The single-dispatch lax.scan decode and the streaming Python loop must
+    produce identical tokens (same per-step math, one compile each)."""
+    model = LlamaForCausalLM(tiny_config(), rngs=nnx.Rngs(4))
+    prompt = jnp.asarray(np.random.RandomState(5).randint(0, 256, (2, 8)), jnp.int32)
+    a = generate(model, prompt, max_new_tokens=12)
+    b = generate(model, prompt, max_new_tokens=12, stream=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and with the MX KV cache + sampling
+    a = generate(model, prompt, max_new_tokens=8,
+                 kv_cache_config=MXConfig("float8_e4m3"), temperature=0.7)
+    b = generate(model, prompt, max_new_tokens=8,
+                 kv_cache_config=MXConfig("float8_e4m3"), temperature=0.7, stream=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

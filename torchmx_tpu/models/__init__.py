@@ -12,6 +12,8 @@ from .llama import (  # noqa: F401
     make_causal_mask,
     make_decode_mask,
 )
+from . import evaluate  # noqa: F401
+from .generate import generate  # noqa: F401
 from .qwen2 import (  # noqa: F401
     Qwen2Attention,
     Qwen2Config,

@@ -1,0 +1,135 @@
+"""Likelihood-based evaluation: perplexity and multiple-choice accuracy.
+
+The reference's published results (``docs/sources/results/llama31.md``) are
+5-task lm-eval averages (PIQA, ARC-E, ARC-C, HellaSwag, Winogrande) — all
+scored by comparing the model log-likelihood of each answer continuation
+given a context.  This module implements that scoring protocol natively
+(teacher-forced log-probs under jit); datasets are supplied by the caller
+(this environment has no network egress), e.g. from local lm-eval JSON
+dumps or HF datasets on disk.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from .llama import make_prefill_mask
+
+
+def _make_token_logprobs(model):
+    """Jitted per-position log P(token[t] | tokens[<t]) for (b, s) inputs.
+
+    Position 0 has no prediction; returns ``fn(ids) -> (b, s-1)`` fp32
+    log-probs (build once, reuse across a scoring loop — one compile per
+    input shape)."""
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def f(state, input_ids):
+        m = nnx.merge(graphdef, state)
+        logits, _ = m(input_ids)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # logits[t] predicts token[t+1]
+        return jnp.take_along_axis(
+            logp[:, :-1, :], input_ids[:, 1:, None].astype(jnp.int32), axis=2
+        )[..., 0]
+
+    return lambda ids: f(state, ids)
+
+
+def sequence_logprob(
+    model, input_ids: jax.Array, *, start: Optional[jax.Array] = None
+) -> jax.Array:
+    """Total log-likelihood of each row, optionally only from ``start`` on
+    (the continuation-given-context protocol: positions < start are context).
+    """
+    lp = _make_token_logprobs(model)(input_ids)
+    if start is None:
+        return jnp.sum(lp, axis=-1)
+    # Mask out context positions: prediction t covers token t+1.
+    pos = jnp.arange(1, input_ids.shape[1])[None, :]
+    mask = pos >= start[:, None]
+    return jnp.sum(jnp.where(mask, lp, 0.0), axis=-1)
+
+
+def perplexity(model, token_ids: np.ndarray, *, seq_len: int = 512, batch_size: int = 8) -> float:
+    """Sliding-window perplexity over a 1-D token stream (wikitext-style)."""
+    n = (len(token_ids) // seq_len) * seq_len
+    chunks = np.asarray(token_ids[:n], np.int32).reshape(-1, seq_len)
+    logprobs = _make_token_logprobs(model)
+    total, count = 0.0, 0
+    for i in range(0, len(chunks), batch_size):
+        batch = chunks[i : i + batch_size]
+        if len(batch) < batch_size:  # keep one compiled shape
+            pad = np.zeros((batch_size - len(batch), seq_len), np.int32)
+            lp = logprobs(jnp.asarray(np.concatenate([batch, pad])))
+            lp = lp[: len(batch)]
+        else:
+            lp = logprobs(jnp.asarray(batch))
+        total += float(jnp.sum(lp))
+        count += lp.shape[0] * lp.shape[1]
+    return float(np.exp(-total / max(count, 1)))
+
+
+def score_choices(
+    model,
+    context_ids: Sequence[Sequence[int]],
+    choice_ids: Sequence[Sequence[Sequence[int]]],
+    *,
+    length_normalize: bool = False,
+    pad_id: int = 0,
+) -> List[int]:
+    """Pick the highest-likelihood continuation per example.
+
+    Args:
+        context_ids: per-example token context.
+        choice_ids: per-example list of candidate continuations.
+        length_normalize: divide by continuation length (lm-eval's ``acc_norm``
+            uses byte-length normalization; token-length is the common proxy).
+
+    Returns the argmax choice index per example.
+    """
+    logprobs = _make_token_logprobs(model)
+    picks = []
+    for ctx, choices in zip(context_ids, choice_ids):
+        rows, starts, lens = [], [], []
+        width = max(len(ctx) + len(c) for c in choices)
+        for c in choices:
+            row = list(ctx) + list(c)
+            rows.append(row + [pad_id] * (width - len(row)))
+            starts.append(len(ctx))
+            lens.append(len(c))
+        ids = jnp.asarray(np.asarray(rows, np.int32))
+        # Likelihood of the continuation region only; padding contributes to
+        # positions >= len(ctx)+len(c) which we exclude via an end mask.
+        lp = logprobs(ids)
+        pos = np.arange(1, ids.shape[1])[None, :]
+        starts_a = np.asarray(starts)[:, None]
+        ends_a = (np.asarray(starts) + np.asarray(lens))[:, None]
+        mask = (pos >= starts_a) & (pos < ends_a)
+        scores = np.sum(np.where(mask, np.asarray(lp), 0.0), axis=-1)
+        if length_normalize:
+            scores = scores / np.maximum(np.asarray(lens), 1)
+        picks.append(int(np.argmax(scores)))
+    return picks
+
+
+def accuracy(
+    model,
+    examples: Sequence[Tuple[Sequence[int], Sequence[Sequence[int]], int]],
+    **kwargs,
+) -> float:
+    """Multiple-choice accuracy over ``(context, choices, gold_index)`` rows —
+    the scoring protocol behind the reference's PIQA/ARC/HellaSwag/Winogrande
+    tables."""
+    ctxs = [e[0] for e in examples]
+    choices = [e[1] for e in examples]
+    golds = [e[2] for e in examples]
+    picks = score_choices(model, ctxs, choices, **kwargs)
+    return float(np.mean([p == g for p, g in zip(picks, golds)]))

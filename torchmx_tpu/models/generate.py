@@ -57,8 +57,15 @@ def generate(
     prompt_len: Optional[jax.Array] = None,
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
+    stream: bool = False,
 ) -> jax.Array:
     """Generate ``max_new_tokens`` tokens (greedy if temperature == 0).
+
+    By default the whole decode loop runs as ONE jitted ``lax.scan`` (a
+    single dispatch for the entire generation — no per-token host round
+    trips).  ``stream=True`` uses a Python loop instead (one jitted step per
+    token, all steps reusing one executable) for incremental consumption;
+    both produce identical tokens.
 
     Args:
         model: a ``LlamaForCausalLM``-family NNX model.
@@ -77,8 +84,6 @@ def generate(
         prompt_len = jnp.full((b,), s, jnp.int32)
 
     prefill = jax.jit(functools.partial(_prefill, graphdef), static_argnames="max_len")
-    decode = jax.jit(functools.partial(_decode_step, graphdef), static_argnames="max_len")
-
     logits, caches = prefill(state, input_ids, caches, prompt_len, max_len=max_len)
 
     def pick(logits, key):
@@ -87,14 +92,38 @@ def generate(
         return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    out = []
     token = pick(logits, rng)
-    out.append(token)
-    pos = jnp.asarray(s, jnp.int32)
-    for i in range(max_new_tokens - 1):
-        rng, sub = jax.random.split(rng)
-        logits, caches = decode(state, token[:, None], pos, caches, max_len=max_len)
-        token = pick(logits, sub)
-        out.append(token)
-        pos = pos + 1
-    return jnp.stack(out, axis=1)
+    pos0 = jnp.asarray(s, jnp.int32)
+
+    if stream:
+        decode = jax.jit(
+            functools.partial(_decode_step, graphdef), static_argnames="max_len"
+        )
+        out = [token]
+        pos = pos0
+        for _ in range(max_new_tokens - 1):
+            rng, sub = jax.random.split(rng)
+            logits, caches = decode(state, token[:, None], pos, caches, max_len=max_len)
+            token = pick(logits, sub)
+            out.append(token)
+            pos = pos + 1
+        return jnp.stack(out, axis=1)
+
+    @functools.partial(jax.jit, static_argnames="steps")
+    def decode_all(state, token, pos, caches, rng, steps):
+        def body(carry, _):
+            token, pos, caches, rng = carry
+            rng, sub = jax.random.split(rng)
+            logits, caches = _decode_step(graphdef, state, token[:, None], pos, caches, max_len)
+            token = pick(logits, sub)
+            return (token, pos + 1, caches, rng), token
+
+        (_, _, _, _), tokens = jax.lax.scan(
+            body, (token, pos, caches, rng), None, length=steps
+        )
+        return tokens  # (steps, b)
+
+    if max_new_tokens == 1:
+        return token[:, None]
+    tokens = decode_all(state, token, pos0, caches, rng, steps=max_new_tokens - 1)
+    return jnp.concatenate([token[:, None], tokens.T], axis=1)
