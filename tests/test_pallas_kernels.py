@@ -211,3 +211,18 @@ def test_mx_matmul_auto_backend_dispatch(ename):
         rtol=2e-2,
         atol=1e-2,
     )
+
+
+def test_decode_fp4_specialized_matches_generic():
+    """The arithmetic fp4 decode must equal the generic bit-surgery decode
+    for every (code, reachable-scale) pair."""
+    codes = np.arange(16, dtype=np.int32)
+    for se_val in [1, 64, 127, 200, 252]:
+        se = jnp.full((1, 16), se_val, jnp.int32)
+        a = pm.decode_fp4_to_bf16(jnp.asarray(codes).reshape(1, -1), se)
+        b = pm.decode_codes_to_bf16(
+            jnp.asarray(codes).reshape(1, -1), se, dtypes.float4_e2m1
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a).view(np.uint16), np.asarray(b).view(np.uint16)
+        )

@@ -1,13 +1,13 @@
 """Llama-3-8B-shape decode throughput on one TPU chip (dev tool).
 
-Builds the 8B architecture with zero-initialized weights on the **host CPU**
-(a real checkpoint is 16GB bf16 — over a v5e's HBM next to its quantized
-copy; MX timing is data-independent so zeros measure the same), quantizes to
-MXFP4 weights / MXFP8 activations streaming layer by layer, moves the packed
-arrays (~3.9GB) to the TPU, and measures steady-state decode tok/s with the
-fused dequant-matmul kernels + fused MX fp8 KV-cache attention.
+A real checkpoint is 16GB bf16 — over a v5e's HBM next to its quantized
+copy, and there is no network egress here — so the MX-quantized model is
+built **abstractly** (``nnx.eval_shape`` through the surgery API traces the
+quantization without computing it) and its packed arrays are materialized as
+zeros directly on the TPU (~4GB MXFP4 + bf16 embeddings).  Kernel timing is
+data-independent, so zeros measure the same as real weights.
 
-Run:  JAX_PLATFORMS=axon,cpu python tools/bench_8b_decode.py [prompt_len] [new_tokens]
+Run:  python tools/bench_8b_decode.py [prompt_len] [new_tokens] [batch]
 """
 
 import os
@@ -15,7 +15,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
 
 import jax
 import jax.numpy as jnp
@@ -38,66 +37,70 @@ LLAMA3_8B = dict(
 )
 
 
+def build_zeros_quantized(cfg) -> LlamaForCausalLM:
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float4_e2m1"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+
+    def build():
+        model = LlamaForCausalLM(cfg)
+        quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
+        return model
+
+    abstract = nnx.eval_shape(build)
+    graphdef, state = nnx.split(abstract)
+
+    @jax.jit
+    def zeros_like_state():
+        return jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            state,
+            is_leaf=lambda x: isinstance(x, jax.ShapeDtypeStruct),
+        )
+
+    return nnx.merge(graphdef, zeros_like_state())
+
+
 def main():
     prompt_len = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     new_tokens = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-
-    cpu = jax.devices("cpu")[0]
-    tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     cfg = LlamaConfig(max_position_embeddings=prompt_len + new_tokens, **LLAMA3_8B)
 
-    from torchmx_tpu import env_variables as env
-
     t0 = time.perf_counter()
-    old_backend = env.TORCHMX_QUANTIZE_BACKEND
-    env.TORCHMX_QUANTIZE_BACKEND = "jnp"  # host-side quantization on CPU
-    try:
-        with jax.default_device(cpu):
-            model = LlamaForCausalLM(cfg)  # zero-init on host
-            qlin = QLinearConfig(
-                weights_config=MXConfig("float4_e2m1"),
-                activations_config=MXConfig("float8_e4m3"),
-            )
-            quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
-    finally:
-        env.TORCHMX_QUANTIZE_BACKEND = old_backend
-    print(f"built + quantized 8B on host in {time.perf_counter() - t0:.1f}s")
-
-    graphdef, state = nnx.split(model)
+    model = build_zeros_quantized(cfg)
+    _, state = nnx.split(model)
     nbytes = sum(
         x.nbytes for x in jax.tree_util.tree_leaves(state) if hasattr(x, "nbytes")
     )
-    t0 = time.perf_counter()
-    state = jax.device_put(state, tpu)
-    jax.block_until_ready(state)
-    model = nnx.merge(graphdef, state)
-    print(f"moved {nbytes / 1e9:.2f} GB to {tpu} in {time.perf_counter() - t0:.1f}s")
+    print(
+        f"built abstract-quantized 8B ({nbytes / 1e9:.2f} GB on device) "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
 
     prompt = jnp.asarray(
-        np.random.default_rng(0).integers(0, 1000, (1, prompt_len), np.int64),
+        np.random.default_rng(0).integers(0, 1000, (batch, prompt_len), np.int64),
         jnp.int32,
     )
-    with jax.default_device(tpu):
-        t0 = time.perf_counter()
-        out = generate(
-            model, prompt, max_new_tokens=new_tokens,
-            kv_cache_config=MXConfig("float8_e4m3"),
-        )
-        jax.block_until_ready(out)
-        t_first = time.perf_counter() - t0
-        print(f"first call (compile + prefill + {new_tokens} tokens): {t_first:.1f}s")
+    kv = MXConfig("float8_e4m3")
+    t0 = time.perf_counter()
+    out = generate(model, prompt, max_new_tokens=new_tokens, kv_cache_config=kv)
+    _force = int(jnp.sum(out))  # block_until_ready lies on this platform
+    print(f"first call (compile + prefill + {new_tokens} tokens): "
+          f"{time.perf_counter() - t0:.1f}s")
 
+    times = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = generate(
-            model, prompt, max_new_tokens=new_tokens,
-            kv_cache_config=MXConfig("float8_e4m3"),
-        )
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+        out = generate(model, prompt, max_new_tokens=new_tokens, kv_cache_config=kv)
+        _force = int(jnp.sum(out))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     print(
-        f"steady state: {new_tokens} tokens in {dt:.2f}s = "
-        f"{new_tokens / dt:.1f} tok/s (b=1, prompt {prompt_len}, "
-        f"MXFP4-w/MXFP8-a, fp8 MX KV cache, single v5e chip)"
+        f"steady state: {batch}x{new_tokens} tokens in {dt:.2f}s = "
+        f"{batch * new_tokens / dt:.1f} tok/s "
+        f"(prompt {prompt_len}, MXFP4-w/MXFP8-a, fp8 MX KV cache, one v5e chip)"
     )
 
 

@@ -22,12 +22,22 @@ from flax import nnx
 from .llama import make_prefill_mask
 
 
+_LOGPROB_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
+
+
 def _make_token_logprobs(model):
     """Jitted per-position log P(token[t] | tokens[<t]) for (b, s) inputs.
 
     Position 0 has no prediction; returns ``fn(ids) -> (b, s-1)`` fp32
-    log-probs (build once, reuse across a scoring loop — one compile per
-    input shape)."""
+    log-probs.  Cached per model (weakly), so repeated calls reuse the
+    compiled executable — jit re-keys on input shape internally."""
+    global _LOGPROB_CACHE
+    import weakref
+
+    if _LOGPROB_CACHE is None:
+        _LOGPROB_CACHE = weakref.WeakKeyDictionary()
+    if model in _LOGPROB_CACHE:
+        return _LOGPROB_CACHE[model]
     graphdef, state = nnx.split(model)
 
     @jax.jit
@@ -40,7 +50,9 @@ def _make_token_logprobs(model):
             logp[:, :-1, :], input_ids[:, 1:, None].astype(jnp.int32), axis=2
         )[..., 0]
 
-    return lambda ids: f(state, ids)
+    fn = lambda ids: f(state, ids)
+    _LOGPROB_CACHE[model] = fn
+    return fn
 
 
 def sequence_logprob(

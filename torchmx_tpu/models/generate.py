@@ -9,6 +9,7 @@ reference's zero-graph-breaks ``torch.compile`` guarantee,
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Optional
 
 import jax
@@ -16,6 +17,52 @@ import jax.numpy as jnp
 from flax import nnx
 
 from .llama import make_decode_mask, make_prefill_mask
+
+# Compiled-session cache: one set of jitted prefill/decode functions per
+# model object (keyed weakly).  jit re-keys on shapes internally, so a cached
+# session serves any (prompt_len, max_new_tokens, batch) combination; without
+# this, every generate() call would rebuild its jit wrappers and recompile —
+# tens of seconds for a 32-layer model.
+_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _session(model, greedy: bool):
+    fns = _SESSIONS.setdefault(model, {})
+    key = ("v1", greedy)
+    if key in fns:
+        return fns[key]
+    graphdef, _ = nnx.split(model)
+
+    prefill = jax.jit(
+        functools.partial(_prefill, graphdef), static_argnames="max_len"
+    )
+    decode = jax.jit(
+        functools.partial(_decode_step, graphdef), static_argnames="max_len"
+    )
+
+    def pick(logits, key, temp):
+        if greedy:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(key, logits / temp, axis=-1).astype(jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("steps", "max_len"))
+    def decode_all(state, token, pos, caches, rng, temp, steps, max_len):
+        def body(carry, _):
+            token, pos, caches, rng = carry
+            rng, sub = jax.random.split(rng)
+            logits, caches = _decode_step(
+                graphdef, state, token[:, None], pos, caches, max_len
+            )
+            token = pick(logits, sub, temp)
+            return (token, pos + 1, caches, rng), token
+
+        (_, _, _, _), tokens = jax.lax.scan(
+            body, (token, pos, caches, rng), None, length=steps
+        )
+        return tokens  # (steps, b)
+
+    fns[key] = (prefill, decode, decode_all, pick)
+    return fns[key]
 
 
 def _prefill(graphdef, state, input_ids, caches, prompt_len, max_len):
@@ -76,54 +123,36 @@ def generate(
 
     Returns (batch, max_new_tokens) generated ids.
     """
-    graphdef, state = nnx.split(model)
+    _, state = nnx.split(model)
     b, s = input_ids.shape
     max_len = s + max_new_tokens
     caches = model.init_cache(b, max_len, kv_cache_config)
     if prompt_len is None:
         prompt_len = jnp.full((b,), s, jnp.int32)
 
-    prefill = jax.jit(functools.partial(_prefill, graphdef), static_argnames="max_len")
+    greedy = temperature == 0.0
+    prefill, decode, decode_all, pick = _session(model, greedy)
+    temp = jnp.asarray(1.0 if greedy else temperature, jnp.float32)
+
     logits, caches = prefill(state, input_ids, caches, prompt_len, max_len=max_len)
-
-    def pick(logits, key):
-        if temperature == 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
-
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    token = pick(logits, rng)
+    token = pick(logits, rng, temp)
     pos0 = jnp.asarray(s, jnp.int32)
 
     if stream:
-        decode = jax.jit(
-            functools.partial(_decode_step, graphdef), static_argnames="max_len"
-        )
         out = [token]
         pos = pos0
         for _ in range(max_new_tokens - 1):
             rng, sub = jax.random.split(rng)
             logits, caches = decode(state, token[:, None], pos, caches, max_len=max_len)
-            token = pick(logits, sub)
+            token = pick(logits, sub, temp)
             out.append(token)
             pos = pos + 1
         return jnp.stack(out, axis=1)
 
-    @functools.partial(jax.jit, static_argnames="steps")
-    def decode_all(state, token, pos, caches, rng, steps):
-        def body(carry, _):
-            token, pos, caches, rng = carry
-            rng, sub = jax.random.split(rng)
-            logits, caches = _decode_step(graphdef, state, token[:, None], pos, caches, max_len)
-            token = pick(logits, sub)
-            return (token, pos + 1, caches, rng), token
-
-        (_, _, _, _), tokens = jax.lax.scan(
-            body, (token, pos, caches, rng), None, length=steps
-        )
-        return tokens  # (steps, b)
-
     if max_new_tokens == 1:
         return token[:, None]
-    tokens = decode_all(state, token, pos0, caches, rng, steps=max_new_tokens - 1)
+    tokens = decode_all(
+        state, token, pos0, caches, rng, temp, steps=max_new_tokens - 1, max_len=max_len
+    )
     return jnp.concatenate([token[:, None], tokens.T], axis=1)

@@ -109,6 +109,24 @@ def decode_codes_to_bf16(codes, se, elem_dtype: dtypes.DType):
     return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
 
 
+def decode_fp4_to_bf16(nibbles, se):
+    """Specialized fp4 (e2m1) decode — half the VPU ops of the generic path.
+
+    The 8 magnitude codes map to bf16 bits by pure arithmetic:
+    ``0x3EC0 + (c << 6) + (c >= 2 ? 0x40 : 0)`` covers 0.5..6 exactly (the
+    subnormal c==1 is the only irregular step).  Bit-identical to
+    :func:`decode_codes_to_bf16` for every (code, scale) pair (tested).
+    At decode-time batch sizes the fused matmul is VPU-decode-bound, so
+    these ops are the token latency.
+    """
+    c = nibbles & 7
+    mag = 0x3EC0 + (c << 6) + ((c >= 2).astype(jnp.int32) << 6)
+    bits = mag + ((se - 127) << 7)
+    dead = (c == 0) | (bits < 0x80)
+    bits = jnp.where(dead, 0, bits) | ((nibbles & 8) << 12)
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+
+
 def decode_int8_to_bf16(codes, se):
     """int8 codes: convert and fold 2^(se-127) into the exponent field."""
     vals = codes.astype(jnp.bfloat16)  # exact: |codes| <= 127
@@ -176,8 +194,8 @@ def _linear_kernel_fp4(xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_ref):
     b = w_ref[:].astype(jnp.int32)
     # One byte covers two elements of the same 32-block: 16 byte-rows/block.
     se = _expand_scale(s_ref[:].astype(jnp.int32), BLOCK // 2)
-    w_hi = decode_codes_to_bf16((b >> 4) & 0xF, se, dtypes.float4_e2m1)
-    w_lo = decode_codes_to_bf16(b & 0xF, se, dtypes.float4_e2m1)
+    w_hi = decode_fp4_to_bf16((b >> 4) & 0xF, se)
+    w_lo = decode_fp4_to_bf16(b & 0xF, se)
     acc_ref[:] += _dot_f32acc(xe_ref[:], w_hi)
     acc_ref[:] += _dot_f32acc(xo_ref[:], w_lo)
 
@@ -202,8 +220,8 @@ def _linear_kernel_fp4_halves(xa_ref, xb_ref, w_ref, sa_ref, sb_ref, o_ref, acc_
     b = w_ref[:].astype(jnp.int32)
     se_a = _expand_scale(sa_ref[:].astype(jnp.int32), BLOCK)
     se_b = _expand_scale(sb_ref[:].astype(jnp.int32), BLOCK)
-    w_hi = decode_codes_to_bf16((b >> 4) & 0xF, se_a, dtypes.float4_e2m1)
-    w_lo = decode_codes_to_bf16(b & 0xF, se_b, dtypes.float4_e2m1)
+    w_hi = decode_fp4_to_bf16((b >> 4) & 0xF, se_a)
+    w_lo = decode_fp4_to_bf16(b & 0xF, se_b)
     x = jnp.concatenate([xa_ref[:], xb_ref[:]], axis=1)
     w = jnp.concatenate([w_hi, w_lo], axis=0)
     acc_ref[:] += _dot_f32acc(x, w)
@@ -341,10 +359,25 @@ def _pick_tiles(M: int, N: int, K: int):
 def _run_kernel(x_hp, w: MXArray, out_dtype) -> Optional[jax.Array]:
     M, K = x_hp.shape
     N = w.shape[1]
-    tiles = _pick_tiles(M, N, K)
+    # Decode-sized inputs (M < 8, e.g. batch-1 token steps) pad up to the
+    # 8-sublane minimum: the kernel is weight-HBM-bound there, so the extra
+    # rows are free — and the fallback (dequantizing the full weight to HBM)
+    # costs ~10x the packed read.
+    pad_m = (8 - M % 8) % 8
+    if pad_m:
+        x_hp = jnp.pad(x_hp, ((0, pad_m), (0, 0)))
+    tiles = _pick_tiles(M + pad_m, N, K)
     if tiles is None:
         return None
     bn, bk = tiles
+    out = _run_kernel_tiles(x_hp, w, out_dtype, bn, bk)
+    if out is None or not pad_m:
+        return out
+    return out[:M]
+
+
+def _run_kernel_tiles(x_hp, w: MXArray, out_dtype, bn, bk) -> Optional[jax.Array]:
+    K = x_hp.shape[1]
     if w.elem_dtype == dtypes.float4_e2m1:
         if w.fp4_pack == "halves":
             # The per-half scale tile is (bk/64, bn); TPU blocks need the
