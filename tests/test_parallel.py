@@ -150,3 +150,17 @@ def test_qat_train_step_on_2x4_mesh():
         # changes the loss.
         state, opt_state, loss2 = step(state, opt_state, batch, batch)
         assert np.isfinite(float(loss2)) and float(loss2) != float(loss)
+
+
+def test_multihost_single_process_fallbacks():
+    """Single-process environment: initialize is a no-op, the hybrid mesh
+    degenerates to the local (data, model) mesh."""
+    from torchmx_tpu.parallel import multihost
+
+    assert multihost.initialize() == 1
+    mesh = multihost.create_hybrid_mesh(model_parallelism=4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
+    mesh_tp = multihost.create_hybrid_mesh()  # all-local TP
+    assert mesh_tp.devices.shape == (1, 8)
+    assert multihost.process_local_batch(16) == 16

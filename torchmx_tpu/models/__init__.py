@@ -12,8 +12,9 @@ from .llama import (  # noqa: F401
     make_causal_mask,
     make_decode_mask,
 )
-from . import evaluate  # noqa: F401
+from . import evaluate, serve  # noqa: F401
 from .generate import generate  # noqa: F401
+from .serve import DecodeEngine  # noqa: F401
 from .qwen2 import (  # noqa: F401
     Qwen2Attention,
     Qwen2Config,

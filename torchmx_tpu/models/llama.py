@@ -142,6 +142,16 @@ def repeat_kv(x: Array, n_rep: int) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def _seq_scatter(buf: Array, new: Array, pos) -> Array:
+    """Write ``new`` (b, h, s, x) into ``buf`` (b, h, L, x) at sequence
+    position ``pos`` — a scalar, or (b,) per-row positions."""
+    if jnp.ndim(pos) == 0:
+        return jax.lax.dynamic_update_slice(buf, new, (0, 0, pos, 0))
+    return jax.vmap(
+        lambda b, n, p: jax.lax.dynamic_update_slice(b, n, (0, p, 0))
+    )(buf, new, pos)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LayerKVCache:
@@ -156,9 +166,11 @@ class LayerKVCache:
         return LayerKVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     def update(self, k_new: Array, v_new: Array, pos: Array) -> Tuple[Array, Array, "LayerKVCache"]:
-        """Write ``k_new/v_new`` (b, kv, s, d) at ``pos`` and return full buffers."""
-        k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), (0, 0, pos, 0))
-        v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), (0, 0, pos, 0))
+        """Write ``k_new/v_new`` (b, kv, s, d) at ``pos`` and return full
+        buffers.  ``pos`` may be a scalar or per-row (b,) positions
+        (continuous batching)."""
+        k = _seq_scatter(self.k, k_new.astype(self.k.dtype), pos)
+        v = _seq_scatter(self.v, v_new.astype(self.v.dtype), pos)
         return k, v, LayerKVCache(k=k, v=v)
 
 
@@ -212,12 +224,11 @@ class MXLayerKVCache:
 
         ks, kd = quantize_mx(k_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size)
         vs, vd = quantize_mx(v_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size)
-        at = (0, 0, pos, 0)
         return MXLayerKVCache(
-            k_data=jax.lax.dynamic_update_slice(self.k_data, kd, at),
-            k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks, at),
-            v_data=jax.lax.dynamic_update_slice(self.v_data, vd, at),
-            v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs, at),
+            k_data=_seq_scatter(self.k_data, kd, pos),
+            k_scale=_seq_scatter(self.k_scale, ks, pos),
+            v_data=_seq_scatter(self.v_data, vd, pos),
+            v_scale=_seq_scatter(self.v_scale, vs, pos),
             elem_dtype_name=self.elem_dtype_name,
             block_size=self.block_size,
         )

@@ -106,8 +106,9 @@ def _attn_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q_off = qoff_ref[0]
-    kv_len = kvlen_ref[0]
+    ib = pl.program_id(0)
+    q_off = qoff_ref[ib]  # per-batch-row positions (continuous batching)
+    kv_len = kvlen_ref[ib]
     # Highest query position in this q tile; skip KV tiles entirely above the
     # causal frontier or beyond the visible prefix.
     q_hi = q_off + (qt + 1) * sqt - 1
@@ -222,8 +223,9 @@ def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Arra
         cache: an ``MXLayerKVCache``-shaped object (``k_data/k_scale/
             v_data/v_scale/elem_dtype_name/block_size``) holding the cache
             *after* the current tokens were written.
-        q_off: first query position (scalar; == cache_position).
-        kv_len: visible prefix length (scalar; == q_off + sq).
+        q_off: first query position — scalar, or (b,) per-row positions
+            (continuous batching; == cache_position).
+        kv_len: visible prefix length(s) (== q_off + sq), same shape rules.
         sm_scale: softmax scale (1/sqrt(head_dim)).
 
     Returns (b, hq, sq, d) bf16, or None if ineligible (caller falls back to
@@ -256,8 +258,8 @@ def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Arra
         .transpose(0, 1, 3, 2, 4)
         .reshape(b, hkv, sq * g, d)
     )
-    q_off = jnp.asarray(q_off, jnp.int32).reshape(1)
-    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    q_off = jnp.broadcast_to(jnp.asarray(q_off, jnp.int32), (b,))
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
     out = _mx_cached_attention(
         q4,
         cache.k_data,

@@ -9,6 +9,7 @@ payload shard divided by ``block_size`` along the blocked dim), so collectives
 move packed uint8 bytes — 4-8x cheaper than bf16.
 """
 
+from . import multihost  # noqa: F401
 from .mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
