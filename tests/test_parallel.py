@@ -164,3 +164,57 @@ def test_multihost_single_process_fallbacks():
     mesh_tp = multihost.create_hybrid_mesh()  # all-local TP
     assert mesh_tp.devices.shape == (1, 8)
     assert multihost.process_local_batch(16) == 16
+
+
+def test_pipeline_apply_matches_sequential():
+    """GPipe stage rotation must equal sequential stage application, for
+    plain and MX-quantized stage weights."""
+    from torchmx_tpu.parallel.pipeline import pipeline_apply
+    from torchmx_tpu.ops import mx_linear
+
+    mesh = create_mesh()  # (1, 8): 8 pipeline stages on the model axis
+    S, d, b = 8, 64, 16
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(S, d, d) * 0.3, jnp.bfloat16)
+    x = jnp.asarray(rng.randn(b, d), jnp.bfloat16)
+
+    def stage(params, x):
+        return jax.nn.gelu(
+            jnp.matmul(x, params.T, preferred_element_type=jnp.float32)
+        ).astype(jnp.bfloat16)
+
+    ref = x
+    for s in range(S):
+        ref = stage(w[s], ref)
+
+    with mesh:
+        out = pipeline_apply(stage, w, x, mesh, n_microbatches=4)
+    # XLA fuses the scan body differently from the eager reference: allow
+    # 1-ulp bf16 drift.
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=1e-2, atol=1e-2
+    )
+
+    # MX-quantized stage weights: stacked payload/scale arrays, MXArray
+    # rebuilt per stage inside the stage fn (per-stage slicing changes ndim,
+    # so the static metadata is reapplied there).
+    w_mx = MXArray.to_mx(w, "float8_e4m3", 32)
+    packed = {"scale": w_mx.scale_e8m0, "data": w_mx.data}
+
+    def stage_mx(params, x):
+        w_s = MXArray(
+            params["scale"], params["data"], "float8_e4m3", 32, jnp.bfloat16
+        )
+        return jax.nn.gelu(
+            mx_linear(x, w_s, out_dtype=jnp.float32)
+        ).astype(jnp.bfloat16)
+
+    ref = x
+    for s in range(S):
+        ref = stage_mx({"scale": w_mx.scale_e8m0[s], "data": w_mx.data[s]}, ref)
+
+    with mesh:
+        out = pipeline_apply(stage_mx, packed, x, mesh, n_microbatches=4)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=1e-2, atol=1e-2
+    )
