@@ -150,3 +150,28 @@ def test_recompile_counter_zero_recompiles():
 def test_trace_annotation_smoke(tmp_path):
     with introspect.annotate("mx_quantize"):
         _ = jnp.ones((8, 32)) * 2
+
+
+def test_checkpoint_fp6_bit_packed(tmp_path):
+    """fp6 payloads stored 4-codes-per-3-bytes round-trip bit-exactly and
+    shrink the array bytes by 25%."""
+    model = _qlinear(seed=3, elem="float6_e3m2")
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((4, 512)), jnp.bfloat16)
+    y_before = model(x)
+
+    state = nnx.state(model)
+    flat_plain, _ = checkpoint.flatten_with_mx(state)
+    flat_packed, meta = checkpoint.flatten_with_mx(state, compress_fp6=True)
+    key = next(k for k in flat_packed if k.endswith(".data"))
+    assert flat_packed[key].nbytes == flat_plain[key].nbytes * 3 // 4
+    assert next(iter(meta.values()))["fp6_packed"]
+
+    ckpt = os.path.join(str(tmp_path), "fp6")
+    checkpoint.save_model(ckpt, model, compress_fp6=True)
+    fresh = _qlinear(seed=4, elem="float6_e3m2")
+    checkpoint.load_model(ckpt, fresh)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.weight.get_value().data),
+        np.asarray(model.weight.get_value().data),
+    )
+    np.testing.assert_array_equal(np.asarray(y_before), np.asarray(fresh(x)))

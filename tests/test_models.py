@@ -197,3 +197,27 @@ def test_generate_scan_matches_stream_loop():
     b = generate(model, prompt, max_new_tokens=8,
                  kv_cache_config=MXConfig("float8_e4m3"), temperature=0.7, stream=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_qwen2_quantize_and_generate():
+    """Qwen2 family end-to-end: surgery + MX KV cache + scan decode."""
+    model = Qwen2ForCausalLM(tiny_config(Qwen2Config), rngs=nnx.Rngs(3))
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float6_e3m2"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
+    from torchmx_tpu.layers.mx_qwen2_attention import (
+        MXInferenceQwen2Attention,
+        MXInferenceQwen2MLP,
+    )
+
+    assert isinstance(model.model.layers[0].self_attn, MXInferenceQwen2Attention)
+    assert isinstance(model.model.layers[0].mlp, MXInferenceQwen2MLP)
+    prompt = jnp.asarray(np.random.RandomState(9).randint(0, 256, (2, 8)), jnp.int32)
+    out = generate(model, prompt, max_new_tokens=8,
+                   kv_cache_config=MXConfig("float8_e4m3"))
+    assert out.shape == (2, 8)
+    out2 = generate(model, prompt, max_new_tokens=8,
+                    kv_cache_config=MXConfig("float8_e4m3"))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
