@@ -160,7 +160,13 @@ def load_checkpoint(directory: str, template):
             shape = tuple(
                 3 * s // 4 if i == bd else s for i, s in enumerate(shape)
             )
-        abstract[k] = jax.ShapeDtypeStruct(shape, v.dtype)
+        # Restore sharded arrays with the template's shardings (a TP-sharded
+        # model restores distributed instead of onto one device).
+        sharding = getattr(v, "sharding", None)
+        if sharding is not None and hasattr(sharding, "spec"):
+            abstract[k] = jax.ShapeDtypeStruct(shape, v.dtype, sharding=sharding)
+        else:
+            abstract[k] = jax.ShapeDtypeStruct(shape, v.dtype)
     ckptr = ocp.PyTreeCheckpointer()
     flat = ckptr.restore(os.path.join(directory, _ARRAYS_DIR), item=abstract)
     return unflatten_with_mx(template, flat, meta)

@@ -29,30 +29,30 @@ def _make_token_logprobs(model):
     """Jitted per-position log P(token[t] | tokens[<t]) for (b, s) inputs.
 
     Position 0 has no prediction; returns ``fn(ids) -> (b, s-1)`` fp32
-    log-probs.  Cached per model (weakly), so repeated calls reuse the
-    compiled executable — jit re-keys on input shape internally."""
+    log-probs.  The jitted executable is cached per model (weakly) while the
+    *state* is re-read on every call, so weight updates (checkpoint restore,
+    training) are reflected without recompiling."""
     global _LOGPROB_CACHE
     import weakref
 
     if _LOGPROB_CACHE is None:
         _LOGPROB_CACHE = weakref.WeakKeyDictionary()
-    if model in _LOGPROB_CACHE:
-        return _LOGPROB_CACHE[model]
-    graphdef, state = nnx.split(model)
+    if model not in _LOGPROB_CACHE:
+        graphdef, _ = nnx.split(model)
 
-    @jax.jit
-    def f(state, input_ids):
-        m = nnx.merge(graphdef, state)
-        logits, _ = m(input_ids)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        # logits[t] predicts token[t+1]
-        return jnp.take_along_axis(
-            logp[:, :-1, :], input_ids[:, 1:, None].astype(jnp.int32), axis=2
-        )[..., 0]
+        @jax.jit
+        def f(state, input_ids):
+            m = nnx.merge(graphdef, state)
+            logits, _ = m(input_ids)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            # logits[t] predicts token[t+1]
+            return jnp.take_along_axis(
+                logp[:, :-1, :], input_ids[:, 1:, None].astype(jnp.int32), axis=2
+            )[..., 0]
 
-    fn = lambda ids: f(state, ids)
-    _LOGPROB_CACHE[model] = fn
-    return fn
+        _LOGPROB_CACHE[model] = f
+    f = _LOGPROB_CACHE[model]
+    return lambda ids: f(nnx.state(model), ids)
 
 
 def sequence_logprob(

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from .llama import make_decode_mask, make_prefill_mask
+
 
 # Compiled-session cache: one set of jitted prefill/decode functions per
 # model object (keyed weakly).  jit re-keys on shapes internally, so a cached
@@ -68,10 +68,11 @@ def _session(model, greedy: bool):
 def _prefill(graphdef, state, input_ids, caches, prompt_len, max_len):
     model = nnx.merge(graphdef, state)
     b, s = input_ids.shape
-    mask = make_prefill_mask(s, max_len)[None, None]
+    # attention_mask=None + cache => the model applies (or fuses in-kernel)
+    # the standard causal mask over the written prefix.
     logits, new_caches = model(
         input_ids,
-        attention_mask=mask,
+        attention_mask=None,
         position_ids=jnp.arange(s)[None, :],
         caches=caches,
         cache_position=0,
@@ -82,13 +83,19 @@ def _prefill(graphdef, state, input_ids, caches, prompt_len, max_len):
 
 
 def _decode_step(graphdef, state, token, pos, caches, max_len):
+    """One decode step; ``pos`` is a scalar, or (b,) per-row positions
+    (ragged prompts — each row attends only its own written prefix and gets
+    its own RoPE position)."""
     model = nnx.merge(graphdef, state)
     b = token.shape[0]
-    mask = make_decode_mask(max_len, pos + 1)[None, None, None, :]
+    if jnp.ndim(pos) == 0:
+        position_ids = jnp.full((b, 1), pos, jnp.int32)
+    else:
+        position_ids = pos[:, None]
     logits, new_caches = model(
         token,
-        attention_mask=mask,
-        position_ids=jnp.full((b, 1), pos, jnp.int32),
+        attention_mask=None,  # standard causal over the written prefix
+        position_ids=position_ids,
         caches=caches,
         cache_position=pos,
     )
@@ -126,7 +133,12 @@ def generate(
     _, state = nnx.split(model)
     b, s = input_ids.shape
     max_len = s + max_new_tokens
+    if kv_cache_config is not None:
+        # Round the cache length to a KV-tile multiple so the fused MX-cache
+        # attention kernel is eligible (extra rows are masked).
+        max_len = (max_len + 127) // 128 * 128
     caches = model.init_cache(b, max_len, kv_cache_config)
+    ragged = prompt_len is not None
     if prompt_len is None:
         prompt_len = jnp.full((b,), s, jnp.int32)
 
@@ -137,7 +149,9 @@ def generate(
     logits, caches = prefill(state, input_ids, caches, prompt_len, max_len=max_len)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     token = pick(logits, rng, temp)
-    pos0 = jnp.asarray(s, jnp.int32)
+    # Ragged batches decode at per-row positions (each row continues right
+    # after its own prompt, masking the pad K/V the prefill wrote above it).
+    pos0 = jnp.asarray(prompt_len, jnp.int32) if ragged else jnp.asarray(s, jnp.int32)
 
     if stream:
         out = [token]

@@ -343,12 +343,14 @@ class LlamaAttention(nnx.Module):
             if (
                 isinstance(cache, MXLayerKVCache)
                 and cache_position is not None
+                and attention_mask is None
                 and self._fused_cache_attention_ok()
             ):
-                # Cache-backed attention is causal by construction (the
-                # standard prefill/decode masks, ``make_prefill_mask`` /
-                # ``make_decode_mask``), so the fused kernel masks from
-                # (cache_position, cache_position + q_len) directly.
+                # ``attention_mask=None`` + a cache means standard causal
+                # attention over the written prefix: the fused kernel masks
+                # from (cache_position, cache_position + q_len) in-kernel.
+                # An explicit mask always takes the eager path (honored
+                # verbatim).
                 from ..ops import pallas_attention
 
                 new_cache = cache.write(k, v, cache_position)
@@ -367,6 +369,12 @@ class LlamaAttention(nnx.Module):
                 k, v = new_cache.dequantize()
             else:
                 k, v, new_cache = cache.update(k, v, cache_position)
+            if attention_mask is None and cache_position is not None:
+                # Standard causal mask over the written prefix (same
+                # semantics the fused kernel applies in-kernel).
+                attention_mask = _standard_cache_mask(
+                    cache_position, q_len, k.shape[2]
+                )
 
         k = repeat_kv(k, self.num_key_value_groups)
         v = repeat_kv(v, self.num_key_value_groups)
@@ -392,6 +400,20 @@ class LlamaAttention(nnx.Module):
 def _swap_last2(x):
     """Transpose the last two dims of an Array or MXArray."""
     return x.swapaxes(-2, -1)
+
+
+def _standard_cache_mask(cache_position, q_len: int, max_len: int):
+    """Additive causal mask over a static cache: query t (at position
+    ``cache_position + t``) sees cache positions ``<= cache_position + t``.
+    ``cache_position`` may be a scalar or (b,) per-row positions; returns
+    (1 or b, 1, q_len, max_len) fp32."""
+    pos = jnp.asarray(cache_position, jnp.int32)
+    if pos.ndim == 0:
+        pos = pos[None]  # (1,)
+    q_pos = pos[:, None] + jnp.arange(q_len)[None, :]  # (b, q_len)
+    j = jnp.arange(max_len)
+    valid = j[None, None, :] <= q_pos[:, :, None]  # (b, q_len, L)
+    return jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)[:, None, :, :]
 
 
 class LlamaDecoderLayer(nnx.Module):

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from .llama import make_prefill_mask
+
 
 DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024)
 
@@ -66,10 +66,9 @@ class DecodeEngine:
             """Prefill a (1, Lp) prompt against fresh single-slot caches."""
             m = nnx.merge(graphdef, state)
             s = ids.shape[1]
-            mask = make_prefill_mask(s, max_len)[None, None]
             logits, new_caches = m(
                 ids,
-                attention_mask=mask,
+                attention_mask=None,  # standard causal (fused when eligible)
                 position_ids=jnp.arange(s)[None, :],
                 caches=slot_caches,
                 cache_position=0,
@@ -93,11 +92,9 @@ class DecodeEngine:
         def decode_step(state, caches, tokens, pos):
             """One token for every slot, each at its own position."""
             m = nnx.merge(graphdef, state)
-            j = jnp.arange(max_len)[None, :]
-            mask = jnp.where(j <= pos[:, None], 0.0, jnp.finfo(jnp.float32).min)
             logits, new_caches = m(
                 tokens[:, None],
-                attention_mask=mask[:, None, None, :],
+                attention_mask=None,  # per-row standard causal
                 position_ids=pos[:, None],
                 caches=caches,
                 cache_position=pos,

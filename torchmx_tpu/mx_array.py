@@ -98,8 +98,9 @@ def quantize_mx(
     # Backend dispatch: the fused Pallas block-quantize kernel on TPU
     # (bit-identical to both jnp quantizers by contract and by test),
     # the jnp reference path otherwise.
-    mode = env.TORCHMX_QUANTIZE_BACKEND
-    if mode == "pallas" or (mode == "auto" and jax.default_backend() == "tpu"):
+    from .ops.backend import use_pallas
+
+    if use_pallas():
         from .ops.pallas_quantize import quantize_mx_pallas
 
         out = quantize_mx_pallas(data_hp, elem_dtype_name, block_size)

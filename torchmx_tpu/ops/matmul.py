@@ -41,15 +41,7 @@ def _result_dtype(*operands: ArrayLike):
     return operands[0].dtype
 
 
-def _use_pallas() -> bool:
-    mode = env.TORCHMX_QUANTIZE_BACKEND
-    if mode == "pallas":
-        return True
-    if mode == "auto":
-        import jax as _jax
-
-        return _jax.default_backend() == "tpu"
-    return False
+from .backend import use_pallas as _use_pallas
 
 
 def mx_matmul(a: ArrayLike, b: ArrayLike, out_dtype=None) -> Array:

@@ -47,8 +47,7 @@ NEG_INF = -1e30  # finite: keeps exp() NaN-free under fully-masked tiles
 MAX_ROWS = 256  # per-q-tile row budget (group_size * sq_tile)
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from .backend import interpret as _interpret
 
 
 def _lane_block_scale(scale_u8, d: int):

@@ -47,9 +47,7 @@ from ..mx_array import MXArray
 BLOCK = 32  # OCP MX block size; kernels assume block_size == 32
 
 
-def _interpret() -> bool:
-    """Interpreter mode off-TPU (keeps the kernels testable on CPU)."""
-    return jax.default_backend() != "tpu"
+from .backend import interpret as _interpret
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +349,13 @@ def _pick_tiles(M: int, N: int, K: int):
         return None
     while bn > 128 and M * bn * 4 > 8 * 1024 * 1024:
         bn //= 2
-    if N % bn != 0:
+    while bk > 256 and M * bk * 2 > 8 * 1024 * 1024:
+        bk //= 2
+    # Very large M (huge prefill batches) would blow VMEM even at the
+    # smallest tiles: take the XLA fallback instead of a Mosaic compile error.
+    if M * bn * 4 > 16 * 1024 * 1024 or M * bk * 2 > 16 * 1024 * 1024:
+        return None
+    if N % bn != 0 or K % bk != 0:
         return None
     return bn, bk
 

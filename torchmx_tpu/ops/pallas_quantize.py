@@ -36,8 +36,7 @@ from .pallas_matmul import decode_codes_to_bf16, decode_int8_to_bf16
 BLOCK = 32
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from .backend import interpret as _interpret
 
 
 def _block_scale_sublane(exp: jnp.ndarray, max_pow2: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -105,15 +104,23 @@ def _cast_hw_exact(sign, exponent, mantissa, se_full, elem_dtype: dtypes.DType):
 
 
 def _cast_int8(xT_bf16, se_full):
-    """Simulated int8 cast: x / 2^(se-127) with RNE, like the jnp path."""
+    """Simulated int8 cast: x / 2^(se-127) with RNE, like the jnp path.
+
+    bf16-subnormal inputs go through the flush-safe conversion (XLA
+    arithmetic flushes fp32 subnormal operands to zero on both CPU and TPU),
+    keeping the kernel bit-identical to the jnp quantizer."""
+    from ..mx_quantization import bf16_to_f32_flush_safe
+
+    xf, prescale = bf16_to_f32_flush_safe(xT_bf16)
+    shift = 127 - se_full - prescale  # divide by scale, undo the 2^64 prescale
     inv = jax.lax.bitcast_convert_type(
-        (((127 - se_full) >> 1) + 127 << 23).astype(jnp.uint32), jnp.float32
+        (((shift >> 1) + 127) << 23).astype(jnp.uint32), jnp.float32
     )
     inv2 = jax.lax.bitcast_convert_type(
-        (((127 - se_full) - ((127 - se_full) >> 1)) + 127 << 23).astype(jnp.uint32),
+        ((shift - (shift >> 1)) + 127 << 23).astype(jnp.uint32),
         jnp.float32,
     )
-    norm = (xT_bf16.astype(jnp.float32) * inv) * inv2
+    norm = (xf * inv) * inv2
     norm = jnp.clip(norm, -127.0, 127.0)
     norm = jnp.where(jnp.isnan(norm), 0.0, norm)
     return jnp.round(norm).astype(jnp.int32)
@@ -158,6 +165,14 @@ def _fq_magic_cast(x_bf16, se_full, elem_dtype: dtypes.DType):
 
     ``se_full`` is the biased E8M0 scale broadcast to ``x.shape`` (int32).
     NaN-scale blocks (se == 255) decode to NaN, matching ``dequantize_mx``.
+
+    Known limitation (TPU hardware only): when an input lane is a bf16
+    subnormal (< 2^-126) AND its block's scale is small enough that the MX
+    grid resolves it (the whole block below ~2^-109), the fp32 add operand is
+    flushed to zero by the TPU's FTZ arithmetic and the lane fake-quantizes
+    to 0 instead of its tiny nonzero grid point.  Exhaustively bit-exact
+    everywhere else; use ``TORCHMX_QUANTIZE_BACKEND=jnp`` (flush-safe integer
+    path) if that regime matters.
     """
     mb = elem_dtype.mantissa_bits
     bits = jax.lax.bitcast_convert_type(x_bf16, jnp.uint16).astype(jnp.int32)

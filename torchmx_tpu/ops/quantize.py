@@ -7,13 +7,7 @@ import jax
 from .. import env_variables as env
 
 
-def _use_pallas() -> bool:
-    mode = env.TORCHMX_QUANTIZE_BACKEND
-    if mode == "pallas":
-        return True
-    if mode == "auto":
-        return jax.default_backend() == "tpu"
-    return False
+from .backend import use_pallas as _use_pallas
 
 
 def mx_fake_quantize(x: jax.Array, elem_dtype_name, block_size: int = 32) -> jax.Array:

@@ -44,7 +44,8 @@ MLP_LAYERS: Dict[Type, Type] = {
 
 
 def _iter_children(module):
-    """Yield (name_or_index, parent_container, child_module) pairs."""
+    """Yield (key, parent_module, child_module); children inside list/tuple
+    attributes use a composite ``(attr_name, index)`` key."""
     for name, value in vars(module).items():
         if isinstance(name, str) and name.startswith("_"):
             continue
@@ -53,12 +54,23 @@ def _iter_children(module):
         elif isinstance(value, (list, tuple)):
             for i, item in enumerate(value):
                 if isinstance(item, nnx.Module):
-                    yield i, value, item
+                    yield (name, i), module, item
 
 
 def _set_child(parent, key, new_child):
-    if isinstance(parent, (nnx.List, list)):
-        parent[key] = new_child
+    if isinstance(key, tuple):
+        name, i = key
+        container = getattr(parent, name)
+        if isinstance(container, tuple):
+            # Tuples are immutable: rebuild and rebind.  Write through
+            # __dict__ — the attribute's nnx data status was established by
+            # the original assignment and the structure is unchanged, while
+            # plain setattr rejects module-bearing tuple rebinds.
+            vars(parent)[name] = container[:i] + (new_child,) + container[i + 1 :]
+        else:
+            container[i] = new_child
+    elif isinstance(key, int):
+        parent[key] = new_child  # nnx.List stores children under int keys
     else:
         setattr(parent, key, new_child)
 
@@ -77,7 +89,8 @@ def replace_with_custom_fn_if_matches_filter(
     if filter_fn(model, cur_fqn):
         return replacement_fn(model)
     for key, parent, child in _iter_children(model):
-        fqn = f"{cur_fqn}{key}." if isinstance(key, str) else f"{cur_fqn}{key}."
+        name = f"{key[0]}.{key[1]}" if isinstance(key, tuple) else str(key)
+        fqn = f"{cur_fqn}{name}."
         if filter_fn(child, fqn):
             _set_child(parent, key, replacement_fn(child))
         else:

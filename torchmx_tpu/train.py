@@ -51,14 +51,17 @@ def make_qat_train_step(model, qconfig: QLinearConfig, learning_rate: float = 1e
     pure jittable function over the NNX state pytree; shard the state with
     ``parallel.shard_model`` before jitting for multi-chip execution.
     """
-    graphdef, state = nnx.split(model)
+    # Split trainable params from non-trainable buffers (e.g. the RoPE
+    # ``inv_freq`` table, an nnx.Variable on the differentiable path — it
+    # must not receive optimizer updates).
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     tx = optax.adam(learning_rate)
-    opt_state = tx.init(state)
+    opt_state = tx.init(params)
     transform = fake_quantize_linear_weights(model, qconfig)
 
-    def loss_fn(state, input_ids, labels):
-        fq_state = transform(state)
-        m = nnx.merge(graphdef, fq_state)
+    def loss_fn(params, input_ids, labels):
+        fq_params = transform(params)
+        m = nnx.merge(graphdef, fq_params, rest)
         logits, _ = m(input_ids)
         logits = logits.astype(jnp.float32)
         loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -66,10 +69,10 @@ def make_qat_train_step(model, qconfig: QLinearConfig, learning_rate: float = 1e
         )
         return loss.mean()
 
-    def train_step(state, opt_state, input_ids, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(state, input_ids, labels)
-        updates, opt_state = tx.update(grads, opt_state, state)
-        state = optax.apply_updates(state, updates)
-        return state, opt_state, loss
+    def train_step(params, opt_state, input_ids, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, input_ids, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
 
-    return train_step, state, opt_state, graphdef
+    return train_step, params, opt_state, graphdef
