@@ -61,7 +61,7 @@ def run_both(q, cache, q_off, kv_len, hq):
     return out
 
 
-@pytest.mark.parametrize("elem", ["float8_e4m3", "float6_e2m3", "int8"])
+@pytest.mark.parametrize("elem", ["float8_e4m3", "float6_e2m3", "float4_e2m1", "int8"])
 @pytest.mark.parametrize("sq,q_off", [(1, 99), (4, 96)])
 def test_fused_decode_matches_reference(elem, sq, q_off):
     b, hq, hkv, d, L = 2, 4, 2, 128, 256
@@ -109,9 +109,13 @@ def test_fused_eligibility_gates():
     q = jnp.zeros((b, hq, 1, d), jnp.bfloat16)
     old = _force_fused()
     try:
-        # fp4 cache -> fallback (nibble-packed lanes)
+        # fp4 caches are eligible (halves-packed along head_dim)
         c4 = MXLayerKVCache.create(b, hkv, L, d, "float4_e2m1", 32)
-        assert pa.cached_attention_any(q, c4, 0, 1, 1.0) is None
+        assert pa.cached_attention_any(q, c4, 0, 1, 1.0) is not None
+        # head_dim not a lane multiple -> fallback
+        c96 = MXLayerKVCache.create(b, hkv, L, 96, "float8_e4m3", 32)
+        q96 = jnp.zeros((b, hq, 1, 96), jnp.bfloat16)
+        assert pa.cached_attention_any(q96, c96, 0, 1, 1.0) is None
         # off -> fallback
         c8 = MXLayerKVCache.create(b, hkv, L, d, "float8_e4m3", 32)
         env.TORCHMX_FUSED_ATTENTION = "off"

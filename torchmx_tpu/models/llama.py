@@ -181,9 +181,11 @@ class MXLayerKVCache:
     keeps its cache in high precision — ``mx_llama_attention.py:180`` TODO).
 
     K and V are stored quantized along ``head_dim`` (per-token blocks), 4-8x
-    smaller than bf16 in HBM; dequantized on read.  Payloads are kept
-    unpacked-per-byte here (fp4 packing in the cache lands with the Pallas
-    paged-attention kernel).
+    smaller than bf16 in HBM; dequantized on read (or decoded in-kernel by
+    the fused attention).  fp4 payloads pack two codes per byte in the
+    "halves" layout along head_dim — byte ``l`` holds elements
+    ``(l, l + d/2)`` — so the fused kernel reads each nibble plane as a
+    contiguous half (no strided lane access).
     """
 
     k_data: Array  # uint8/int8 (b, kv, max_len, d)
@@ -218,12 +220,32 @@ class MXLayerKVCache:
             block_size=block_size,
         )
 
+    def _pack(self, codes: Array) -> Array:
+        """fp4: adjacent-pair packed (quantize_mx output) -> d-halves bytes."""
+        if self.elem_dtype_name != "float4_e2m1":
+            return codes
+        from ..packing import unpack_uint4
+
+        u = unpack_uint4(codes, packing_dim=-1)  # (..., d) one code per byte
+        half = u.shape[-1] // 2
+        return ((u[..., :half] << 4) | (u[..., half:] & 0xF)).astype(jnp.uint8)
+
+    def _unpack(self, data: Array) -> Array:
+        """Inverse of :meth:`_pack`: d-halves bytes -> adjacent-pair packed."""
+        if self.elem_dtype_name != "float4_e2m1":
+            return data
+        from ..packing import pack_uint4
+
+        codes = jnp.concatenate([data >> 4, data & 0xF], axis=-1)
+        return pack_uint4(codes.astype(jnp.uint8), packing_dim=-1)
+
     def write(self, k_new: Array, v_new: Array, pos: Array) -> "MXLayerKVCache":
         """Quantize incoming K/V along head_dim and write codes at ``pos``."""
         from ..mx_array import quantize_mx
 
         ks, kd = quantize_mx(k_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size)
         vs, vd = quantize_mx(v_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size)
+        kd, vd = self._pack(kd), self._pack(vd)
         return MXLayerKVCache(
             k_data=_seq_scatter(self.k_data, kd, pos),
             k_scale=_seq_scatter(self.k_scale, ks, pos),
@@ -238,10 +260,12 @@ class MXLayerKVCache:
         from ..mx_array import dequantize_mx
 
         k = dequantize_mx(
-            self.k_data, self.k_scale, self.elem_dtype_name, self.block_size, jnp.bfloat16, 3
+            self._unpack(self.k_data), self.k_scale, self.elem_dtype_name,
+            self.block_size, jnp.bfloat16, 3,
         )
         v = dequantize_mx(
-            self.v_data, self.v_scale, self.elem_dtype_name, self.block_size, jnp.bfloat16, 3
+            self._unpack(self.v_data), self.v_scale, self.elem_dtype_name,
+            self.block_size, jnp.bfloat16, 3,
         )
         return k, v
 

@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import dtypes
 from .. import env_variables as env
-from .pallas_matmul import decode_codes_to_bf16, decode_int8_to_bf16
+from .pallas_matmul import decode_codes_to_bf16, decode_fp4_to_bf16, decode_int8_to_bf16
 
 BLOCK = 32
 NEG_INF = -1e30  # finite: keeps exp() NaN-free under fully-masked tiles
@@ -66,6 +66,23 @@ def _lane_block_scale(scale_u8, d: int):
     return sef.astype(jnp.int32)
 
 
+def _lane_block_scale_half(scale_u8, d_half: int, block_offset: int):
+    """Like :func:`_lane_block_scale` but selecting block rows
+    ``[block_offset, block_offset + d_half/32)`` of the full scale tile —
+    avoids sub-lane slicing of the (Lt, d/32) scale array."""
+    nb = scale_u8.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb, d_half), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb, d_half), 0)
+    b = (col // BLOCK + block_offset == row).astype(jnp.float32)
+    sef = jax.lax.dot_general(
+        scale_u8.astype(jnp.int32).astype(jnp.float32),
+        b,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return sef.astype(jnp.int32)
+
+
 def _decode_tile(codes_u8, scale_u8, elem: dtypes.DType, d: int):
     """(Lt, d) codes + (Lt, d//32) scales -> (Lt, d) bf16."""
     codes = codes_u8.astype(jnp.int32)
@@ -73,6 +90,20 @@ def _decode_tile(codes_u8, scale_u8, elem: dtypes.DType, d: int):
     if elem == dtypes.int8:
         return decode_int8_to_bf16(codes, se)
     return decode_codes_to_bf16(codes, se, elem)
+
+
+def _decode_fp4_halves(bytes_u8, scale_u8, d: int):
+    """(Lt, d/2) halves-packed fp4 bytes -> two (Lt, d/2) bf16 planes
+    (elements [0, d/2) and [d/2, d)), each against its own scale rows."""
+    b = bytes_u8.astype(jnp.int32)
+    half = d // 2
+    nb2 = half // BLOCK
+    se_hi = _lane_block_scale_half(scale_u8, half, 0)
+    se_lo = _lane_block_scale_half(scale_u8, half, nb2)
+    return (
+        decode_fp4_to_bf16((b >> 4) & 0xF, se_hi),
+        decode_fp4_to_bf16(b & 0xF, se_lo),
+    )
 
 
 def _attn_kernel(
@@ -116,10 +147,21 @@ def _attn_kernel(
     @pl.when(work)
     def _():
         q = q_ref[0, 0]  # (rows, d) bf16, rows ordered (si, gi)
-        kf = _decode_tile(kd_ref[0, 0], ks_ref[0, 0], elem, d)  # (lt, d)
-        s = jax.lax.dot_general(
-            q, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        dn_qk = (((1,), (1,)), ((), ()))
+        if elem == dtypes.float4_e2m1:
+            # Halves-packed fp4: decode the two nibble planes and split the
+            # contraction (q[:, :d/2] @ k_hi^T + q[:, d/2:] @ k_lo^T).
+            k_hi, k_lo = _decode_fp4_halves(kd_ref[0, 0], ks_ref[0, 0], d)
+            s = jax.lax.dot_general(
+                q[:, : d // 2], k_hi, dn_qk, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                q[:, d // 2 :], k_lo, dn_qk, preferred_element_type=jnp.float32
+            )
+        else:
+            kf = _decode_tile(kd_ref[0, 0], ks_ref[0, 0], elem, d)  # (lt, d)
+            s = jax.lax.dot_general(
+                q, kf, dn_qk, preferred_element_type=jnp.float32
+            )
         s = s * sm_scale
         # Causal + prefix mask, computed from indices.
         q_pos = q_off + qt * sqt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 0) // g
@@ -133,11 +175,22 @@ def _attn_kernel(
         p = jnp.exp(s - m_new)
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-        vf = _decode_tile(vd_ref[0, 0], vs_ref[0, 0], elem, d)  # (lt, d)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dn_pv = (((1,), (0,)), ((), ()))
+        p16 = p.astype(jnp.bfloat16)
+        if elem == dtypes.float4_e2m1:
+            v_hi, v_lo = _decode_fp4_halves(vd_ref[0, 0], vs_ref[0, 0], d)
+            pv = jnp.concatenate(
+                [
+                    jax.lax.dot_general(p16, v_hi, dn_pv, preferred_element_type=jnp.float32),
+                    jax.lax.dot_general(p16, v_lo, dn_pv, preferred_element_type=jnp.float32),
+                ],
+                axis=1,
+            )
+        else:
+            vf = _decode_tile(vd_ref[0, 0], vs_ref[0, 0], elem, d)  # (lt, d)
+            pv = jax.lax.dot_general(
+                p16, vf, dn_pv, preferred_element_type=jnp.float32
+            )
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:, :1] = m_new
 
@@ -156,6 +209,7 @@ def _mx_cached_attention(
 ):
     b, hkv, rows, d = q4.shape
     L = k_data.shape[2]
+    dp = k_data.shape[3]  # payload width: d, or d/2 for halves-packed fp4
     nb = d // BLOCK
     rows_t = sqt * g
     grid = (b, hkv, rows // rows_t, L // lt)
@@ -169,9 +223,9 @@ def _mx_cached_attention(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, rows_t, d), lambda ib, ih, qt, kt: (ib, ih, qt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lt, d), lambda ib, ih, qt, kt: (ib, ih, kt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt, dp), lambda ib, ih, qt, kt: (ib, ih, kt, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lt, nb), lambda ib, ih, qt, kt: (ib, ih, kt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lt, d), lambda ib, ih, qt, kt: (ib, ih, kt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt, dp), lambda ib, ih, qt, kt: (ib, ih, kt, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lt, nb), lambda ib, ih, qt, kt: (ib, ih, kt, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -238,11 +292,10 @@ def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Arra
     if cache.block_size != BLOCK:
         return None
     elem = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[cache.elem_dtype_name]
-    if elem == dtypes.float4_e2m1:
-        return None  # nibble-packed lanes: fallback path
     b, hq, sq, d = q.shape
     _, hkv, L, dp = cache.k_data.shape
-    if d % 128 != 0 or dp != d or hq % hkv != 0:
+    want_dp = d // 2 if elem == dtypes.float4_e2m1 else d  # fp4: d-halves bytes
+    if d % 128 != 0 or dp != want_dp or hq % hkv != 0:
         return None
     g = hq // hkv
     lt = _pick_lt(L)
