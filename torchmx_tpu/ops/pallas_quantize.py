@@ -166,13 +166,12 @@ def _fq_magic_cast(x_bf16, se_full, elem_dtype: dtypes.DType):
     ``se_full`` is the biased E8M0 scale broadcast to ``x.shape`` (int32).
     NaN-scale blocks (se == 255) decode to NaN, matching ``dequantize_mx``.
 
-    Known limitation (TPU hardware only): when an input lane is a bf16
-    subnormal (< 2^-126) AND its block's scale is small enough that the MX
-    grid resolves it (the whole block below ~2^-109), the fp32 add operand is
-    flushed to zero by the TPU's FTZ arithmetic and the lane fake-quantizes
-    to 0 instead of its tiny nonzero grid point.  Exhaustively bit-exact
-    everywhere else; use ``TORCHMX_QUANTIZE_BACKEND=jnp`` (flush-safe integer
-    path) if that regime matters.
+    Subnormal handling: fp32 magic-add arithmetic on bf16-subnormal inputs
+    relies on the backend honoring fp32 subnormal operands.  Verified
+    exhaustively (all 2^16 bf16 patterns, incl. all-subnormal blocks) against
+    the quantize+dequantize reference on both CPU and TPU v5e hardware
+    (``tools/check_fake_quantize_exhaustive.py``); re-run that check when
+    targeting a new TPU generation.
     """
     mb = elem_dtype.mantissa_bits
     bits = jax.lax.bitcast_convert_type(x_bf16, jnp.uint16).astype(jnp.int32)
