@@ -46,27 +46,33 @@ def _timed_loop(step_fn, q, *consts):
 
 
 def main():
+    import sys
+
+    elem = sys.argv[1] if len(sys.argv) > 1 else "float8_e4m3"
+    sq = int(sys.argv[2]) if len(sys.argv) > 2 else 1  # >1 = prefill shape
+
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((B, HQ, 1, D)) * 0.3, jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, HQ, sq, D)) * 0.3, jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
-    mx_cache = MXLayerKVCache.create(B, HKV, L, D, "float8_e4m3", 32).write(k, v, 0)
+    mx_cache = MXLayerKVCache.create(B, HKV, L, D, elem, 32).write(k, v, 0)
     hp_cache = LayerKVCache(k=k, v=v)
     mask = jnp.zeros((1, 1, 1, L), jnp.float32)
+    q_off, kv_len = L - sq, L
 
     def fused_step(q, kd, ks, vd, vs):
         cache = MXLayerKVCache(
             k_data=kd, k_scale=ks, v_data=vd, v_scale=vs,
-            elem_dtype_name="float8_e4m3", block_size=32,
+            elem_dtype_name=elem, block_size=32,
         )
-        out = pa.cached_attention_any(q, cache, L - 1, L, SCALE)
+        out = pa.cached_attention_any(q, cache, q_off, kv_len, SCALE)
         assert out is not None
         return out
 
     def dequant_step(q, kd, ks, vd, vs):
         cache = MXLayerKVCache(
             k_data=kd, k_scale=ks, v_data=vd, v_scale=vs,
-            elem_dtype_name="float8_e4m3", block_size=32,
+            elem_dtype_name=elem, block_size=32,
         )
         kf, vf = cache.dequantize()
         kf = repeat_kv(kf, HQ // HKV)
@@ -94,8 +100,11 @@ def main():
         t_b = _timed_loop(bf16_step, q, hp_cache.k, hp_cache.v)
     finally:
         env.TORCHMX_FUSED_ATTENTION = old
-    cache_mb = (np.prod(mx_cache.k_data.shape) * 2 + np.prod(mx_cache.k_scale.shape) * 2) / 1e6
-    print(f"decode attention (b={B} hq={HQ} hkv={HKV} d={D} L={L}, fp8 cache {cache_mb:.1f}MB):")
+    cache_mb = (
+        np.prod(mx_cache.k_data.shape) + np.prod(mx_cache.k_scale.shape)
+    ) * 2 / 1e6
+    print(f"attention (b={B} hq={HQ} hkv={HKV} d={D} L={L} sq={sq}, "
+          f"{elem} cache {cache_mb:.1f}MB):")
     print(f"  fused MX kernel   : {t_f:7.3f} ms")
     print(f"  dequantize path   : {t_d:7.3f} ms  ({t_d/t_f:.2f}x slower)")
     print(f"  bf16 cache (eager): {t_b:7.3f} ms  ({t_b/t_f:.2f}x vs fused)")
