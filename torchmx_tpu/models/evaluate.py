@@ -11,7 +11,6 @@ dumps or HF datasets on disk.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -19,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from .llama import make_prefill_mask
 
 
 _LOGPROB_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
@@ -37,8 +35,9 @@ def _make_token_logprobs(model):
 
     if _LOGPROB_CACHE is None:
         _LOGPROB_CACHE = weakref.WeakKeyDictionary()
-    if model not in _LOGPROB_CACHE:
-        graphdef, _ = nnx.split(model)
+    graphdef, _ = nnx.split(model)
+    entry = _LOGPROB_CACHE.get(model)
+    if entry is None or entry[0] != graphdef:  # invalidate on surgery
 
         @jax.jit
         def f(state, input_ids):
@@ -50,8 +49,8 @@ def _make_token_logprobs(model):
                 logp[:, :-1, :], input_ids[:, 1:, None].astype(jnp.int32), axis=2
             )[..., 0]
 
-        _LOGPROB_CACHE[model] = f
-    f = _LOGPROB_CACHE[model]
+        _LOGPROB_CACHE[model] = (graphdef, f)
+    f = _LOGPROB_CACHE[model][1]
     return lambda ids: f(nnx.state(model), ids)
 
 
@@ -111,7 +110,10 @@ def score_choices(
     picks = []
     for ctx, choices in zip(context_ids, choice_ids):
         rows, starts, lens = [], [], []
+        # Bucket the padded width so thousands of near-unique example lengths
+        # share a handful of compiled shapes.
         width = max(len(ctx) + len(c) for c in choices)
+        width = (width + 63) // 64 * 64
         for c in choices:
             row = list(ctx) + list(c)
             rows.append(row + [pad_id] * (width - len(row)))

@@ -27,11 +27,14 @@ _SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _session(model, greedy: bool):
+    graphdef, _ = nnx.split(model)
     fns = _SESSIONS.setdefault(model, {})
     key = ("v1", greedy)
-    if key in fns:
-        return fns[key]
-    graphdef, _ = nnx.split(model)
+    entry = fns.get(key)
+    # Invalidate on structure change (e.g. quantize_llm_ surgery after a
+    # prior generate() on the same object).
+    if entry is not None and entry[0] == graphdef:
+        return entry[1]
 
     prefill = jax.jit(
         functools.partial(_prefill, graphdef), static_argnames="max_len"
@@ -61,8 +64,9 @@ def _session(model, greedy: bool):
         )
         return tokens  # (steps, b)
 
-    fns[key] = (prefill, decode, decode_all, pick)
-    return fns[key]
+    built = (prefill, decode, decode_all, pick)
+    fns[key] = (graphdef, built)
+    return built
 
 
 def _prefill(graphdef, state, input_ids, caches, prompt_len, max_len):

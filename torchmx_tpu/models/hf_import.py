@@ -68,6 +68,12 @@ def _assign_params(model, named_arrays, strict: bool = True):
         param = getattr(obj, leaf)
         value = _to_bf16_jnp(arr)
         if isinstance(obj, MXInferenceLinear) and leaf == "weight":
+            expected = (obj.out_features, obj.in_features)
+            if tuple(value.shape) != expected:
+                raise ValueError(
+                    f"shape mismatch for {name}: expected {expected}, got "
+                    f"{tuple(value.shape)}"
+                )
             quantized = MXInferenceLinear.from_weights(value, None, obj.qconfig)
             param.set_value(quantized.weight.get_value())
             assigned += 1

@@ -24,7 +24,7 @@ Usage::
 
 from __future__ import annotations
 
-import functools
+
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -48,12 +48,19 @@ class DecodeEngine:
         *,
         kv_cache_config=None,
         prefill_buckets: Sequence[int] = DEFAULT_BUCKETS,
-        rng: Optional[jax.Array] = None,
     ):
         self.model = model
         self.max_batch = max_batch
+        if kv_cache_config is not None:
+            # KV-tile multiple: keeps the fused MX-cache attention eligible.
+            max_len = (max_len + 127) // 128 * 128
         self.max_len = max_len
-        self.buckets = tuple(b for b in sorted(prefill_buckets) if b <= max_len)
+        buckets = [b for b in sorted(prefill_buckets) if b <= max_len]
+        if not buckets or buckets[-1] < max_len:
+            buckets.append(max_len)  # prompts up to the cache size always fit
+        self.buckets = tuple(buckets)
+        # Weights are snapshotted here; call refresh_state() after in-place
+        # weight updates (checkpoint restore, etc.).
         graphdef, self._state = nnx.split(model)
         self._caches = model.init_cache(max_batch, max_len, kv_cache_config)
         # Per-slot host state.
@@ -108,11 +115,17 @@ class DecodeEngine:
 
     # -- request lifecycle -----------------------------------------------------
 
+    def refresh_state(self) -> None:
+        """Re-snapshot the model's weights (after an in-place update)."""
+        _, self._state = nnx.split(self.model)
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
                 return b
-        raise ValueError(f"prompt length {n} exceeds largest bucket {self.buckets[-1]}")
+        raise ValueError(
+            f"prompt length {n} exceeds the cache length {self.max_len}"
+        )
 
     def free_slots(self) -> List[int]:
         return [i for i in range(self.max_batch) if not self.active[i]]

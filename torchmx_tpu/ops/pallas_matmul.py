@@ -385,9 +385,12 @@ def _run_kernel_tiles(x_hp, w: MXArray, out_dtype, bn, bk) -> Optional[jax.Array
     if w.elem_dtype == dtypes.float4_e2m1:
         if w.fp4_pack == "halves":
             # The per-half scale tile is (bk/64, bn); TPU blocks need the
-            # second-minor dim divisible by 8, so bk must be >= 512.
+            # second-minor dim divisible by 8, so bk must be >= 512 — but
+            # only if that still respects the VMEM caps _pick_tiles enforced.
             if bk % 512 != 0:
-                bk = 512 if K % 512 == 0 else None
+                M = x_hp.shape[0]
+                ok = K % 512 == 0 and M * 512 * 2 <= 16 * 1024 * 1024
+                bk = 512 if ok else None
             if bk is None:
                 return None
             return _pallas_matmul_fp4_halves(

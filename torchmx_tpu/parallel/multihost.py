@@ -68,9 +68,11 @@ def create_hybrid_mesh(model_parallelism: Optional[int] = None) -> Mesh:
     n_proc = jax.process_count()
     if model_parallelism is None:
         model_parallelism = n_local
-    assert n_local % model_parallelism == 0 or model_parallelism % n_local == 0, (
-        f"model_parallelism {model_parallelism} incompatible with "
-        f"{n_local} local devices"
+    # TP collectives must ride ICI: a model group may not span hosts.
+    assert model_parallelism <= n_local and n_local % model_parallelism == 0, (
+        f"model_parallelism {model_parallelism} must divide the {n_local} "
+        f"local (ICI-connected) devices — host-spanning TP would put tensor "
+        f"collectives on DCN"
     )
     total = n_local * n_proc
     data = total // model_parallelism
@@ -78,7 +80,7 @@ def create_hybrid_mesh(model_parallelism: Optional[int] = None) -> Mesh:
         from jax.experimental import mesh_utils
 
         dev = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(data // n_proc if data >= n_proc else 1, model_parallelism),
+            mesh_shape=(n_local // model_parallelism, model_parallelism),
             dcn_mesh_shape=(n_proc, 1),
         )
         # create_hybrid_device_mesh returns (dcn*ici_data, model)

@@ -47,6 +47,11 @@ def pipeline_apply(
     Returns ``stage_{S-1}(... stage_0(x))`` computed on the pipeline.
     """
     n_stages = mesh.shape[axis]
+    for leaf in jax.tree_util.tree_leaves(stacked_params):
+        assert leaf.shape[0] == n_stages, (
+            f"stacked param leading dim {leaf.shape[0]} != {n_stages} stages "
+            f"(a clean multiple would silently drop stages)"
+        )
     b = x.shape[0]
     assert b % n_microbatches == 0, (b, n_microbatches)
     mb = b // n_microbatches
