@@ -85,10 +85,11 @@ def main():
         ).astype(jnp.bfloat16)
 
     def mx_step(x, w_mx):
-        from torchmx_tpu.ops import mx_fake_quantize
+        # Dynamic activation quantization fused into the matmul kernel
+        # (exactly what MXInferenceLinear runs per forward).
+        from torchmx_tpu.ops import mx_dynamic_matmul
 
-        x_fq = mx_fake_quantize(x, "float8_e4m3", 32)
-        return mx_matmul(x_fq, w_mx, out_dtype=jnp.bfloat16)
+        return mx_dynamic_matmul(x, w_mx, "float8_e4m3", 32, out_dtype=jnp.bfloat16)
 
     t_bf16 = _timed_loop(bf16_step, x, w)
     t_mx = _timed_loop(mx_step, x, w_mx)

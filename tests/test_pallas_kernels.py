@@ -226,3 +226,108 @@ def test_decode_fp4_specialized_matches_generic():
         np.testing.assert_array_equal(
             np.asarray(a).view(np.uint16), np.asarray(b).view(np.uint16)
         )
+
+
+@pytest.mark.parametrize("ename", ALL_NAMES)
+def test_fused_act_quant_matmul_bit_matches_two_pass(ename):
+    """matmul_any(act_fq=...) (fq fused into the kernel prologue) must be
+    bit-identical to fake-quantize -> matmul_any on the same backend."""
+    from torchmx_tpu.ops import mx_fake_quantize
+
+    x = rand_bf16(7, (128, 256), spread=2.0)
+    w = (jax.random.normal(jax.random.PRNGKey(8), (128, 256)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    w_km = MXArray.to_mx(w, ename, 32).T
+    fused = pm.matmul_any(x, w_km, jnp.bfloat16, act_fq="float8_e4m3")
+    assert fused is not None
+    old = env.TORCHMX_QUANTIZE_BACKEND
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "pallas"
+        x_fq = mx_fake_quantize(x, "float8_e4m3", 32)
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old
+    two_pass = pm.matmul_any(x_fq, w_km, jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(fused, np.float32), np.asarray(two_pass, np.float32)
+    )
+
+
+def test_fused_act_quant_fp4_pair_joint_scale():
+    """The fp4 'pair' kernel splits x into even/odd K-planes; the fused fq
+    must still compute block scales over the *original* 32-element blocks."""
+    from torchmx_tpu.ops import mx_fake_quantize
+
+    x = rand_bf16(9, (16, 512), spread=2.0)
+    w = (jax.random.normal(jax.random.PRNGKey(10), (512, 256)) * 0.1).astype(
+        jnp.bfloat16
+    )
+    w_mx = MXArray.to_mx(w.T, "float4_e2m1", 32).T  # pair-packed kernel layout
+    assert w_mx.fp4_pack == "pair"
+    fused = pm.matmul_any(x, w_mx, jnp.bfloat16, act_fq="float8_e4m3")
+    assert fused is not None
+    old = env.TORCHMX_QUANTIZE_BACKEND
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "pallas"
+        x_fq = mx_fake_quantize(x, "float8_e4m3", 32)
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old
+    two_pass = pm.matmul_any(x_fq, w_mx, jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(fused, np.float32), np.asarray(two_pass, np.float32)
+    )
+
+
+def test_fused_act_quant_fp4_halves():
+    x = rand_bf16(11, (8, 512), spread=2.0)
+    w = (jax.random.normal(jax.random.PRNGKey(12), (512, 256)) * 0.1).astype(
+        jnp.bfloat16
+    )
+    w_mx = MXArray.to_mx(w.T, "float4_e2m1", 32).T.to_fp4_halves()
+    from torchmx_tpu.ops import mx_fake_quantize
+
+    fused = pm.matmul_any(x, w_mx, jnp.bfloat16, act_fq="float8_e4m3")
+    assert fused is not None
+    old = env.TORCHMX_QUANTIZE_BACKEND
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "pallas"
+        x_fq = mx_fake_quantize(x, "float8_e4m3", 32)
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old
+    two_pass = pm.matmul_any(x_fq, w_mx, jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(fused, np.float32), np.asarray(two_pass, np.float32)
+    )
+
+
+def test_mx_dynamic_matmul_matches_jnp_reference():
+    """The public fused op must match fake-quantize + dequant-dot on jnp."""
+    from torchmx_tpu.ops import mx_dynamic_matmul, mx_fake_quantize, mx_matmul
+
+    x = rand_bf16(13, (32, 128), spread=1.0)
+    w_km = MXArray.to_mx(
+        (jax.random.normal(jax.random.PRNGKey(14), (64, 128)) * 0.1).astype(
+            jnp.bfloat16
+        ),
+        "float8_e4m3",
+        32,
+    ).T
+    old = env.TORCHMX_QUANTIZE_BACKEND
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "pallas"
+        fused = mx_dynamic_matmul(x, w_km, "float8_e4m3", 32, out_dtype=jnp.bfloat16)
+        env.TORCHMX_QUANTIZE_BACKEND = "jnp"
+        ref = mx_matmul(
+            mx_fake_quantize(x, "float8_e4m3", 32), w_km, out_dtype=jnp.bfloat16
+        )
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old
+    if jax.default_backend() == "tpu":
+        np.testing.assert_array_equal(
+            np.asarray(fused, np.float32), np.asarray(ref, np.float32)
+        )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(fused, np.float32), np.asarray(ref, np.float32),
+            rtol=5e-3, atol=1e-3,
+        )

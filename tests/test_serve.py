@@ -99,3 +99,67 @@ def test_engine_staggered_requests_are_independent():
     sc = engine.add(p_c)
     assert sc in (sa, sb)  # slot recycled
     assert collect(engine, sc, 5) == want_c
+
+
+def test_engine_eos_auto_release():
+    model = tiny_model()
+    rng = np.random.RandomState(3)
+    prompt = rng.randint(0, 128, (6,)).tolist()
+    # Declare the SECOND greedily generated token EOS: the engine must emit
+    # the first token, then auto-release without emitting the EOS itself.
+    want = ref_tokens(model, prompt, 2)
+    engine = DecodeEngine(model, max_batch=2, max_len=64, eos_token_id=want[1])
+    slot = engine.add(prompt)
+    assert engine.is_active(slot)
+    emitted = []
+    steps = 0
+    while engine.is_active(slot):
+        out = engine.step()
+        emitted += [out[slot]] if slot in out else []
+        steps += 1
+        assert steps < 64
+    assert emitted == [want[0]]  # EOS not emitted
+    assert engine.finished_reason[slot] == "eos"
+    assert not engine.is_active(slot)
+    assert slot in engine.free_slots()
+    # add() on the recycled slot clears the reason.
+    slot2 = engine.add(prompt)
+    assert slot2 == slot and slot not in engine.finished_reason
+
+
+def test_engine_cache_full_eviction_is_signaled():
+    model = tiny_model()
+    rng = np.random.RandomState(4)
+    prompt = rng.randint(0, 128, (4,)).tolist()
+    engine = DecodeEngine(model, max_batch=1, max_len=32)
+    slot = engine.add(prompt)
+    n = 0
+    while engine.is_active(slot):
+        out = engine.step()
+        n += len(out)
+        assert n <= 32
+    assert engine.finished_reason[slot] == "cache_full"
+    assert engine.pos[slot] == 0  # stale position zeroed on eviction
+
+
+def test_engine_sampling_temperature_topk():
+    model = tiny_model()
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(0, 128, (8,)).tolist()
+    a = DecodeEngine(model, max_batch=1, max_len=64, temperature=0.8, top_k=8, seed=7)
+    b = DecodeEngine(model, max_batch=1, max_len=64, temperature=0.8, top_k=8, seed=7)
+    sa, sb = a.add(prompt), b.add(prompt)
+    ta = collect(a, sa, 8)
+    tb = collect(b, sb, 8)
+    # Same seed -> identical streams; tokens must be valid vocab ids.
+    assert ta == tb
+    assert all(0 <= t < 128 for t in ta)
+    # A different seed diverges (overwhelmingly likely over 8 sampled steps).
+    c = DecodeEngine(model, max_batch=1, max_len=64, temperature=0.8, top_k=8, seed=99)
+    sc = c.add(prompt)
+    tc = collect(c, sc, 8)
+    assert tc != ta or True  # divergence is probabilistic; don't hard-fail
+    # Greedy default is unchanged by the sampling plumbing.
+    g = DecodeEngine(model, max_batch=1, max_len=64)
+    sg = g.add(prompt)
+    assert collect(g, sg, 8) == ref_tokens(model, prompt, 8)

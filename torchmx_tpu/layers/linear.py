@@ -19,7 +19,7 @@ from flax import nnx
 
 from ..config import QLinearConfig
 from ..mx_array import MXArray
-from ..ops import mx_fake_quantize, mx_matmul
+from ..ops import mx_dynamic_matmul
 
 
 class Linear(nnx.Module):
@@ -116,13 +116,17 @@ class MXInferenceLinear(nnx.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         a_cfg = self.qconfig.activations_config
-        # Dynamic activation quantization: a fused single-pass kernel on the
-        # Pallas backend, a quantize->dequantize pair on the jnp path; the
-        # subsequent matmul consumes the roundtripped bf16 values either way.
-        x_fq = mx_fake_quantize(
-            x.astype(jnp.bfloat16), a_cfg.elem_dtype_name, a_cfg.block_size
+        # Dynamic activation quantization fused into the matmul kernel on the
+        # Pallas backend (the x tile is fake-quantized in VMEM — no separate
+        # HBM pass); the jnp path runs the quantize->dequantize pair then the
+        # dequant-dot.  Numerics are identical either way.
+        out = mx_dynamic_matmul(
+            x.astype(jnp.bfloat16),
+            self.weight.get_value(),
+            a_cfg.elem_dtype_name,
+            a_cfg.block_size,
+            out_dtype=jnp.bfloat16,
         )
-        out = mx_matmul(x_fq, self.weight.get_value(), out_dtype=jnp.bfloat16)
         if self.bias is not None:
             out = out + self.bias.get_value().astype(out.dtype)
         return out

@@ -70,7 +70,13 @@ def sequence_logprob(
 
 
 def perplexity(model, token_ids: np.ndarray, *, seq_len: int = 512, batch_size: int = 8) -> float:
-    """Sliding-window perplexity over a 1-D token stream (wikitext-style)."""
+    """Non-overlapping chunked perplexity over a 1-D token stream.
+
+    The stream is split into disjoint ``seq_len`` chunks; each chunk's first
+    token gets no context, so this reports slightly worse PPL than a true
+    sliding window (wikitext-style numbers computed with overlapping strides
+    are not directly comparable).
+    """
     n = (len(token_ids) // seq_len) * seq_len
     chunks = np.asarray(token_ids[:n], np.int32).reshape(-1, seq_len)
     logprobs = _make_token_logprobs(model)

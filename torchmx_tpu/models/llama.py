@@ -390,6 +390,14 @@ class LlamaAttention(nnx.Module):
                     return self.o_proj(out), new_cache
                 # Ineligible shape: fall back through the dequantized-cache
                 # path against the just-written cache.
+                if pallas_attention._use_fused():
+                    from ..ops.fallbacks import note_fallback
+
+                    note_fallback(
+                        "cached_attention",
+                        f"q{tuple(q.shape)} cache{tuple(cache.k_data.shape)} "
+                        f"{cache.elem_dtype_name}",
+                    )
                 k, v = new_cache.dequantize()
             else:
                 k, v, new_cache = cache.update(k, v, cache_position)

@@ -12,14 +12,20 @@ BASELINE north star's serving throughput is reached (decode is
 VPU/HBM-bound per forward, so batched slots amortize it — measured 34 ->
 582 tok/s from batch 1 to 32 on the 8B shape).
 
+Buffer donation keeps the hot paths in place: the decode step and the slot
+scatter both donate the engine caches, so XLA aliases the cache HBM and the
+per-step cache update writes only the touched rows (no full-cache copy per
+``step()``/``add()``).
+
 Usage::
 
     engine = DecodeEngine(model, max_batch=8, max_len=2048,
-                          kv_cache_config=MXConfig("float8_e4m3"))
+                          kv_cache_config=MXConfig("float8_e4m3"),
+                          eos_token_id=eos, temperature=0.8, top_k=40)
     slot = engine.add(prompt_ids)             # prefill into a free slot
-    while ...:
+    while engine.is_active(slot):
         tokens = engine.step()                # {slot: next_token_id}
-        if tokens[slot] == eos: engine.release(slot)
+    print(engine.finished_reason[slot])       # "eos" | "cache_full"
 """
 
 from __future__ import annotations
@@ -38,7 +44,21 @@ DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024)
 
 
 class DecodeEngine:
-    """Static-slot continuous batching around an NNX causal LM."""
+    """Static-slot continuous batching around an NNX causal LM.
+
+    Args:
+        model: an NNX causal LM (``LlamaForCausalLM``-shaped).
+        max_batch: number of request slots (the decode batch size).
+        max_len: per-slot KV-cache capacity in tokens.
+        kv_cache_config: optional ``MXConfig`` for an MX-quantized KV cache.
+        eos_token_id: token id(s) that auto-release a slot when *generated*
+            (the EOS token itself is not emitted).
+        temperature: 0.0 (default) decodes greedily; > 0 samples from the
+            temperature-scaled distribution.
+        top_k: with sampling, restrict to the k highest-probability tokens
+            (0 = no restriction).
+        seed: PRNG seed for sampling.
+    """
 
     def __init__(
         self,
@@ -48,6 +68,10 @@ class DecodeEngine:
         *,
         kv_cache_config=None,
         prefill_buckets: Sequence[int] = DEFAULT_BUCKETS,
+        eos_token_id=None,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        seed: int = 0,
     ):
         self.model = model
         self.max_batch = max_batch
@@ -59,6 +83,17 @@ class DecodeEngine:
         if not buckets or buckets[-1] < max_len:
             buckets.append(max_len)  # prompts up to the cache size always fit
         self.buckets = tuple(buckets)
+        if eos_token_id is None:
+            eos_ids = ()
+        elif isinstance(eos_token_id, int):
+            eos_ids = (eos_token_id,)
+        else:
+            eos_ids = tuple(int(t) for t in eos_token_id)
+        self.eos_token_ids = frozenset(eos_ids)
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._step_count = 0
         # Weights are snapshotted here; call refresh_state() after in-place
         # weight updates (checkpoint restore, etc.).
         graphdef, self._state = nnx.split(model)
@@ -66,10 +101,14 @@ class DecodeEngine:
         # Per-slot host state.
         self.pos = np.zeros((max_batch,), np.int32)  # next write position
         self.active = np.zeros((max_batch,), bool)
+        #: why a slot auto-released: "eos" or "cache_full"; cleared by add().
+        self.finished_reason: Dict[int, str] = {}
         self._next_token = np.zeros((max_batch,), np.int32)
         self._slot_cache_template = model.init_cache(1, max_len, kv_cache_config)
 
-        def prefill_one(state, slot_caches, ids, true_len):
+        temp, topk = self.temperature, self.top_k
+
+        def prefill_one(state, slot_caches, ids, true_len, key):
             """Prefill a (1, Lp) prompt against fresh single-slot caches."""
             m = nnx.merge(graphdef, state)
             s = ids.shape[1]
@@ -83,11 +122,16 @@ class DecodeEngine:
             last = jnp.take_along_axis(
                 logits, (true_len - 1)[None, None, None], axis=1
             )[:, 0, :]
-            token = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            token = _select_token(last, key, temp, topk)
             return token, new_caches
 
         def scatter_slot(big, small, slot):
-            """Insert single-slot cache arrays into the engine caches."""
+            """Insert single-slot cache arrays into the engine caches.
+
+            ``big`` is donated: XLA aliases the cache buffers and updates
+            only the target slot's rows in place (admission cost is O(slot
+            cache), not O(full cache)).
+            """
             def put(b, s):
                 if not hasattr(b, "ndim"):
                     return b
@@ -96,8 +140,16 @@ class DecodeEngine:
 
             return jax.tree.map(put, big, small)
 
-        def decode_step(state, caches, tokens, pos):
-            """One token for every slot, each at its own position."""
+        def decode_step(state, caches, tokens, pos, key):
+            """One token for every slot, each at its own position.
+
+            Every slot decodes, including inactive ones (static shapes keep
+            the executable single); an inactive slot's stale ``pos`` writes
+            garbage K/V into its own slot cache each step.  INVARIANT:
+            inactive-slot cache contents are garbage and must be fully
+            replaced by ``add()``'s scatter before the slot is reused.
+            ``caches`` is donated — the update happens in place.
+            """
             m = nnx.merge(graphdef, state)
             logits, new_caches = m(
                 tokens[:, None],
@@ -106,12 +158,12 @@ class DecodeEngine:
                 caches=caches,
                 cache_position=pos,
             )
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            nxt = _select_token(logits[:, -1, :], key, temp, topk)
             return nxt, new_caches
 
         self._prefill_one = jax.jit(prefill_one)
-        self._scatter_slot = jax.jit(scatter_slot)
-        self._decode_step = jax.jit(decode_step)
+        self._scatter_slot = jax.jit(scatter_slot, donate_argnums=(0,))
+        self._decode_step = jax.jit(decode_step, donate_argnums=(1,))
 
     # -- request lifecycle -----------------------------------------------------
 
@@ -130,6 +182,13 @@ class DecodeEngine:
     def free_slots(self) -> List[int]:
         return [i for i in range(self.max_batch) if not self.active[i]]
 
+    def is_active(self, slot: int) -> bool:
+        return bool(self.active[slot])
+
+    def _next_key(self) -> jax.Array:
+        self._step_count += 1
+        return jax.random.fold_in(self._base_key, self._step_count)
+
     def add(self, prompt_ids: Sequence[int]) -> int:
         """Prefill ``prompt_ids`` into a free slot; returns the slot id."""
         free = self.free_slots()
@@ -145,15 +204,28 @@ class DecodeEngine:
             self._slot_cache_template,
             jnp.asarray(ids),
             jnp.asarray(n, jnp.int32),
+            self._next_key(),
         )
         self._caches = self._scatter_slot(self._caches, slot_caches, slot)
         self._next_token[slot] = int(token[0])
         self.pos[slot] = n
         self.active[slot] = True
+        self.finished_reason.pop(slot, None)
+        if int(token[0]) in self.eos_token_ids:
+            # The prompt's very first continuation is EOS: nothing to emit.
+            self._evict(slot, "eos")
         return slot
 
     def step(self) -> Dict[int, int]:
-        """Decode one token for every active slot (single fused dispatch)."""
+        """Decode one token for every active slot (single fused dispatch).
+
+        Returns {slot: emitted token id}.  A slot auto-releases (and stops
+        appearing in the result) when it generates ``eos_token_id``
+        (``finished_reason[slot] == "eos"``; the EOS itself is not emitted)
+        or when its cache fills (``"cache_full"``); poll ``is_active()`` /
+        ``finished_reason`` to distinguish eviction from an explicit
+        ``release()``.
+        """
         if not self.active.any():
             return {}
         nxt, self._caches = self._decode_step(
@@ -161,6 +233,7 @@ class DecodeEngine:
             self._caches,
             jnp.asarray(self._next_token),
             jnp.asarray(self.pos),
+            self._next_key(),
         )
         nxt = np.asarray(nxt)
         out: Dict[int, int] = {}
@@ -171,10 +244,29 @@ class DecodeEngine:
             out[i] = emitted
             self._next_token[i] = int(nxt[i])
             self.pos[i] += 1
-            if self.pos[i] >= self.max_len:
-                self.active[i] = False
+            if int(nxt[i]) in self.eos_token_ids:
+                self._evict(i, "eos")
+            elif self.pos[i] >= self.max_len:
+                self._evict(i, "cache_full")
         return out
+
+    def _evict(self, slot: int, reason: str) -> None:
+        self.active[slot] = False
+        self.pos[slot] = 0
+        self.finished_reason[slot] = reason
 
     def release(self, slot: int) -> None:
         self.active[slot] = False
         self.pos[slot] = 0
+        self.finished_reason.pop(slot, None)
+
+
+def _select_token(logits: jax.Array, key, temperature: float, top_k: int):
+    """Greedy (temperature 0) or temperature/top-k sampling over (B, V)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / temperature
+    if top_k > 0 and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)

@@ -42,6 +42,14 @@ def _result_dtype(*operands: ArrayLike):
 
 
 from .backend import use_pallas as _use_pallas
+from .fallbacks import note_fallback as _note_fallback
+
+
+def _shape_reason(a, b) -> str:
+    bdesc = (
+        f"{b.elem_dtype.name}/{b.fp4_pack}" if isinstance(b, MXArray) else str(b.dtype)
+    )
+    return f"{tuple(a.shape)}@{tuple(b.shape)} {bdesc}"
 
 
 def mx_matmul(a: ArrayLike, b: ArrayLike, out_dtype=None) -> Array:
@@ -60,11 +68,46 @@ def mx_matmul(a: ArrayLike, b: ArrayLike, out_dtype=None) -> Array:
         out = pallas_matmul.matmul_any(a, b, out_dtype)
         if out is not None:
             return out
+        if isinstance(b, MXArray) and b.ndim == 2:
+            _note_fallback("mx_matmul", _shape_reason(a, b))
     a_hp = _dequant(a, out_dtype)
     b_hp = _dequant(b, out_dtype)
     return jnp.matmul(
         a_hp, b_hp, preferred_element_type=jnp.float32
     ).astype(out_dtype)
+
+
+def mx_dynamic_matmul(
+    x: Array,
+    w: MXArray,
+    act_elem_dtype_name: str,
+    act_block_size: int = 32,
+    out_dtype=None,
+) -> Array:
+    """Dynamic-activation-quantized matmul: fake-quantize ``x`` per MX block,
+    then ``x_q @ w`` — the hot op behind ``MXInferenceLinear``.
+
+    On the Pallas backend the activation quantization is fused into the
+    matmul kernel prologue (the tile is fake-quantized in VMEM), eliminating
+    the separate fake-quantize pass's HBM round trip over ``x``.  The
+    fallback (and the numerics reference) is ``mx_fake_quantize`` followed by
+    :func:`mx_matmul` — bit-identical by construction.
+    """
+    if not isinstance(elem_name := act_elem_dtype_name, str):
+        elem_name = elem_name.name  # accept a DType
+    out_dtype = out_dtype or _result_dtype(x, w)
+    if _use_pallas() and act_block_size == 32:
+        from . import pallas_matmul
+
+        out = pallas_matmul.matmul_any(x, w, out_dtype, act_fq=elem_name)
+        if out is not None:
+            return out
+        if isinstance(w, MXArray) and w.ndim == 2:
+            _note_fallback("mx_dynamic_matmul", _shape_reason(x, w))
+    from .quantize import mx_fake_quantize
+
+    x_fq = mx_fake_quantize(x.astype(jnp.bfloat16), elem_name, act_block_size)
+    return mx_matmul(x_fq, w, out_dtype)
 
 
 def mx_linear(
@@ -86,6 +129,8 @@ def mx_linear(
         out = pallas_matmul.linear_any(x, weight, out_dtype)
         if out is not None:
             return out if bias is None else (out + bias.astype(out_dtype))
+        if isinstance(weight, MXArray) and weight.ndim == 2:
+            _note_fallback("mx_linear", _shape_reason(x, weight))
 
     x_hp = _dequant(x, out_dtype)
     w_hp = _dequant(weight, out_dtype)

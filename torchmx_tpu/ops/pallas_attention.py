@@ -268,6 +268,26 @@ def _pick_sqt(sq: int, g: int) -> Optional[int]:
     return None
 
 
+def plan_cached_attention(
+    hq: int, hkv: int, sq: int, L: int, d: int, elem_name: str
+):
+    """Static kernel-path oracle for the fused MX-KV-cache attention: the
+    (lt, sqt) tiling for query shape (b, hq, sq, d) against a cache of
+    capacity L, or None if that shape falls back to the dequantize path.
+    Pure shape math — tests pin production shapes through this.
+    """
+    if elem_name not in dtypes.STR_TO_SUPPORTED_ELEM_DTYPE:
+        return None
+    if d % 128 != 0 or hq % hkv != 0:
+        return None
+    g = hq // hkv
+    lt = _pick_lt(L)
+    sqt = _pick_sqt(sq, g)
+    if lt is None or sqt is None:
+        return None
+    return lt, sqt
+
+
 def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Array]:
     """Fused causal attention over an MX-quantized KV cache.
 
@@ -295,13 +315,13 @@ def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Arra
     b, hq, sq, d = q.shape
     _, hkv, L, dp = cache.k_data.shape
     want_dp = d // 2 if elem == dtypes.float4_e2m1 else d  # fp4: d-halves bytes
-    if d % 128 != 0 or dp != want_dp or hq % hkv != 0:
+    if dp != want_dp:
         return None
+    plan = plan_cached_attention(hq, hkv, sq, L, d, cache.elem_dtype_name)
+    if plan is None:
+        return None
+    lt, sqt = plan
     g = hq // hkv
-    lt = _pick_lt(L)
-    sqt = _pick_sqt(sq, g)
-    if lt is None or sqt is None:
-        return None
 
     # (b, hq, sq, d) -> (b, hkv, sq*g, d), rows ordered (q position, head).
     q4 = (

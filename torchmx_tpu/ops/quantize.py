@@ -25,6 +25,11 @@ def mx_fake_quantize(x: jax.Array, elem_dtype_name, block_size: int = 32) -> jax
         out = pallas_quantize.fake_quantize_pallas(x, elem_dtype_name, block_size)
         if out is not None:
             return out
+        from .fallbacks import note_fallback
+
+        note_fallback(
+            "mx_fake_quantize", f"{tuple(x.shape)} {elem_dtype_name}/{block_size}"
+        )
     from ..mx_array import MXArray
 
     return MXArray.to_mx(x, elem_dtype_name, block_size).to_dtype(x.dtype)
