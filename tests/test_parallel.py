@@ -307,3 +307,61 @@ def test_pipeline_apply_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=1e-2, atol=1e-2
     )
+
+
+def test_pipeline_model_matches_sequential():
+    """Full-model PP: LlamaForCausalLM staged over the model axis must match
+    the sequential jit forward (MX-quantized layers included)."""
+    from torchmx_tpu.parallel import pipeline_model
+
+    model, _ = tiny_model(seed=3)
+    quantize(model)
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, 256, (8, 16)), jnp.int32)
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def seq(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref = np.asarray(seq(state, ids), np.float32)
+
+    mesh = create_mesh((4, 2))  # 2 stages of 1 layer each (data axis unused)
+    fwd, params = pipeline_model(model, mesh, n_microbatches=4)
+    with mesh:
+        staged_sh = NamedSharding(mesh, P(MODEL_AXIS))
+        params["staged"] = jax.tree.map(
+            lambda a: jax.device_put(a, staged_sh), params["staged"]
+        )
+        got = np.asarray(jax.jit(fwd)(params, ids), np.float32)
+    # Microbatch boundaries change fp32 fusion like any re-jit; drift is
+    # bf16-rounding level through the quantized stack.
+    d = np.abs(got - ref)
+    assert d.max() <= 0.5 * ref.std(), (d.max(), ref.std())
+    assert d.mean() <= 0.1 * ref.std(), (d.mean(), ref.std())
+
+
+def test_pipeline_model_composes_with_dp():
+    from torchmx_tpu.parallel import pipeline_model
+
+    model, _ = tiny_model(seed=4)
+    quantize(model)
+    ids = jnp.asarray(np.random.RandomState(4).randint(0, 256, (8, 16)), jnp.int32)
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def seq(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref = np.asarray(seq(state, ids), np.float32)
+
+    mesh = create_mesh((4, 2))  # DP=4 x PP=2
+    fwd, params = pipeline_model(
+        model, mesh, n_microbatches=2, data_axis=DATA_AXIS
+    )
+    with mesh:
+        got = np.asarray(jax.jit(fwd)(params, ids), np.float32)
+    d = np.abs(got - ref)
+    assert d.max() <= 0.5 * ref.std(), (d.max(), ref.std())
+    assert d.mean() <= 0.1 * ref.std(), (d.mean(), ref.std())

@@ -125,6 +125,10 @@ class DecodeEngine:
             token = _select_token(last, key, temp, topk)
             return token, new_caches
 
+        # Cache-leaf axis holding the request slot: 0 for per-layer cache
+        # lists, 1 for stacked (layer-leading) caches (ScanLlamaForCausalLM).
+        slot_axis = getattr(model, "cache_slot_axis", 0)
+
         def scatter_slot(big, small, slot):
             """Insert single-slot cache arrays into the engine caches.
 
@@ -135,7 +139,7 @@ class DecodeEngine:
             def put(b, s):
                 if not hasattr(b, "ndim"):
                     return b
-                start = (slot,) + (0,) * (b.ndim - 1)
+                start = (0,) * slot_axis + (slot,) + (0,) * (b.ndim - slot_axis - 1)
                 return jax.lax.dynamic_update_slice(b, s.astype(b.dtype), start)
 
             return jax.tree.map(put, big, small)

@@ -134,16 +134,15 @@ def decode_int8_to_bf16(codes, se):
     return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
 
 
-def _fq_x_tile(x, elem_name: str):
-    """Fake-quantize an (M, bk) activation tile in VMEM (MX blocks on lanes).
+def _fq_xT_tile(xT, elem_name: str):
+    """Fake-quantize a transposed (bk, M) activation tile in VMEM.
 
     The matmul-kernel prologue for dynamic activation quantization: fusing it
-    here removes the separate fake-quantize pass's HBM round trip over ``x``
-    (the activation was previously written and re-read once per linear).
-    Mosaic cannot reduce over 32-lane groups, so the tile is transposed
-    in-kernel (cheap), processed in the sublane layout, and transposed back —
-    the same trick as ``pallas_quantize._fake_quantize_lane_kernel``, and
-    bit-identical to it.
+    here removes the separate fake-quantize pass's HBM round trip over ``x``.
+    The wrapper hands the kernel ``x.T`` so the MX blocks (along K) land on
+    SUBLANES, where the per-32-block reduce/broadcast are free reshapes — no
+    in-kernel transposes (measured 2-3x slower than this on v5e) — and the
+    MXU consumes the transposed operand directly (``_DN_T``).
     """
     from .pallas_quantize import (
         _block_scale_sublane,
@@ -152,14 +151,14 @@ def _fq_x_tile(x, elem_name: str):
     )
 
     elem = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name]
-    xT = x.T  # (bk, M)
     _, exponent, _ = _unpack_bf16_fields(xT)
     _, se_full = _block_scale_sublane(exponent, elem.max_pow2)
-    return _fq_magic_cast(xT, se_full, elem).T
+    return _fq_magic_cast(xT, se_full, elem)
 
 
-def _fq_x_pair(xe, xo, elem_name: str):
-    """Fake-quantize even/odd K-plane tiles with their *joint* block scale.
+def _fq_xT_pair(xeT, xoT, elem_name: str):
+    """Fake-quantize transposed even/odd K-plane tiles with their *joint*
+    block scale.
 
     The fp4 "pair" packing splits ``x`` into even/odd K-planes before the
     kernel, so each original 32-element MX block contributes 16 elements to
@@ -168,7 +167,6 @@ def _fq_x_pair(xe, xo, elem_name: str):
     from .pallas_quantize import _fq_magic_cast, _unpack_bf16_fields
 
     elem = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name]
-    xeT, xoT = xe.T, xo.T  # (bkp, M) each; 16 sublanes per plane per block
     _, ee, _ = _unpack_bf16_fields(xeT)
     _, eo, _ = _unpack_bf16_fields(xoT)
     bkp, m = ee.shape
@@ -180,7 +178,7 @@ def _fq_x_pair(xe, xo, elem_name: str):
     se = jnp.clip(emax - elem.max_pow2, 0, 254)
     se = jnp.where(emax == 255, 255, se)
     se_full = jnp.broadcast_to(se[:, None, :], (nb, BLOCK // 2, m)).reshape(bkp, m)
-    return _fq_magic_cast(xeT, se_full, elem).T, _fq_magic_cast(xoT, se_full, elem).T
+    return _fq_magic_cast(xeT, se_full, elem), _fq_magic_cast(xoT, se_full, elem)
 
 
 def _expand_scale(se, factor):
@@ -198,6 +196,7 @@ def _expand_scale(se, factor):
 # ---------------------------------------------------------------------------
 
 _DN = (((1,), (0,)), ((), ()))  # x (M, bk) @ w (bk, bn)
+_DN_T = (((0,), (0,)), ((), ()))  # xT (bk, M) contracted with w (bk, bn)
 
 
 def _dot_f32acc(a, b, dn=None):
@@ -209,17 +208,14 @@ def _dot_f32acc(a, b, dn=None):
 
 
 def _linear_kernel_1byte(
-    x_ref, w_ref, s_ref, o_ref, acc_ref, xq_ref, *, elem_name: str, act_fq: Optional[str]
+    x_ref, w_ref, s_ref, o_ref, acc_ref, *, elem_name: str, act_fq: Optional[str]
 ):
     """One-byte-per-code formats (fp8/fp6/int8), K-major weights.
 
-    With ``act_fq``, the x tile is fake-quantized ONCE per K-tile — during
-    the first output-column sweep (j == 0, the innermost grid dim is k) —
-    into the ``xq_ref`` VMEM scratch; later column tiles reuse the cached
-    copy, so the fq VPU work is not repeated per j and x is not refetched
-    from HBM (its block index pins to (0, 0) for j > 0).
+    With ``act_fq``, ``x_ref`` holds a TRANSPOSED (bk, M) tile: the fq runs
+    in the cheap sublane layout and the MXU contracts the transposed
+    operand directly.
     """
-    j = pl.program_id(0)
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -233,14 +229,9 @@ def _linear_kernel_1byte(
     else:
         w = decode_codes_to_bf16(codes, se, dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name])
     if act_fq is None:
-        x = x_ref[:]
+        acc_ref[:] += _dot_f32acc(x_ref[:], w)
     else:
-        @pl.when(j == 0)
-        def _():
-            xq_ref[k] = _fq_x_tile(x_ref[:], act_fq)
-
-        x = xq_ref[k]
-    acc_ref[:] += _dot_f32acc(x, w)
+        acc_ref[:] += _dot_f32acc(_fq_xT_tile(x_ref[:], act_fq), w, _DN_T)
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _():
@@ -248,12 +239,12 @@ def _linear_kernel_1byte(
 
 
 def _linear_kernel_fp4(
-    xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_ref, xqe_ref, xqo_ref, *, act_fq: Optional[str]
+    xe_ref, xo_ref, w_ref, s_ref, o_ref, acc_ref, *, act_fq: Optional[str]
 ):
     """fp4 reference ("pair") packing: bytes (K/2, N); hi nibble = even-k,
-    lo nibble = odd-k; x arrives pre-split into even/odd K-planes.
-    ``act_fq`` caching: see ``_linear_kernel_1byte``."""
-    j = pl.program_id(0)
+    lo nibble = odd-k; x arrives pre-split into even/odd K-planes
+    (transposed to (bkp, M) when ``act_fq`` is set — see
+    ``_linear_kernel_1byte``)."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -266,17 +257,12 @@ def _linear_kernel_fp4(
     w_hi = decode_fp4_to_bf16((b >> 4) & 0xF, se)
     w_lo = decode_fp4_to_bf16(b & 0xF, se)
     if act_fq is None:
-        xe, xo = xe_ref[:], xo_ref[:]
+        acc_ref[:] += _dot_f32acc(xe_ref[:], w_hi)
+        acc_ref[:] += _dot_f32acc(xo_ref[:], w_lo)
     else:
-        @pl.when(j == 0)
-        def _():
-            fqe, fqo = _fq_x_pair(xe_ref[:], xo_ref[:], act_fq)
-            xqe_ref[k] = fqe
-            xqo_ref[k] = fqo
-
-        xe, xo = xqe_ref[k], xqo_ref[k]
-    acc_ref[:] += _dot_f32acc(xe, w_hi)
-    acc_ref[:] += _dot_f32acc(xo, w_lo)
+        xeT, xoT = _fq_xT_pair(xe_ref[:], xo_ref[:], act_fq)
+        acc_ref[:] += _dot_f32acc(xeT, w_hi, _DN_T)
+        acc_ref[:] += _dot_f32acc(xoT, w_lo, _DN_T)
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _():
@@ -284,8 +270,7 @@ def _linear_kernel_fp4(
 
 
 def _linear_kernel_fp4_halves(
-    xa_ref, xb_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref, xqa_ref, xqb_ref,
-    *, act_fq: Optional[str]
+    xa_ref, xb_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref, *, act_fq: Optional[str]
 ):
     """fp4 "halves" packing: byte p holds elements (p, p + K/2).
 
@@ -293,8 +278,9 @@ def _linear_kernel_fp4_halves(
     on sublanes into one (bk, bn) operand, so the MXU runs a single full-K
     tile dot and x is read as two contiguous half-tiles straight from HBM
     (no XLA slicing, no strided loads) — ~8% faster than the pair layout.
-    ``act_fq`` caching: see ``_linear_kernel_1byte``."""
-    j = pl.program_id(0)
+    With ``act_fq`` the x half-tiles arrive transposed ((bkp, M)); halves are
+    contiguous K ranges, so each fq's its own blocks (see
+    ``_linear_kernel_1byte``)."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -306,19 +292,15 @@ def _linear_kernel_fp4_halves(
     se_b = _expand_scale(sb_ref[:].astype(jnp.int32), BLOCK)
     w_hi = decode_fp4_to_bf16((b >> 4) & 0xF, se_a)
     w_lo = decode_fp4_to_bf16(b & 0xF, se_b)
-    if act_fq is None:
-        xa, xb = xa_ref[:], xb_ref[:]
-    else:
-        @pl.when(j == 0)
-        def _():
-            # Halves are contiguous K ranges, so each fq's its own blocks.
-            xqa_ref[k] = _fq_x_tile(xa_ref[:], act_fq)
-            xqb_ref[k] = _fq_x_tile(xb_ref[:], act_fq)
-
-        xa, xb = xqa_ref[k], xqb_ref[k]
-    x = jnp.concatenate([xa, xb], axis=1)
     w = jnp.concatenate([w_hi, w_lo], axis=0)
-    acc_ref[:] += _dot_f32acc(x, w)
+    if act_fq is None:
+        x = jnp.concatenate([xa_ref[:], xb_ref[:]], axis=1)
+        acc_ref[:] += _dot_f32acc(x, w)
+    else:
+        xT = jnp.concatenate(
+            [_fq_xT_tile(xa_ref[:], act_fq), _fq_xT_tile(xb_ref[:], act_fq)], axis=0
+        )
+        acc_ref[:] += _dot_f32acc(xT, w, _DN_T)
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _():
@@ -343,28 +325,25 @@ def _pallas_matmul_1byte(x, w_codes, w_scale, elem_name, bn, bk, out_dtype, act_
     N = w_codes.shape[1]
     grid = (N // bn, K // bk)
     kernel = functools.partial(_linear_kernel_1byte, elem_name=elem_name, act_fq=act_fq)
-    # With fused act-fq, x is only consumed on the j == 0 sweep (the cached
-    # fq'd copy serves j > 0): pinning the block index afterwards lets the
-    # pipeline skip the HBM refetch (unchanged index -> no new DMA).
-    x_map = (
-        (lambda j, k: (0, k))
-        if act_fq is None
-        else (lambda j, k: (0, jnp.where(j == 0, k, 0)))
-    )
-    xq_scratch = pltpu.VMEM(
-        (K // bk, M, bk) if act_fq is not None else (1, 8, 128), jnp.bfloat16
-    )
+    # With fused act-fq the kernel wants x transposed (MX blocks on
+    # sublanes): one XLA transpose outside replaces the separate
+    # fake-quantize pass's full HBM round trip.
+    if act_fq is None:
+        x_spec = pl.BlockSpec((M, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM)
+    else:
+        x = x.T  # (K, M)
+        x_spec = pl.BlockSpec((bk, M), lambda j, k: (k, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, bk), x_map, memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((bk, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk // BLOCK, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32), xq_scratch],
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -387,28 +366,23 @@ def _pallas_matmul_fp4(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None):
     xe = x[:, 0::2]
     xo = x[:, 1::2]
     grid = (N // bn, K // bk)
-    x_map = (
-        (lambda j, k: (0, k))
-        if act_fq is None
-        else (lambda j, k: (0, jnp.where(j == 0, k, 0)))
-    )
-    xq_shape = (K // bk, M, bkp) if act_fq is not None else (1, 8, 128)
+    if act_fq is None:
+        x_spec = pl.BlockSpec((M, bkp), lambda j, k: (0, k), memory_space=pltpu.VMEM)
+    else:
+        xe, xo = xe.T, xo.T  # (K/2, M) each
+        x_spec = pl.BlockSpec((bkp, M), lambda j, k: (k, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_linear_kernel_fp4, act_fq=act_fq),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, bkp), x_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, bkp), x_map, memory_space=pltpu.VMEM),
+            x_spec,
+            x_spec,
             pl.BlockSpec((bkp, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk // BLOCK, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((M, bn), jnp.float32),
-            pltpu.VMEM(xq_shape, jnp.bfloat16),
-            pltpu.VMEM(xq_shape, jnp.bfloat16),
-        ],
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -429,23 +403,23 @@ def _pallas_matmul_fp4_halves(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None
     bkp = bk // 2
     nko = (K // 2) // bkp  # lo-half offset, in bkp-sized column tiles of x
     grid = (N // bn, K // bk)
-    xa_map = (
-        (lambda j, k: (0, k))
-        if act_fq is None
-        else (lambda j, k: (0, jnp.where(j == 0, k, 0)))
-    )
-    xb_map = (
-        (lambda j, k: (0, k + nko))
-        if act_fq is None
-        else (lambda j, k: (0, jnp.where(j == 0, k + nko, 0)))
-    )
-    xq_shape = (K // bk, M, bkp) if act_fq is not None else (1, 8, 128)
+    if act_fq is None:
+        xa_spec = pl.BlockSpec((M, bkp), lambda j, k: (0, k), memory_space=pltpu.VMEM)
+        xb_spec = pl.BlockSpec(
+            (M, bkp), lambda j, k: (0, k + nko), memory_space=pltpu.VMEM
+        )
+    else:
+        x = x.T  # (K, M); half-tiles become row ranges
+        xa_spec = pl.BlockSpec((bkp, M), lambda j, k: (k, 0), memory_space=pltpu.VMEM)
+        xb_spec = pl.BlockSpec(
+            (bkp, M), lambda j, k: (k + nko, 0), memory_space=pltpu.VMEM
+        )
     return pl.pallas_call(
         functools.partial(_linear_kernel_fp4_halves, act_fq=act_fq),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, bkp), xa_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, bkp), xb_map, memory_space=pltpu.VMEM),
+            xa_spec,
+            xb_spec,
             pl.BlockSpec((bkp, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bkp // BLOCK, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -454,11 +428,7 @@ def _pallas_matmul_fp4_halves(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None
         ],
         out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((M, bn), jnp.float32),
-            pltpu.VMEM(xq_shape, jnp.bfloat16),
-            pltpu.VMEM(xq_shape, jnp.bfloat16),
-        ],
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,

@@ -10,6 +10,7 @@ move packed uint8 bytes — 4-8x cheaper than bf16.
 """
 
 from . import multihost  # noqa: F401
+from .pipeline import pipeline_apply, pipeline_model  # noqa: F401
 from .mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,

@@ -77,14 +77,21 @@ def create_hybrid_mesh(model_parallelism: Optional[int] = None) -> Mesh:
     total = n_local * n_proc
     data = total // model_parallelism
     if n_proc > 1:
-        from jax.experimental import mesh_utils
+        try:
+            from jax.experimental import mesh_utils
 
-        dev = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(n_local // model_parallelism, model_parallelism),
-            dcn_mesh_shape=(n_proc, 1),
-        )
-        # create_hybrid_device_mesh returns (dcn*ici_data, model)
-        dev = dev.reshape(data, model_parallelism)
+            dev = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(n_local // model_parallelism, model_parallelism),
+                dcn_mesh_shape=(n_proc, 1),
+            )
+            # create_hybrid_device_mesh returns (dcn*ici_data, model)
+            dev = dev.reshape(data, model_parallelism)
+        except ValueError:
+            # Non-TPU backends (e.g. the multi-process CPU rehearsal) report
+            # no slice topology; group by process index instead — the same
+            # invariant (each model row single-process) by construction.
+            devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+            dev = np.asarray(devs).reshape(data, model_parallelism)
     else:
         dev = np.asarray(jax.devices()).reshape(data, model_parallelism)
     return Mesh(dev, (DATA_AXIS, MODEL_AXIS))

@@ -33,16 +33,23 @@ def pipeline_apply(
     mesh: Mesh,
     n_microbatches: int,
     axis: str = MODEL_AXIS,
+    consts=(),
+    data_axis: str = None,
 ):
     """Apply ``n_stages`` sequential stages over ``axis`` with microbatching.
 
     Args:
-        stage_fn: ``fn(params_i, x) -> y`` with ``y.shape == x.shape`` —
-            one pipeline stage (e.g. a group of decoder layers).
+        stage_fn: ``fn(params_i, x, *consts) -> y`` with ``y.shape ==
+            x.shape`` — one pipeline stage (e.g. a group of decoder layers).
         stacked_params: pytree whose leaves have a leading ``n_stages`` dim
             (sharded over ``axis``).
         x: (batch, ...) input, batch divisible by ``n_microbatches``.
         mesh: mesh containing ``axis`` with size ``n_stages``.
+        consts: extra arrays every stage reads (RoPE tables, masks, ...) —
+            replicated across the mesh, passed through to ``stage_fn``.
+        data_axis: optional second mesh axis for DP composition: microbatch
+            rows shard over it (batch must then be divisible by
+            ``n_microbatches * mesh.shape[data_axis]``).
 
     Returns ``stage_{S-1}(... stage_0(x))`` computed on the pipeline.
     """
@@ -55,13 +62,17 @@ def pipeline_apply(
     b = x.shape[0]
     assert b % n_microbatches == 0, (b, n_microbatches)
     mb = b // n_microbatches
+    if data_axis is not None:
+        assert mb % mesh.shape[data_axis] == 0, (mb, mesh.shape[data_axis])
     xs = x.reshape(n_microbatches, mb, *x.shape[1:])
     n_steps = n_microbatches + n_stages - 1
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     param_specs = jax.tree.map(lambda _: P(axis), stacked_params)
+    xs_spec = P(None, data_axis) if data_axis is not None else P()
+    const_specs = jax.tree.map(lambda _: P(), tuple(consts))
 
-    def device_fn(params, xs):
+    def device_fn(params, xs, *consts):
         s = jax.lax.axis_index(axis)
         my_params = jax.tree.map(lambda p: p[0], params)  # local (1, ...) shard
 
@@ -70,7 +81,7 @@ def pipeline_apply(
             recv = jax.lax.ppermute(prev_out, axis, perm)
             m_idx = t - s
             inp = jnp.where(s == 0, xs[jnp.clip(t, 0, n_microbatches - 1)], recv)
-            out = stage_fn(my_params, inp)
+            out = stage_fn(my_params, inp, *consts)
             valid = (m_idx >= 0) & (m_idx < n_microbatches)
             upd = jax.lax.dynamic_update_slice(
                 buf,
@@ -87,11 +98,92 @@ def pipeline_apply(
         (_, buf), _ = jax.lax.scan(body, (zero, buf0), jnp.arange(n_steps))
         return buf[None]  # (1, M, mb, ...): this stage's collected outputs
 
+    out_spec = P(axis, None, data_axis) if data_axis is not None else P(axis)
     out = shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(param_specs, P()),
-        out_specs=P(axis),
-    )(stacked_params, xs)
+        in_specs=(param_specs, xs_spec) + const_specs,
+        out_specs=out_spec,
+    )(stacked_params, xs, *consts)
     # Only the final stage's buffer holds the pipeline output.
     return out[-1].reshape(b, *x.shape[1:])
+
+
+def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_AXIS,
+                   data_axis: str = None):
+    """Stage a ``LlamaForCausalLM``'s decoder layers over ``axis`` (GPipe).
+
+    The model-level integration of :func:`pipeline_apply` (the reference
+    rejects TP/PP outright — ``mx_llama_attention.py:137-139``): layers are
+    stacked (MXArray payloads included) and regrouped into
+    ``n_stages = mesh.shape[axis]`` stages of ``L / n_stages`` layers; each
+    stage scans its layers locally while microbatch activations rotate over
+    ICI.  Embedding / final norm / LM head run replicated outside the
+    pipeline.  Composes with DP via ``data_axis`` (batch rows sharded within
+    each microbatch).
+
+    Covers full (non-cached) forward passes — prefill and scoring.  Returns
+    ``(fwd, params)`` with ``fwd(params, input_ids) -> logits``; shard
+    ``params["staged"]`` leaves over ``axis`` (``fwd`` jits with the mesh
+    active).
+    """
+    from flax import nnx
+
+    from ..models.llama import make_causal_mask, rope_cos_sin
+    from ..models.scan import stack_decoder_layers
+
+    cfg = model.config
+    n_stages = mesh.shape[axis]
+    L = cfg.num_hidden_layers
+    assert L % n_stages == 0, f"{L} layers not divisible into {n_stages} stages"
+    layer_graphdef, stacked = stack_decoder_layers(model.model.layers)
+    staged = jax.tree.map(
+        lambda a: a.reshape(n_stages, L // n_stages, *a.shape[1:]), stacked
+    )
+
+    embed_gd, embed_state = nnx.split(model.model.embed_tokens)
+    norm_gd, norm_state = nnx.split(model.model.norm)
+    if model.lm_head is not None:
+        head_gd, head_state = nnx.split(model.lm_head)
+    else:
+        head_gd, head_state = None, None
+
+    params = dict(
+        staged=staged,
+        embed=embed_state,
+        norm=norm_state,
+        head=head_state,
+        inv_freq=model.model.inv_freq.get_value(),
+    )
+
+    def stage_fn(stage_params, x, cos, sin, mask):
+        def body(x, lstate):
+            layer = nnx.merge(layer_graphdef, lstate)
+            y, _ = layer(
+                x, cos=cos, sin=sin, attention_mask=mask,
+                cache=None, cache_position=None,
+            )
+            return y, None
+
+        x, _ = jax.lax.scan(body, x, stage_params)
+        return x
+
+    def fwd(params, input_ids):
+        b, s = input_ids.shape
+        embed = nnx.merge(embed_gd, params["embed"])
+        x = embed(input_ids)
+        pos = jnp.arange(s)[None, :]
+        cos, sin = rope_cos_sin(params["inv_freq"], pos, x.dtype)
+        mask = make_causal_mask(s, s, jnp.float32)[None, None]
+        x = pipeline_apply(
+            stage_fn, params["staged"], x, mesh, n_microbatches,
+            axis=axis, consts=(cos, sin, mask), data_axis=data_axis,
+        )
+        hidden = nnx.merge(norm_gd, params["norm"])(x)
+        if head_state is None:
+            logits = hidden @ embed.weight.get_value().T
+        else:
+            logits = nnx.merge(head_gd, params["head"])(hidden)
+        return logits
+
+    return fwd, params
