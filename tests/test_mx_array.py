@@ -251,3 +251,26 @@ def test_linear_with_bias_matches_ground_truth():
         + b
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(gt))
+
+
+def test_astype_rebrands_orig_dtype_only():
+    """The autocast `_to_copy` analog (reference ops.py:251-276): payload and
+    scale bits unchanged, only the dequantization target dtype moves."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torchmx_tpu.mx_array import MXArray
+
+    x = (jnp.arange(64, dtype=jnp.float32) / 7.0).astype(jnp.bfloat16).reshape(2, 32)
+    mx = MXArray.to_mx(x, "float8_e4m3", 32)
+    mx32 = mx.astype(jnp.float32)
+    assert mx32.orig_dtype == jnp.float32 and mx.orig_dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(mx32.data), np.asarray(mx.data))
+    np.testing.assert_array_equal(
+        np.asarray(mx32.scale_e8m0), np.asarray(mx.scale_e8m0)
+    )
+    out = mx32.to_dtype(mx32.orig_dtype)
+    assert out.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(mx.to_dtype(jnp.bfloat16), np.float32)
+    )

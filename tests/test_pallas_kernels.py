@@ -331,3 +331,94 @@ def test_mx_dynamic_matmul_matches_jnp_reference():
             np.asarray(fused, np.float32), np.asarray(ref, np.float32),
             rtol=5e-3, atol=1e-3,
         )
+
+
+@pytest.mark.parametrize("ename", ["float6_e3m2", "float6_e2m3"])
+def test_fp6_quarters_roundtrip_and_matmul(ename):
+    """Planar 4-per-3-byte fp6: pack/unpack roundtrip is lossless and the
+    fused quarters kernel is bit-identical to dequantize-then-dot."""
+    K, N, M = 1024, 256, 16
+    w = (jax.random.normal(jax.random.PRNGKey(20), (N, K)) * 0.1).astype(jnp.bfloat16)
+    w_km = MXArray.to_mx(w, ename, 32).T  # kernel layout (K, N), 1 byte/code
+    w_q = w_km.to_fp6_quarters()
+    assert w_q.data.shape == (K * 3 // 4, N)
+    assert w_q.shape == (K, N)
+    # Roundtrip: flat codes and dequantized values identical.
+    np.testing.assert_array_equal(
+        np.asarray(w_q._quarters_to_flat().data), np.asarray(w_km.data)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(w_q.to_dtype(jnp.bfloat16), np.float32),
+        np.asarray(w_km.to_dtype(jnp.bfloat16), np.float32),
+    )
+
+    x = rand_bf16(21, (M, K), spread=1.0)
+    out = pm.matmul_any(x, w_q, jnp.bfloat16)
+    assert out is not None
+    ref = pm.matmul_any(x, w_km, jnp.bfloat16)  # same tiling -> same order
+    if ref is not None and pm.plan_matmul(M, N, K, ename, "quarters") == pm.plan_matmul(
+        M, N, K, ename, "pair"
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32)
+        )
+    gt = jnp.matmul(
+        x, w_km.to_dtype(jnp.bfloat16), preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(gt, np.float32), rtol=5e-3, atol=1e-3
+    )
+
+
+def test_fp6_quarters_fused_act_quant():
+    K, N, M = 1024, 128, 8
+    w = (jax.random.normal(jax.random.PRNGKey(22), (N, K)) * 0.1).astype(jnp.bfloat16)
+    w_q = MXArray.to_mx(w, "float6_e3m2", 32).T.to_fp6_quarters()
+    x = rand_bf16(23, (M, K), spread=1.0)
+    from torchmx_tpu.ops import mx_fake_quantize
+
+    fused = pm.matmul_any(x, w_q, jnp.bfloat16, act_fq="float8_e4m3")
+    assert fused is not None
+    old = env.TORCHMX_QUANTIZE_BACKEND
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "pallas"
+        x_fq = mx_fake_quantize(x, "float8_e4m3", 32)
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old
+    two_pass = pm.matmul_any(x_fq, w_q, jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(fused, np.float32), np.asarray(two_pass, np.float32)
+    )
+
+
+def test_fp6_quarters_linear_layer_uses_quarters():
+    from torchmx_tpu.config import MXConfig, QLinearConfig
+    from torchmx_tpu.layers.linear import MXInferenceLinear
+
+    qcfg = QLinearConfig(
+        weights_config=MXConfig("float6_e3m2"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    w = (jax.random.normal(jax.random.PRNGKey(24), (128, 1024)) * 0.1).astype(
+        jnp.bfloat16
+    )
+    lin = MXInferenceLinear.from_weights(w, None, qcfg)
+    assert lin.weight.get_value().fp4_pack == "quarters"
+    x = rand_bf16(25, (8, 1024), spread=1.0)
+    out = lin(x)
+    # jnp-path reference through the same quantized weight values.
+    ref_w = lin.weight.get_value().to_dtype(jnp.bfloat16)
+    from torchmx_tpu.ops import mx_fake_quantize
+
+    old = env.TORCHMX_QUANTIZE_BACKEND
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "jnp"
+        x_fq = mx_fake_quantize(x, "float8_e4m3", 32)
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old
+    ref = jnp.matmul(x_fq, ref_w, preferred_element_type=jnp.float32).astype(
+        jnp.bfloat16
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=5e-3, atol=1e-3
+    )

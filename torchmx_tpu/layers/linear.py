@@ -86,6 +86,17 @@ class MXInferenceLinear(nnx.Module):
             # the fused matmul read x as contiguous half-tiles (one full-K
             # MXU dot per tile instead of two strided half-K dots).
             weight_mx = weight_mx.to_fp4_halves()
+        if (
+            weight_mx.elem_dtype.name in ("float6_e3m2", "float6_e2m3")
+            and weight_mx.fp4_pack == "pair"
+            and weight_mx.ndim == 2
+            and weight_mx.block_dim == 0
+            and weight_mx.padding == 0
+            and weight_mx.shape[0] % 1024 == 0  # kernel needs bk >= 1024
+        ):
+            # fp6 kernel layout: 4 codes per 3 bytes, planar quarters — 25%
+            # less weight HBM than 1 byte/code (see MXArray.to_fp6_quarters).
+            weight_mx = weight_mx.to_fp6_quarters()
         self.weight = nnx.Param(weight_mx)
         self.bias = nnx.Param(bias) if bias is not None else None
         self.qconfig = qconfig

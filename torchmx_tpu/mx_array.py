@@ -191,7 +191,7 @@ class MXArray:
         assert scale_e8m0.dtype == jnp.uint8, "scale must be uint8"
         assert data.dtype in (jnp.uint8, jnp.int8), f"{data.dtype} is unsupported"
 
-        assert fp4_pack in ("pair", "halves"), fp4_pack
+        assert fp4_pack in ("pair", "halves", "quarters"), fp4_pack
         self.scale_e8m0 = scale_e8m0
         self.data = data
         self.elem_dtype = elem_dtype
@@ -225,6 +225,9 @@ class MXArray:
         if self.elem_dtype == dtypes.float4_e2m1:
             s = tensor_size_fp4x2_to_hp(s, self.block_dim)
             s[self.block_dim] -= self.padding % 2
+        elif self.fp4_pack == "quarters":
+            # fp6 planar packing: 3 byte-planes hold 4 code-planes.
+            s[self.block_dim] = s[self.block_dim] * 4 // 3
         return tuple(s)
 
     @property
@@ -315,6 +318,26 @@ class MXArray:
 
         return MXArray(scale, data_lp, elem_dtype, block_size, data_hp.dtype, padding)
 
+    def astype(self, dtype) -> "MXArray":
+        """Re-brand the high-precision target dtype without touching bits.
+
+        The analog of the reference's autocast ``aten._to_copy`` handler
+        (``torchmx/ops.py:251-276``): under dtype autocasting an MX tensor is
+        not dequantized-and-recast — only ``orig_dtype`` (what
+        ``to_dtype``/ops will produce) changes; payload and scale bits are
+        untouched.
+        """
+        return MXArray(
+            self.scale_e8m0,
+            self.data,
+            self.elem_dtype,
+            self.block_size,
+            dtype,
+            self.padding,
+            self.block_dim,
+            self.fp4_pack,
+        )
+
     def to_fp4_halves(self) -> "MXArray":
         """Repack a 2-D K-major fp4 payload into the kernel "halves" layout.
 
@@ -342,6 +365,67 @@ class MXArray:
             fp4_pack="halves",
         )
 
+    def to_fp6_quarters(self) -> "MXArray":
+        """Repack a 2-D K-major fp6 payload into the kernel "quarters" layout:
+        4 elements per 3 bytes in HBM (the reference stores fp6 at one byte
+        per element — ``utils.py:96-145`` packs fp4 only; this is the TPU
+        extension that gives MXFP6 a real bandwidth edge over MXFP8).
+
+        K splits into four quarters q0..q3 of 6-bit codes; three byte-planes
+        of K/4 rows each hold them PLANAR — each quarter decodes from a
+        contiguous sublane range with no interleave (Mosaic's stack+reshape
+        interleave is ~2.4x slower):
+
+            P0 = q0 << 2 | q3 >> 4
+            P1 = q1 << 2 | (q3 >> 2) & 3
+            P2 = q2 << 2 | q3 & 3
+
+        Requires an fp6 dtype, block_dim == 0, no padding, K % 128 == 0
+        (each quarter stays 32-block-aligned).
+        """
+        assert self.elem_dtype in (dtypes.float6_e3m2, dtypes.float6_e2m3)
+        assert self.fp4_pack == "pair", "already packed"
+        assert self.data.ndim == 2 and self.block_dim == 0 and self.padding == 0
+        K = self.data.shape[0]
+        assert K % 128 == 0, f"quarters layout needs K % 128 == 0, got {K}"
+        q = K // 4
+        c = self.data
+        q0, q1, q2, q3 = c[:q], c[q : 2 * q], c[2 * q : 3 * q], c[3 * q :]
+        p0 = (q0 << 2) | (q3 >> 4)
+        p1 = (q1 << 2) | ((q3 >> 2) & 3)
+        p2 = (q2 << 2) | (q3 & 3)
+        data = jnp.concatenate([p0, p1, p2], axis=0).astype(jnp.uint8)
+        return MXArray(
+            self.scale_e8m0,
+            data,
+            self.elem_dtype,
+            self.block_size,
+            self.orig_dtype,
+            self.padding,
+            self.block_dim,
+            fp4_pack="quarters",
+        )
+
+    def _quarters_to_flat(self) -> "MXArray":
+        """Inverse of :meth:`to_fp6_quarters` (one byte per code)."""
+        assert self.fp4_pack == "quarters"
+        q = self.data.shape[0] // 3
+        p0, p1, p2 = self.data[:q], self.data[q : 2 * q], self.data[2 * q :]
+        q0 = p0 >> 2
+        q1 = p1 >> 2
+        q2 = p2 >> 2
+        q3 = ((p0 & 3) << 4) | ((p1 & 3) << 2) | (p2 & 3)
+        codes = jnp.concatenate([q0, q1, q2, q3], axis=0).astype(jnp.uint8)
+        return MXArray(
+            self.scale_e8m0,
+            codes,
+            self.elem_dtype,
+            self.block_size,
+            self.orig_dtype,
+            self.padding,
+            self.block_dim,
+        )
+
     def _halves_to_pair(self) -> "MXArray":
         """Inverse of :meth:`to_fp4_halves`."""
         assert self.fp4_pack == "halves"
@@ -367,6 +451,8 @@ class MXArray:
         """
         if self.fp4_pack == "halves":
             return self._halves_to_pair().to_dtype(target_dtype)
+        if self.fp4_pack == "quarters":
+            return self._quarters_to_flat().to_dtype(target_dtype)
         data_lp = self.data
         bd = self.block_dim
         org_size = data_lp.shape[bd]

@@ -307,6 +307,111 @@ def _linear_kernel_fp4_halves(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _linear_kernel_fp6q(
+    xa_ref, xb_ref, xc_ref, xd_ref, p0_ref, p1_ref, p2_ref,
+    s0_ref, s1_ref, s2_ref, s3_ref, o_ref, acc_ref,
+    *, elem_name: str, act_fq: Optional[str]
+):
+    """fp6 "quarters" packing: 4 elements per 3 HBM bytes, planar.
+
+    Three byte-planes (each bk/4 rows per tile) reconstruct four 6-bit code
+    quarters with pure shifts/ors on contiguous sublane ranges — no
+    interleave — then concatenate on sublanes into one (bk, bn) operand for
+    a single full-K tile dot.  25% less weight HBM than the 1-byte fp6
+    layout, which is what makes MXFP6 cheaper than MXFP8 at decode (the
+    kernel is weight-bandwidth-bound there).
+    """
+    elem = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name]
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p0 = p0_ref[:].astype(jnp.int32)
+    p1 = p1_ref[:].astype(jnp.int32)
+    p2 = p2_ref[:].astype(jnp.int32)
+    q0 = p0 >> 2
+    q1 = p1 >> 2
+    q2 = p2 >> 2
+    q3 = ((p0 & 3) << 4) | ((p1 & 3) << 2) | (p2 & 3)
+    w = jnp.concatenate(
+        [
+            decode_codes_to_bf16(q, _expand_scale(s_ref[:].astype(jnp.int32), BLOCK), elem)
+            for q, s_ref in ((q0, s0_ref), (q1, s1_ref), (q2, s2_ref), (q3, s3_ref))
+        ],
+        axis=0,
+    )
+    x_refs = (xa_ref, xb_ref, xc_ref, xd_ref)
+    if act_fq is None:
+        x = jnp.concatenate([r[:] for r in x_refs], axis=1)
+        acc_ref[:] += _dot_f32acc(x, w)
+    else:
+        # Quarters are contiguous K ranges: each fq's its own blocks.
+        xT = jnp.concatenate([_fq_xT_tile(r[:], act_fq) for r in x_refs], axis=0)
+        acc_ref[:] += _dot_f32acc(xT, w, _DN_T)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("elem_name", "bn", "bk", "out_dtype", "act_fq")
+)
+def _pallas_matmul_fp6q(x, w_data, w_scale, elem_name, bn, bk, out_dtype, act_fq=None):
+    M, K = x.shape
+    N = w_data.shape[1]
+    bkq = bk // 4
+    nq = (K // 4) // bkq  # quarter offset, in bkq-sized tiles
+    grid = (N // bn, K // bk)
+    if act_fq is None:
+        def xq_spec(qi):
+            return pl.BlockSpec(
+                (M, bkq), lambda j, k, qi=qi: (0, k + qi * nq), memory_space=pltpu.VMEM
+            )
+    else:
+        x = x.T  # (K, M)
+        def xq_spec(qi):
+            return pl.BlockSpec(
+                (bkq, M), lambda j, k, qi=qi: (k + qi * nq, 0), memory_space=pltpu.VMEM
+            )
+
+    def plane_spec(pi):
+        return pl.BlockSpec(
+            (bkq, bn), lambda j, k, pi=pi: (k + pi * nq, j), memory_space=pltpu.VMEM
+        )
+
+    def scale_spec(qi):
+        return pl.BlockSpec(
+            (bkq // BLOCK, bn),
+            lambda j, k, qi=qi: (k + qi * nq, j),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(_linear_kernel_fp6q, elem_name=elem_name, act_fq=act_fq)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[xq_spec(i) for i in range(4)]
+        + [plane_spec(i) for i in range(3)]
+        + [scale_spec(i) for i in range(4)],
+        out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + N * K * 3 // 4 + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x, x, x, x, w_data, w_data, w_data, w_scale, w_scale, w_scale, w_scale)
+
+
 def _is_kernel_layout(w: MXArray) -> bool:
     """K-major 2-D MXArray: payload (K, N), blocked dim first, unpadded."""
     return (
@@ -442,35 +547,48 @@ def _pallas_matmul_fp4_halves(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None
     )(x, x, w_data, w_scale, w_scale)
 
 
-def _pick_tiles(M: int, N: int, K: int):
-    """Largest output-column tile that fits VMEM: x-tile HBM refetch scales
-    with N/bn, so bigger bn wins (measured on v5e: (bn, bk) (1024,512) ->
-    (2048,1024) takes the fp4-halves kernel from 0.72 to 0.70 ms on the
-    Llama-8B MLP shape; the fp32 accumulator is capped at 8MB)."""
-    bn = next((c for c in (2048, 1024, 512, 256, 128) if N % c == 0), None)
-    bk = next((c for c in (1024, 512, 256) if K % c == 0), None)
-    if bk is None and 32 <= K <= 1024 and K % 32 == 0:
+# Conservative VMEM budget for one kernel invocation: fp32 accumulator +
+# bf16 output block + double-buffered x and w tiles must fit under the 64MB
+# compiler limit with headroom (bn=7168/bk=1024 at 55MB estimated crashes
+# the Mosaic compile; 52MB estimated configs run).
+_VMEM_BUDGET = 52 * 1024 * 1024
+
+
+def _pick_tiles(M: int, N: int, K: int, w_bytes: float = 1.0, min_bk: int = 0):
+    """Largest output-column tile that fits VMEM.
+
+    The x tile is refetched from HBM once per output-column sweep (N/bn
+    times), so bn should be as large as the accumulator allows — measured on
+    v5e at the Llama-8B MLP shape (M=1024), growing bn 2048 -> 7168 takes
+    the fp4-halves E2E from 0.85x to 0.98x of the bf16 matmul.  bk=512
+    beats 1024 at every bn (smaller decode working set).  ``w_bytes`` is
+    the packed bytes per weight element (0.5 for fp4).
+    """
+    if M % 8 != 0:
+        return None
+    bns = sorted(
+        {
+            c
+            for c in (N, N // 2, N // 4, N // 8, 2048, 1024, 512, 256, 128)
+            if c >= 128 and c % 128 == 0 and N % c == 0
+        },
+        reverse=True,
+    )
+    bks = [c for c in (512, 256, 1024) if K % c == 0 and c % max(min_bk, 1) == 0]
+    if not bks and not min_bk and 32 <= K <= 1024 and K % 32 == 0:
         # Small-K case (e.g. the tiny CI model's hidden 128): a full-K block.
         # Mosaic's tile rule needs the scale tile's sublane count (bk/32)
         # divisible by 8 *or* equal to the full array dim — bk == K is the
         # latter.
-        bk = K
-    if bn is None or bk is None or M % 8 != 0:
-        return None
-    while bn > 128 and M * bn * 4 > 8 * 1024 * 1024:
-        bn //= 2
-    while bk > 256 and M * bk * 2 > 8 * 1024 * 1024:
-        bk //= 2
-    # Scale-tile sublane rule (see above) after any shrinking.
-    if (bk // BLOCK) % 8 != 0 and bk != K:
-        return None
-    # Very large M (huge prefill batches) would blow VMEM even at the
-    # smallest tiles: take the XLA fallback instead of a Mosaic compile error.
-    if M * bn * 4 > 16 * 1024 * 1024 or M * bk * 2 > 16 * 1024 * 1024:
-        return None
-    if N % bn != 0 or K % bk != 0:
-        return None
-    return bn, bk
+        bks = [K]
+    for bn in bns:
+        for bk in bks:
+            if (bk // BLOCK) % 8 != 0 and bk != K:
+                continue
+            vmem = M * bn * 6 + 2 * (M * bk * 2) + 2 * int(bk * bn * w_bytes)
+            if vmem <= _VMEM_BUDGET:
+                return bn, bk
+    return None
 
 
 def plan_matmul(
@@ -486,25 +604,26 @@ def plan_matmul(
     # rows are free — and the fallback (dequantizing the full weight to HBM)
     # costs ~10x the packed read.
     Mp = M + (8 - M % 8) % 8
-    tiles = _pick_tiles(Mp, N, K)
-    if tiles is None:
-        return None
-    bn, bk = tiles
-    if elem_name == "float4_e2m1" and fp4_pack == "halves" and bk % 512 != 0:
-        # The per-half scale tile is (bk/64, bn); TPU blocks need the
-        # second-minor dim divisible by 8, so bk must be >= 512 — but
-        # only if that still respects the VMEM caps _pick_tiles enforced.
-        if K % 512 == 0 and Mp * 512 * 2 <= 16 * 1024 * 1024:
-            bk = 512
-        else:
-            return None
-    return bn, bk
+    w_bytes = 0.5 if elem_name == "float4_e2m1" else 1.0
+    # The fp4-halves per-half scale tile is (bk/64, bn); TPU blocks need the
+    # second-minor dim divisible by 8, so bk must be a multiple of 512; the
+    # fp6-quarters per-quarter scale tile is (bk/128, bn), so 1024 there.
+    min_bk = 0
+    if elem_name == "float4_e2m1" and fp4_pack == "halves":
+        min_bk = 512
+    elif fp4_pack == "quarters":
+        min_bk = 1024
+        w_bytes = 0.75
+    return _pick_tiles(Mp, N, K, w_bytes, min_bk)
 
 
-# The fused act-fq path caches the quantized activation in VMEM (M*K bf16);
-# above this cap, pre-quantize with the standalone fake-quantize kernel
-# instead (one extra HBM round trip over x — the round-1 behavior).
-_ACT_FQ_CACHE_CAP = 16 * 1024 * 1024
+# In-kernel activation fq recomputes once per output-column sweep (N/bn
+# times): profitable only at decode-sized M, where the recompute is
+# negligible and skipping the standalone fq kernel saves a dispatch plus an
+# HBM round trip over x.  At prefill sizes the two-pass (standalone fq
+# kernel, then the unfused matmul) measures faster on v5e — the fq VPU work
+# does not hide behind the MXU there.
+_ACT_FQ_FUSE_MAX_M = 64
 
 
 def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]:
@@ -514,7 +633,7 @@ def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]
     if plan is None:
         return None
     bn, bk = plan
-    if act_fq is not None and (M + (8 - M % 8) % 8) * K * 2 > _ACT_FQ_CACHE_CAP:
+    if act_fq is not None and M > _ACT_FQ_FUSE_MAX_M:
         from .pallas_quantize import fake_quantize_pallas
 
         x_fq = fake_quantize_pallas(x_hp, act_fq, BLOCK)
@@ -534,6 +653,10 @@ def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]
             out = _pallas_matmul_fp4(
                 x_hp, w.data, w.scale_e8m0, bn, bk, out_dtype, act_fq
             )
+    elif w.fp4_pack == "quarters":
+        out = _pallas_matmul_fp6q(
+            x_hp, w.data, w.scale_e8m0, w.elem_dtype.name, bn, bk, out_dtype, act_fq
+        )
     else:
         out = _pallas_matmul_1byte(
             x_hp, w.data, w.scale_e8m0, w.elem_dtype.name, bn, bk, out_dtype, act_fq

@@ -100,6 +100,39 @@ def replace_with_custom_fn_if_matches_filter(
     return model
 
 
+def _with_progress(replacement_fn, label: str):
+    """Wrap a replacement fn with progress reporting (the reference wraps its
+    module sweep in tqdm, ``quant_api.py:212,264`` — surgery on a 32-layer
+    streaming load takes long enough to need a signal)."""
+    bar = None
+    try:  # tqdm if available; plain periodic logs otherwise
+        import sys
+
+        from tqdm import tqdm
+
+        if sys.stderr.isatty():
+            bar = tqdm(desc=label, unit="module")
+    except Exception:
+        bar = None
+    state = {"n": 0}
+
+    def wrapped(mod):
+        out = replacement_fn(mod)
+        state["n"] += 1
+        if bar is not None:
+            bar.update(1)
+        elif state["n"] % 8 == 0:
+            logger.info("%s: %d modules quantized", label, state["n"])
+        return out
+
+    def finish():
+        if bar is not None:
+            bar.close()
+        logger.info("%s: done, %d modules quantized", label, state["n"])
+
+    return wrapped, finish
+
+
 def quantize_linear_(
     model: nnx.Module,
     qconfig: QLinearConfig,
@@ -112,9 +145,12 @@ def quantize_linear_(
         filter_fn = lambda mod, fqn: isinstance(mod, Linear) and not isinstance(
             mod, MXInferenceLinear
         )
-    return replace_with_custom_fn_if_matches_filter(
-        model, lambda mod: MXInferenceLinear.from_float(mod, qconfig), filter_fn
+    replacement, finish = _with_progress(
+        lambda mod: MXInferenceLinear.from_float(mod, qconfig), "quantize_linear_"
     )
+    out = replace_with_custom_fn_if_matches_filter(model, replacement, filter_fn)
+    finish()
+    return out
 
 
 def quantize_llm_(
@@ -140,7 +176,9 @@ def quantize_llm_(
             return ATTENTION_LAYERS[type(mod)].from_float(mod, qattention_config)
         return MLP_LAYERS[type(mod)].from_float(mod, qmlp_config)
 
-    replace_with_custom_fn_if_matches_filter(model, replacement_fn, filter_fn)
+    replacement, finish = _with_progress(replacement_fn, "quantize_llm_")
+    replace_with_custom_fn_if_matches_filter(model, replacement, filter_fn)
+    finish()
     # Second pass: leftover plain linears (e.g. lm_head is excluded upstream
     # by not being a match target in the reference; here we match its
     # behavior by only quantizing linears outside MX modules).
