@@ -1,0 +1,157 @@
+"""bf16-vs-MX quality sweep on the distilled model.
+
+The TPU-native analog of the reference's Llama-3.1 accuracy study
+(``docs/sources/results/llama31.md:24-41``): for each MX configuration,
+quantize the frozen ``artifacts/tiny_lm`` model and measure
+
+* **val PPL** — non-overlapping chunked perplexity on the held-out split of
+  the training corpus (``models/evaluate.perplexity``), and
+* **choice acc** — 4-way continuation scoring (true 16-byte continuation vs
+  3 distractors sampled elsewhere in the validation stream; the local
+  stand-in for HellaSwag-style choice tasks), via
+  ``models/evaluate.score_choices``.
+
+MX-KV-cache rows score the same PPL through a cache-writing forward, so the
+attention actually reads the quantized cache (fused kernel path on TPU).
+
+    python tools/train_tiny_lm.py          # once
+    python tools/eval_quality.py           # prints the markdown table
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from torchmx_tpu import checkpoint as ckpt
+from torchmx_tpu.config import MXConfig, QAttentionConfig, QLinearConfig
+from torchmx_tpu.models import evaluate
+from torchmx_tpu.models.llama import LlamaForCausalLM
+from torchmx_tpu.quant_api import quantize_llm_
+from tools.train_tiny_lm import CONFIG, load_corpus, split_corpus
+
+ROOT = Path(__file__).resolve().parent.parent
+SEQ = 256
+N_CHOICE = 200
+CTX, CONT = 64, 16
+
+
+def fresh_model():
+    model = LlamaForCausalLM(CONFIG, rngs=nnx.Rngs(0))
+    return ckpt.load_model(str(ROOT / "artifacts" / "tiny_lm"), model)
+
+
+def qlin(w, a):
+    return QLinearConfig(weights_config=MXConfig(w), activations_config=MXConfig(a))
+
+
+def build_choice_task(val: np.ndarray, rng: np.random.Generator):
+    ctxs, choices = [], []
+    for _ in range(N_CHOICE):
+        s = int(rng.integers(0, len(val) - CTX - CONT - 1))
+        ctx = val[s : s + CTX].tolist()
+        true = val[s + CTX : s + CTX + CONT].tolist()
+        alts = [true]
+        for _ in range(3):
+            d = int(rng.integers(0, len(val) - CONT - 1))
+            alts.append(val[d : d + CONT].tolist())
+        ctxs.append(ctx)
+        choices.append(alts)
+    return ctxs, choices
+
+
+def ppl_with_mx_cache(model, tokens: np.ndarray, kv_cfg, batch=8) -> float:
+    """Chunked PPL where the forward WRITES and attends THROUGH an MX cache."""
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def token_logprobs(state, ids):
+        m = nnx.merge(graphdef, state)
+        caches = m.init_cache(ids.shape[0], SEQ, kv_cfg)
+        logits, _ = m(ids, caches=caches, cache_position=0)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.take_along_axis(lp[:, :-1], ids[:, 1:, None], axis=-1)[..., 0]
+
+    n = (len(tokens) // SEQ) * SEQ
+    chunks = np.asarray(tokens[:n], np.int32).reshape(-1, SEQ)
+    total, count = 0.0, 0
+    for i in range(0, len(chunks) - len(chunks) % batch, batch):
+        lp = token_logprobs(state, jnp.asarray(chunks[i : i + batch]))
+        total += float(jnp.sum(lp))
+        count += lp.shape[0] * lp.shape[1]
+    return float(np.exp(-total / max(count, 1)))
+
+
+def main():
+    tokens = load_corpus()
+    _, val = split_corpus(tokens)
+    rng = np.random.default_rng(42)
+    ctxs, choices = build_choice_task(val, rng)
+
+    def evaluate_model(model, kv_cfg=None):
+        if kv_cfg is not None:
+            ppl = ppl_with_mx_cache(model, val, kv_cfg)
+        else:
+            ppl = evaluate.perplexity(model, val, seq_len=SEQ, batch_size=8)
+        picks = evaluate.score_choices(model, ctxs, choices)
+        acc = float(np.mean(np.asarray(picks) == 0))
+        return ppl, acc
+
+    fp8 = qlin("float8_e4m3", "float8_e4m3")
+    fp6w_fp8a = qlin("float6_e3m2", "float8_e4m3")
+    fp6 = qlin("float6_e3m2", "float6_e3m2")
+    fp4w_fp8a = qlin("float4_e2m1", "float8_e4m3")
+    attn_fp6_full = QAttentionConfig(
+        projection_config=fp6w_fp8a,
+        query_config=MXConfig("float6_e3m2"),
+        key_config=MXConfig("float6_e3m2"),
+        value_config=MXConfig("float6_e3m2"),
+        attention_weights_config=MXConfig("float6_e3m2"),
+    )
+
+    # (name, qattention, qmlp, kv_cache_config)
+    CONFIGS = [
+        ("bf16 baseline", None, None, None),
+        ("MXFP8 W+A (proj+MLP)", QAttentionConfig(projection_config=fp8), fp8, None),
+        ("MXFP6 W / FP8 A (proj+MLP)", QAttentionConfig(projection_config=fp6w_fp8a), fp6w_fp8a, None),
+        ("MXFP6 W+A (proj+MLP)", QAttentionConfig(projection_config=fp6), fp6, None),
+        ("MXFP4 W / FP8 A (proj+MLP)", QAttentionConfig(projection_config=fp4w_fp8a), fp4w_fp8a, None),
+        ("MXFP6/FP8 + Q/K/V/attn-W FP6", attn_fp6_full, fp6w_fp8a, None),
+        ("MXFP6 full stack", QAttentionConfig(
+            projection_config=fp6,
+            query_config=MXConfig("float6_e3m2"),
+            key_config=MXConfig("float6_e3m2"),
+            value_config=MXConfig("float6_e3m2"),
+            attention_weights_config=MXConfig("float6_e3m2"),
+        ), fp6, None),
+        ("MXFP6/FP8 + fp8 MX KV cache", QAttentionConfig(projection_config=fp6w_fp8a), fp6w_fp8a, MXConfig("float8_e4m3")),
+        ("MXFP6/FP8 + fp4 MX KV cache", QAttentionConfig(projection_config=fp6w_fp8a), fp6w_fp8a, MXConfig("float4_e2m1")),
+    ]
+
+    base_ppl = base_acc = None
+    print(f"| config | val PPL | Δ PPL | choice acc | Δ acc |")
+    print(f"|---|---|---|---|---|")
+    for name, qattn, qmlp, kv in CONFIGS:
+        model = fresh_model()
+        if qattn is not None:
+            quantize_llm_(model, qattn, qmlp)
+        if kv is not None and name == "bf16 baseline":
+            raise AssertionError
+        ppl, acc = evaluate_model(model, kv_cfg=kv)
+        if base_ppl is None:
+            base_ppl, base_acc = ppl, acc
+            print(f"| {name} | {ppl:.3f} | — | {acc*100:.1f} % | — |")
+        else:
+            print(
+                f"| {name} | {ppl:.3f} | {ppl-base_ppl:+.3f} | "
+                f"{acc*100:.1f} % | {(acc-base_acc)*100:+.1f} |"
+            )
+
+
+if __name__ == "__main__":
+    main()

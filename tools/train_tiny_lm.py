@@ -1,0 +1,133 @@
+"""Distill a real language model for quantization-quality evaluation.
+
+This environment has no model checkpoints and no network egress, so the
+accuracy study (the reference's raison d'etre — its Llama-3.1 tables,
+``docs/sources/results/llama31.md``) needs a locally-trained subject: a
+byte-level Llama trained on this repository's own source text (a
+deterministic, committed corpus) to non-trivial loss, then frozen.
+``tools/eval_quality.py`` runs the bf16-vs-MX quality sweep on it.
+
+    python tools/train_tiny_lm.py [steps=3000]   # ~2 min on one v5e chip
+
+Writes the checkpoint to ``artifacts/tiny_lm/``.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from torchmx_tpu import checkpoint as ckpt
+from torchmx_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+ROOT = Path(__file__).resolve().parent.parent
+SEQ_LEN = 256
+BATCH = 32
+
+# Byte-level model sized so every quantization seam is exercised: head_dim
+# 128 (fused MX-KV-cache attention eligible), hidden/intermediate multiples
+# of 128 (fused matmul kernels eligible).
+CONFIG = LlamaConfig(
+    vocab_size=256,
+    hidden_size=256,
+    intermediate_size=768,
+    num_hidden_layers=4,
+    num_attention_heads=2,
+    num_key_value_heads=2,
+    head_dim=128,
+    max_position_embeddings=512,
+    rope_theta=10000.0,
+)
+
+
+def load_corpus(snapshot: bool = True) -> np.ndarray:
+    """Repo source + docs as a byte stream (deterministic file order).
+
+    The repo text drifts with every commit, so the byte stream the model was
+    *trained* on is snapshotted next to the checkpoint
+    (``artifacts/tiny_lm/corpus.bin``); evaluation reads the snapshot so the
+    published quality table stays reproducible.  ``snapshot=False`` forces a
+    fresh scan (used by training itself).
+    """
+    snap = ROOT / "artifacts" / "tiny_lm" / "corpus.bin"
+    if snapshot and snap.exists():
+        return np.frombuffer(snap.read_bytes(), dtype=np.uint8).astype(np.int32)
+    files = sorted(
+        list((ROOT / "torchmx_tpu").rglob("*.py"))
+        + list((ROOT / "tests").rglob("*.py"))
+        + list((ROOT / "docs").glob("*.md"))
+        + list((ROOT / "tools").glob("*.py"))
+    )
+    blob = b"\n\n".join(f.read_bytes() for f in files)
+    return np.frombuffer(blob, dtype=np.uint8).astype(np.int32)
+
+
+def split_corpus(tokens: np.ndarray):
+    n_val = len(tokens) // 10
+    return tokens[:-n_val], tokens[-n_val:]
+
+
+def batches(tokens: np.ndarray, rng: np.random.Generator):
+    starts = rng.integers(0, len(tokens) - SEQ_LEN - 1, size=BATCH)
+    x = np.stack([tokens[s : s + SEQ_LEN] for s in starts])
+    y = np.stack([tokens[s + 1 : s + SEQ_LEN + 1] for s in starts])
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    tokens = load_corpus(snapshot=False)
+    train, val = split_corpus(tokens)
+    print(f"corpus: {len(tokens)} bytes ({len(train)} train / {len(val)} val)")
+
+    model = LlamaForCausalLM(CONFIG, rngs=nnx.Rngs(0))
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    tx = optax.adamw(
+        optax.cosine_decay_schedule(3e-4, steps, alpha=0.1), weight_decay=0.01
+    )
+    opt_state = tx.init(params)
+
+    def loss_fn(params, x, y):
+        m = nnx.merge(graphdef, params, rest)
+        logits, _ = m(x)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(lp, y[..., None], axis=-1)[..., 0]
+        return -jnp.mean(ll)
+
+    @jax.jit
+    def step_fn(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    for i in range(steps):
+        x, y = batches(train, rng)
+        params, opt_state, loss = step_fn(params, opt_state, x, y)
+        if i % 200 == 0 or i == steps - 1:
+            print(f"step {i:5d}  train loss {float(loss):.4f}")
+
+    # Validation loss of the frozen model.
+    vx, vy = batches(val, np.random.default_rng(1))
+    vloss = float(loss_fn(params, vx, vy))
+    print(f"val loss {vloss:.4f}  (ppl {np.exp(vloss):.2f})")
+
+    model = nnx.merge(graphdef, params, rest)
+    out = ROOT / "artifacts" / "tiny_lm"
+    if out.exists():
+        import shutil
+
+        shutil.rmtree(out)
+    ckpt.save_model(str(out), model)
+    (out / "corpus.bin").write_bytes(tokens.astype(np.uint8).tobytes())
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()
