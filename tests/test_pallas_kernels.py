@@ -422,3 +422,57 @@ def test_fp6_quarters_linear_layer_uses_quarters():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=5e-3, atol=1e-3
     )
+
+
+@pytest.mark.parametrize("ename,pack", [
+    ("float8_e4m3", "pair"),
+    ("float4_e2m1", "halves"),
+    ("float6_e3m2", "quarters"),
+])
+def test_x_cache_path_bit_identical(ename, pack):
+    """The j==0 VMEM x-cache variant must be bit-identical to the uncached
+    kernel and engage for multi-sweep prefill shapes (the plan oracle says
+    when).  M=2048 x N=4096 forces N//bn > 1 under the cached VMEM budget."""
+    M, K, N = 2048, 1024, 4096
+    plan_c = pm.plan_matmul_cached(M, N, K, ename, pack)
+    assert plan_c is not None and N // plan_c[0] > 1, plan_c
+    w = (jax.random.normal(jax.random.PRNGKey(30), (N, K)) * 0.1).astype(jnp.bfloat16)
+    w_km = MXArray.to_mx(w, ename, 32).T
+    if pack == "halves":
+        w_km = w_km.to_fp4_halves()
+    elif pack == "quarters":
+        w_km = w_km.to_fp6_quarters()
+    x = rand_bf16(31, (M, K), spread=1.0)
+
+    # Weight-only (x already high-precision): cached vs uncached bitwise.
+    out = pm.matmul_any(x, w_km, jnp.bfloat16)
+    bn, bk = plan_c
+    run = {
+        "pair": lambda xc, cache: pm._pallas_matmul_1byte(
+            xc, w_km.data, w_km.scale_e8m0, ename, bn, bk, jnp.bfloat16, None, cache
+        ),
+        "halves": lambda xc, cache: pm._pallas_matmul_fp4_halves(
+            xc, w_km.data, w_km.scale_e8m0, bn, bk, jnp.bfloat16, None, cache
+        ),
+        "quarters": lambda xc, cache: pm._pallas_matmul_fp6q(
+            xc, w_km.data, w_km.scale_e8m0, ename, bn, bk, jnp.bfloat16, None, cache
+        ),
+    }[pack]
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32), np.asarray(run(x, False), np.float32)
+    )
+
+    # Dynamic activation quantization: the fq lands inside the cached kernel
+    # and must equal the standalone-fq + uncached-matmul reference bitwise.
+    from torchmx_tpu.ops import mx_fake_quantize
+
+    fused = pm.matmul_any(x, w_km, jnp.bfloat16, act_fq="float8_e4m3")
+    old = env.TORCHMX_QUANTIZE_BACKEND
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "pallas"
+        x_fq = mx_fake_quantize(x, "float8_e4m3", 32)
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old
+    np.testing.assert_array_equal(
+        np.asarray(fused, np.float32), np.asarray(run(x_fq, False), np.float32)
+    )

@@ -46,6 +46,9 @@ from ..mx_array import MXArray
 
 BLOCK = 32  # OCP MX block size; kernels assume block_size == 32
 
+# Mosaic scoped-VMEM ceiling per kernel invocation (v5e has 128MB physical).
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 from .backend import interpret as _interpret
 
@@ -191,6 +194,36 @@ def _expand_scale(se, factor):
     return jnp.broadcast_to(se[:, None, :], (nb, factor, bn)).reshape(nb * factor, bn)
 
 
+def _cache_x_tiles(k, act_fq: Optional[str], *pairs):
+    """Store x tiles into their VMEM caches on the j == 0 sweep.
+
+    On the first output-column sweep the true x tiles stream from HBM (the
+    BlockSpec index maps pin j > 0 sweeps to tile 0, so Pallas never
+    re-DMAs them), get fake-quantized in VMEM if ``act_fq`` is set
+    (transpose -> sublane-block fq -> transpose back: the same two
+    transposes the standalone fake-quantize kernel performs, minus its HBM
+    round trip and dispatch), and land in their ``(nk, M, bk)`` scratches.
+    Later sweeps read the scratch.  Cuts x HBM traffic from
+    ``(N/bn) * M*K`` to ``M*K`` and absorbs the activation-quantize pass.
+
+    Scheduling matters: this must be ONE conditional region at the TOP of
+    the kernel body, before the weight decode — emitting the stores after
+    the decode (or one region per tile) costs ~40% E2E on v5e, as Mosaic
+    then fails to overlap the stores with the MXU dots.  Kernels read the
+    cached tiles back AFTER the decode (``xs_ref[k]``), not from this
+    function's return, for the same reason.
+    """
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        for x_ref, xs_ref in pairs:
+            t = x_ref[:]
+            if act_fq is not None:
+                t = _fq_xT_tile(t.T, act_fq).T
+            xs_ref[k] = t
+
+
 # ---------------------------------------------------------------------------
 # Fused kernels (grid (j, k), k innermost; fp32 accumulator scratch)
 # ---------------------------------------------------------------------------
@@ -208,13 +241,22 @@ def _dot_f32acc(a, b, dn=None):
 
 
 def _linear_kernel_1byte(
-    x_ref, w_ref, s_ref, o_ref, acc_ref, *, elem_name: str, act_fq: Optional[str]
+    x_ref,
+    w_ref,
+    s_ref,
+    o_ref,
+    acc_ref,
+    *scratch,
+    elem_name: str,
+    act_fq: Optional[str],
+    x_cache: bool = False,
 ):
     """One-byte-per-code formats (fp8/fp6/int8), K-major weights.
 
-    With ``act_fq``, ``x_ref`` holds a TRANSPOSED (bk, M) tile: the fq runs
-    in the cheap sublane layout and the MXU contracts the transposed
-    operand directly.
+    With ``act_fq`` (and no ``x_cache``), ``x_ref`` holds a TRANSPOSED
+    (bk, M) tile: the fq runs in the cheap sublane layout and the MXU
+    contracts the transposed operand directly.  With ``x_cache`` x tiles
+    live in a VMEM scratch after the first sweep (see :func:`_cached_x`).
     """
     k = pl.program_id(1)
 
@@ -222,13 +264,17 @@ def _linear_kernel_1byte(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if x_cache:
+        _cache_x_tiles(k, act_fq, (x_ref, scratch[0]))
     codes = w_ref[:].astype(jnp.int32)
     se = _expand_scale(s_ref[:].astype(jnp.int32), BLOCK)
     if elem_name == "int8":
         w = decode_int8_to_bf16(codes, se)
     else:
         w = decode_codes_to_bf16(codes, se, dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name])
-    if act_fq is None:
+    if x_cache:
+        acc_ref[:] += _dot_f32acc(scratch[0][k], w)
+    elif act_fq is None:
         acc_ref[:] += _dot_f32acc(x_ref[:], w)
     else:
         acc_ref[:] += _dot_f32acc(_fq_xT_tile(x_ref[:], act_fq), w, _DN_T)
@@ -270,7 +316,16 @@ def _linear_kernel_fp4(
 
 
 def _linear_kernel_fp4_halves(
-    xa_ref, xb_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref, *, act_fq: Optional[str]
+    xa_ref,
+    xb_ref,
+    w_ref,
+    sa_ref,
+    sb_ref,
+    o_ref,
+    acc_ref,
+    *scratch,
+    act_fq: Optional[str],
+    x_cache: bool = False,
 ):
     """fp4 "halves" packing: byte p holds elements (p, p + K/2).
 
@@ -287,13 +342,18 @@ def _linear_kernel_fp4_halves(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if x_cache:
+        _cache_x_tiles(k, act_fq, (xa_ref, scratch[0]), (xb_ref, scratch[1]))
     b = w_ref[:].astype(jnp.int32)
     se_a = _expand_scale(sa_ref[:].astype(jnp.int32), BLOCK)
     se_b = _expand_scale(sb_ref[:].astype(jnp.int32), BLOCK)
     w_hi = decode_fp4_to_bf16((b >> 4) & 0xF, se_a)
     w_lo = decode_fp4_to_bf16(b & 0xF, se_b)
     w = jnp.concatenate([w_hi, w_lo], axis=0)
-    if act_fq is None:
+    if x_cache:
+        x = jnp.concatenate([scratch[0][k], scratch[1][k]], axis=1)
+        acc_ref[:] += _dot_f32acc(x, w)
+    elif act_fq is None:
         x = jnp.concatenate([xa_ref[:], xb_ref[:]], axis=1)
         acc_ref[:] += _dot_f32acc(x, w)
     else:
@@ -310,7 +370,7 @@ def _linear_kernel_fp4_halves(
 def _linear_kernel_fp6q(
     xa_ref, xb_ref, xc_ref, xd_ref, p0_ref, p1_ref, p2_ref,
     s0_ref, s1_ref, s2_ref, s3_ref, o_ref, acc_ref,
-    *, elem_name: str, act_fq: Optional[str]
+    *scratch, elem_name: str, act_fq: Optional[str], x_cache: bool = False
 ):
     """fp6 "quarters" packing: 4 elements per 3 HBM bytes, planar.
 
@@ -328,6 +388,10 @@ def _linear_kernel_fp6q(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if x_cache:
+        _cache_x_tiles(
+            k, act_fq, *zip((xa_ref, xb_ref, xc_ref, xd_ref), scratch)
+        )
     p0 = p0_ref[:].astype(jnp.int32)
     p1 = p1_ref[:].astype(jnp.int32)
     p2 = p2_ref[:].astype(jnp.int32)
@@ -343,7 +407,10 @@ def _linear_kernel_fp6q(
         axis=0,
     )
     x_refs = (xa_ref, xb_ref, xc_ref, xd_ref)
-    if act_fq is None:
+    if x_cache:
+        x = jnp.concatenate([xs[k] for xs in scratch], axis=1)
+        acc_ref[:] += _dot_f32acc(x, w)
+    elif act_fq is None:
         x = jnp.concatenate([r[:] for r in x_refs], axis=1)
         acc_ref[:] += _dot_f32acc(x, w)
     else:
@@ -357,15 +424,25 @@ def _linear_kernel_fp6q(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("elem_name", "bn", "bk", "out_dtype", "act_fq")
+    jax.jit, static_argnames=("elem_name", "bn", "bk", "out_dtype", "act_fq", "x_cache")
 )
-def _pallas_matmul_fp6q(x, w_data, w_scale, elem_name, bn, bk, out_dtype, act_fq=None):
+def _pallas_matmul_fp6q(
+    x, w_data, w_scale, elem_name, bn, bk, out_dtype, act_fq=None, x_cache=False
+):
     M, K = x.shape
     N = w_data.shape[1]
     bkq = bk // 4
     nq = (K // 4) // bkq  # quarter offset, in bkq-sized tiles
     grid = (N // bn, K // bk)
-    if act_fq is None:
+    scratch = [pltpu.VMEM((M, bn), jnp.float32)]
+    if x_cache:
+        def xq_spec(qi):
+            return pl.BlockSpec(
+                (M, bkq), _pin_after_first_sweep(qi * nq), memory_space=pltpu.VMEM
+            )
+
+        scratch += [pltpu.VMEM((K // bk, M, bkq), jnp.bfloat16)] * 4
+    elif act_fq is None:
         def xq_spec(qi):
             return pl.BlockSpec(
                 (M, bkq), lambda j, k, qi=qi: (0, k + qi * nq), memory_space=pltpu.VMEM
@@ -389,7 +466,9 @@ def _pallas_matmul_fp6q(x, w_data, w_scale, elem_name, bn, bk, out_dtype, act_fq
             memory_space=pltpu.VMEM,
         )
 
-    kernel = functools.partial(_linear_kernel_fp6q, elem_name=elem_name, act_fq=act_fq)
+    kernel = functools.partial(
+        _linear_kernel_fp6q, elem_name=elem_name, act_fq=act_fq, x_cache=x_cache
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -398,10 +477,10 @@ def _pallas_matmul_fp6q(x, w_data, w_scale, elem_name, bn, bk, out_dtype, act_fq
         + [scale_spec(i) for i in range(4)],
         out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("arbitrary" if x_cache else "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
@@ -422,18 +501,33 @@ def _is_kernel_layout(w: MXArray) -> bool:
     )
 
 
+def _pin_after_first_sweep(offset: int = 0):
+    """Index map streaming the true k-tile on the j == 0 sweep and pinning
+    later sweeps to the first tile (same block index as the previous step,
+    so Pallas skips the DMA) — the kernel reads the VMEM cache instead."""
+    return lambda j, k: (0, jnp.where(j == 0, k + offset, offset))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("elem_name", "bn", "bk", "out_dtype", "act_fq")
+    jax.jit, static_argnames=("elem_name", "bn", "bk", "out_dtype", "act_fq", "x_cache")
 )
-def _pallas_matmul_1byte(x, w_codes, w_scale, elem_name, bn, bk, out_dtype, act_fq=None):
+def _pallas_matmul_1byte(
+    x, w_codes, w_scale, elem_name, bn, bk, out_dtype, act_fq=None, x_cache=False
+):
     M, K = x.shape
     N = w_codes.shape[1]
     grid = (N // bn, K // bk)
-    kernel = functools.partial(_linear_kernel_1byte, elem_name=elem_name, act_fq=act_fq)
+    kernel = functools.partial(
+        _linear_kernel_1byte, elem_name=elem_name, act_fq=act_fq, x_cache=x_cache
+    )
+    scratch = [pltpu.VMEM((M, bn), jnp.float32)]
     # With fused act-fq the kernel wants x transposed (MX blocks on
     # sublanes): one XLA transpose outside replaces the separate
     # fake-quantize pass's full HBM round trip.
-    if act_fq is None:
+    if x_cache:
+        x_spec = pl.BlockSpec((M, bk), _pin_after_first_sweep(), memory_space=pltpu.VMEM)
+        scratch.append(pltpu.VMEM((K // bk, M, bk), jnp.bfloat16))
+    elif act_fq is None:
         x_spec = pl.BlockSpec((M, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM)
     else:
         x = x.T  # (K, M)
@@ -448,10 +542,10 @@ def _pallas_matmul_1byte(x, w_codes, w_scale, elem_name, bn, bk, out_dtype, act_
         ],
         out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("arbitrary" if x_cache else "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
@@ -490,7 +584,7 @@ def _pallas_matmul_fp4(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None):
         scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
@@ -501,14 +595,27 @@ def _pallas_matmul_fp4(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None):
     )(xe, xo, w_data, w_scale)
 
 
-@functools.partial(jax.jit, static_argnames=("bn", "bk", "out_dtype", "act_fq"))
-def _pallas_matmul_fp4_halves(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None):
+@functools.partial(
+    jax.jit, static_argnames=("bn", "bk", "out_dtype", "act_fq", "x_cache")
+)
+def _pallas_matmul_fp4_halves(
+    x, w_data, w_scale, bn, bk, out_dtype, act_fq=None, x_cache=False
+):
     M, K = x.shape
     N = w_data.shape[1]
     bkp = bk // 2
     nko = (K // 2) // bkp  # lo-half offset, in bkp-sized column tiles of x
     grid = (N // bn, K // bk)
-    if act_fq is None:
+    scratch = [pltpu.VMEM((M, bn), jnp.float32)]
+    if x_cache:
+        xa_spec = pl.BlockSpec(
+            (M, bkp), _pin_after_first_sweep(), memory_space=pltpu.VMEM
+        )
+        xb_spec = pl.BlockSpec(
+            (M, bkp), _pin_after_first_sweep(nko), memory_space=pltpu.VMEM
+        )
+        scratch += [pltpu.VMEM((K // bk, M, bkp), jnp.bfloat16)] * 2
+    elif act_fq is None:
         xa_spec = pl.BlockSpec((M, bkp), lambda j, k: (0, k), memory_space=pltpu.VMEM)
         xb_spec = pl.BlockSpec(
             (M, bkp), lambda j, k: (0, k + nko), memory_space=pltpu.VMEM
@@ -520,7 +627,7 @@ def _pallas_matmul_fp4_halves(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None
             (bkp, M), lambda j, k: (k + nko, 0), memory_space=pltpu.VMEM
         )
     return pl.pallas_call(
-        functools.partial(_linear_kernel_fp4_halves, act_fq=act_fq),
+        functools.partial(_linear_kernel_fp4_halves, act_fq=act_fq, x_cache=x_cache),
         grid=grid,
         in_specs=[
             xa_spec,
@@ -533,10 +640,10 @@ def _pallas_matmul_fp4_halves(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None
         ],
         out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("arbitrary" if x_cache else "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
@@ -554,15 +661,23 @@ def _pallas_matmul_fp4_halves(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None
 _VMEM_BUDGET = 52 * 1024 * 1024
 
 
-def _pick_tiles(M: int, N: int, K: int, w_bytes: float = 1.0, min_bk: int = 0):
+def _pick_tiles(
+    M: int,
+    N: int,
+    K: int,
+    w_bytes: float = 1.0,
+    min_bk: int = 0,
+    extra_bytes: int = 0,
+    budget: int = 0,
+):
     """Largest output-column tile that fits VMEM.
 
-    The x tile is refetched from HBM once per output-column sweep (N/bn
-    times), so bn should be as large as the accumulator allows — measured on
-    v5e at the Llama-8B MLP shape (M=1024), growing bn 2048 -> 7168 takes
-    the fp4-halves E2E from 0.85x to 0.98x of the bf16 matmul.  bk=512
-    beats 1024 at every bn (smaller decode working set).  ``w_bytes`` is
-    the packed bytes per weight element (0.5 for fp4).
+    Without the x-cache the x tile is refetched from HBM once per
+    output-column sweep (N/bn times), so bn should be as large as the
+    accumulator allows; bk=512 beats 1024 at every bn on v5e (smaller
+    decode working set).  ``w_bytes`` is the packed bytes per weight
+    element (0.5 for fp4); ``extra_bytes`` budgets non-tile VMEM (the
+    x-cache scratch) against ``budget``.
     """
     if M % 8 != 0:
         return None
@@ -585,8 +700,8 @@ def _pick_tiles(M: int, N: int, K: int, w_bytes: float = 1.0, min_bk: int = 0):
         for bk in bks:
             if (bk // BLOCK) % 8 != 0 and bk != K:
                 continue
-            vmem = M * bn * 6 + 2 * (M * bk * 2) + 2 * int(bk * bn * w_bytes)
-            if vmem <= _VMEM_BUDGET:
+            vmem = M * bn * 8 + 2 * (M * bk * 2) + 2 * int(bk * bn * w_bytes)
+            if vmem + extra_bytes <= (budget or _VMEM_BUDGET):
                 return bn, bk
     return None
 
@@ -604,26 +719,59 @@ def plan_matmul(
     # rows are free — and the fallback (dequantizing the full weight to HBM)
     # costs ~10x the packed read.
     Mp = M + (8 - M % 8) % 8
-    w_bytes = 0.5 if elem_name == "float4_e2m1" else 1.0
-    # The fp4-halves per-half scale tile is (bk/64, bn); TPU blocks need the
-    # second-minor dim divisible by 8, so bk must be a multiple of 512; the
-    # fp6-quarters per-quarter scale tile is (bk/128, bn), so 1024 there.
-    min_bk = 0
-    if elem_name == "float4_e2m1" and fp4_pack == "halves":
-        min_bk = 512
-    elif fp4_pack == "quarters":
-        min_bk = 1024
-        w_bytes = 0.75
+    w_bytes, min_bk = _format_geometry(elem_name, fp4_pack)
     return _pick_tiles(Mp, N, K, w_bytes, min_bk)
 
 
-# In-kernel activation fq recomputes once per output-column sweep (N/bn
-# times): profitable only at decode-sized M, where the recompute is
-# negligible and skipping the standalone fq kernel saves a dispatch plus an
-# HBM round trip over x.  At prefill sizes the two-pass (standalone fq
-# kernel, then the unfused matmul) measures faster on v5e — the fq VPU work
-# does not hide behind the MXU there.
+def _format_geometry(elem_name: str, fp4_pack: str):
+    """(packed bytes per weight element, minimum bk) for a weight format.
+
+    The fp4-halves per-half scale tile is (bk/64, bn); TPU blocks need the
+    second-minor dim divisible by 8, so bk must be a multiple of 512; the
+    fp6-quarters per-quarter scale tile is (bk/128, bn), so 1024 there.
+    """
+    if elem_name == "float4_e2m1":
+        return 0.5, (512 if fp4_pack == "halves" else 0)
+    if fp4_pack == "quarters":
+        return 0.75, 1024
+    return 1.0, 0
+
+
+# In-kernel activation fq without the x-cache recomputes once per
+# output-column sweep (N/bn times): profitable only at decode-sized M,
+# where the recompute is negligible and skipping the standalone fq kernel
+# saves a dispatch plus an HBM round trip over x.  Above this M the kernel
+# either fq's into the j==0 VMEM x-cache (one fq total, no HBM round trip)
+# or, when the cache does not fit VMEM, falls back to the two-pass path
+# (standalone fq kernel, then the unfused matmul).
 _ACT_FQ_FUSE_MAX_M = 64
+
+# Tighter budget when the x-cache scratch rides along: configs estimated in
+# the 45-52MB band compile but schedule poorly (measured: fp6-quarters
+# bn=3584/bk=1024 + cache runs at 0.67x of bf16 while bn=1792 runs 0.88x),
+# so cached planning prefers a smaller bn that leaves headroom.
+_VMEM_CACHE_BUDGET = 45 * 1024 * 1024
+
+
+def plan_matmul_cached(
+    M: int, N: int, K: int, elem_name: str = "float8_e4m3", fp4_pack: str = "pair"
+):
+    """Tiling for the j==0 x-cache kernel variant, or None when the cache
+    (an ``M x K`` bf16 scratch) cannot fit VMEM or there is only one
+    output-column sweep to amortize it over."""
+    Mp = M + (8 - M % 8) % 8
+    if elem_name == "float4_e2m1" and fp4_pack == "pair":
+        # The fp4 "pair" kernel has no cache mode (x arrives as strided
+        # even/odd K-planes; the halves layout is the production fp4 path).
+        return None
+    w_bytes, min_bk = _format_geometry(elem_name, fp4_pack)
+    plan = _pick_tiles(
+        Mp, N, K, w_bytes, min_bk,
+        extra_bytes=Mp * K * 2, budget=_VMEM_CACHE_BUDGET,
+    )
+    if plan is None or N // plan[0] <= 1:
+        return None
+    return plan
 
 
 def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]:
@@ -632,8 +780,11 @@ def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]
     plan = plan_matmul(M, N, K, w.elem_dtype.name, w.fp4_pack)
     if plan is None:
         return None
-    bn, bk = plan
-    if act_fq is not None and M > _ACT_FQ_FUSE_MAX_M:
+    pad_m = (8 - M % 8) % 8
+    cached_plan = plan_matmul_cached(M, N, K, w.elem_dtype.name, w.fp4_pack)
+    x_cache = cached_plan is not None
+    bn, bk = cached_plan if x_cache else plan
+    if act_fq is not None and M > _ACT_FQ_FUSE_MAX_M and not x_cache:
         from .pallas_quantize import fake_quantize_pallas
 
         x_fq = fake_quantize_pallas(x_hp, act_fq, BLOCK)
@@ -641,13 +792,12 @@ def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]
             x_fq = MXArray.to_mx(x_hp, act_fq, BLOCK).to_dtype(jnp.bfloat16)
         x_hp = x_fq
         act_fq = None
-    pad_m = (8 - M % 8) % 8
     if pad_m:
         x_hp = jnp.pad(x_hp, ((0, pad_m), (0, 0)))
     if w.elem_dtype == dtypes.float4_e2m1:
         if w.fp4_pack == "halves":
             out = _pallas_matmul_fp4_halves(
-                x_hp, w.data, w.scale_e8m0, bn, bk, out_dtype, act_fq
+                x_hp, w.data, w.scale_e8m0, bn, bk, out_dtype, act_fq, x_cache
             )
         else:
             out = _pallas_matmul_fp4(
@@ -655,11 +805,13 @@ def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]
             )
     elif w.fp4_pack == "quarters":
         out = _pallas_matmul_fp6q(
-            x_hp, w.data, w.scale_e8m0, w.elem_dtype.name, bn, bk, out_dtype, act_fq
+            x_hp, w.data, w.scale_e8m0, w.elem_dtype.name, bn, bk, out_dtype, act_fq,
+            x_cache,
         )
     else:
         out = _pallas_matmul_1byte(
-            x_hp, w.data, w.scale_e8m0, w.elem_dtype.name, bn, bk, out_dtype, act_fq
+            x_hp, w.data, w.scale_e8m0, w.elem_dtype.name, bn, bk, out_dtype, act_fq,
+            x_cache,
         )
     return out[:M] if pad_m else out
 
