@@ -476,3 +476,50 @@ def test_x_cache_path_bit_identical(ename, pack):
     np.testing.assert_array_equal(
         np.asarray(fused, np.float32), np.asarray(run(x_fq, False), np.float32)
     )
+
+
+def test_shared_activation_quantize_bit_identical():
+    """The MLP/attention shared-activation path (quantize x once, feed
+    gate+up / q+k+v) must be bit-identical to per-linear dynamic
+    quantization at prefill sizes."""
+    from flax import nnx
+
+    from torchmx_tpu.config import MXConfig, QLinearConfig
+    from torchmx_tpu.layers.linear import MXInferenceLinear, shared_activation_fq
+    from torchmx_tpu.layers.mx_llama_attention import MXInferenceLlamaMLP
+    from torchmx_tpu.models.llama import LlamaConfig, LlamaMLP
+
+    qcfg = QLinearConfig(
+        weights_config=MXConfig("float4_e2m1"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        head_dim=128,
+    )
+    mlp = LlamaMLP(cfg, rngs=nnx.Rngs(5))
+    qmlp = MXInferenceLlamaMLP.from_float(mlp, qcfg)
+    x = rand_bf16(6, (2, 64, 512), spread=1.0)  # 128 rows > fuse threshold
+
+    shared = qmlp(x)
+    # Per-linear reference: the exact ops __call__ would run without sharing.
+    ref_h = jax.nn.silu(qmlp.gate_proj(x)) * qmlp.up_proj(x)
+    ref = qmlp.down_proj(ref_h)
+    np.testing.assert_array_equal(
+        np.asarray(shared, np.float32), np.asarray(ref, np.float32)
+    )
+
+    # Decode-sized input takes the unshared path (sharing returns None).
+    assert shared_activation_fq(
+        rand_bf16(7, (1, 8, 512)), qmlp.gate_proj, qmlp.up_proj
+    ) is None
+    # Mismatched activation configs never share.
+    other = QLinearConfig(
+        weights_config=MXConfig("float4_e2m1"),
+        activations_config=MXConfig("float6_e3m2"),
+    )
+    lin_other = MXInferenceLinear.from_weights(
+        jnp.zeros((1024, 512), jnp.bfloat16), None, other
+    )
+    assert shared_activation_fq(x, qmlp.gate_proj, lin_other) is None

@@ -142,8 +142,49 @@ class MXInferenceLinear(nnx.Module):
             out = out + self.bias.get_value().astype(out.dtype)
         return out
 
+    def apply_prequantized(self, x_fq: jax.Array) -> jax.Array:
+        """Forward on an activation that is ALREADY fake-quantized to this
+        layer's ``activations_config`` grid (see :func:`shared_activation_fq`).
+        Bit-identical to ``__call__`` on the raw activation: fake-quantize is
+        idempotent per grid, and the fused kernel's in-prologue fq is
+        bit-identical to the standalone pass by the kernel tests."""
+        from ..ops import mx_matmul
+
+        out = mx_matmul(x_fq, self.weight.get_value(), out_dtype=jnp.bfloat16)
+        if self.bias is not None:
+            out = out + self.bias.get_value().astype(out.dtype)
+        return out
+
     def __repr__(self) -> str:
         return (
             f"MXInferenceLinear(in={self.in_features}, out={self.out_features}, "
             f"qconfig={self.qconfig})"
         )
+
+
+def shared_activation_fq(x: jax.Array, *linears: "MXInferenceLinear"):
+    """Fake-quantize ``x`` once for several linears that consume the SAME
+    activation under the SAME activation config (Llama gate/up, attention
+    q/k/v) — or return None when sharing does not apply.
+
+    Each ``MXInferenceLinear`` would otherwise re-quantize the identical
+    activation: at prefill sizes the fq is a per-matmul VPU cost (~10% of a
+    Llama-8B MLP matmul on v5e), so quantizing once and feeding the
+    weight-only cached kernels is strictly cheaper.  At decode sizes
+    (rows <= the kernel's fuse threshold) the per-matmul in-kernel fq is
+    effectively free and skipping the extra dispatch wins instead.
+    """
+    from ..ops import mx_fake_quantize
+    from ..ops.pallas_matmul import _ACT_FQ_FUSE_MAX_M
+
+    if not all(isinstance(lin, MXInferenceLinear) for lin in linears):
+        return None
+    cfg = linears[0].qconfig.activations_config
+    if any(lin.qconfig.activations_config != cfg for lin in linears[1:]):
+        return None
+    n_rows = x.size // x.shape[-1] if x.ndim > 1 else 1
+    if n_rows <= _ACT_FQ_FUSE_MAX_M:
+        return None
+    return mx_fake_quantize(
+        x.astype(jnp.bfloat16), cfg.elem_dtype, cfg.block_size
+    )

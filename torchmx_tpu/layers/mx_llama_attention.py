@@ -53,7 +53,18 @@ class MXInferenceLlamaMLP(nnx.Module):
     def __call__(self, x):
         import jax
 
-        return self.down_proj(jax.nn.silu(self.gate_proj(x)) * self.up_proj(x))
+        from .linear import shared_activation_fq
+
+        # gate and up consume the same activation: quantize it once at
+        # prefill sizes (see shared_activation_fq).
+        x_fq = shared_activation_fq(x, self.gate_proj, self.up_proj)
+        if x_fq is not None:
+            h = jax.nn.silu(self.gate_proj.apply_prequantized(x_fq)) * (
+                self.up_proj.apply_prequantized(x_fq)
+            )
+        else:
+            h = jax.nn.silu(self.gate_proj(x)) * self.up_proj(x)
+        return self.down_proj(h)
 
 
 class MXInferenceLlamaAttention(LlamaAttention):
@@ -77,6 +88,22 @@ class MXInferenceLlamaAttention(LlamaAttention):
         return self
 
     # -- seams ----------------------------------------------------------------
+
+    def _project_qkv(self, hidden_states):
+        from .linear import shared_activation_fq
+
+        # q/k/v consume the same activation: quantize it once at prefill
+        # sizes (see shared_activation_fq).
+        x_fq = shared_activation_fq(
+            hidden_states, self.q_proj, self.k_proj, self.v_proj
+        )
+        if x_fq is not None:
+            return (
+                self.q_proj.apply_prequantized(x_fq),
+                self.k_proj.apply_prequantized(x_fq),
+                self.v_proj.apply_prequantized(x_fq),
+            )
+        return super()._project_qkv(hidden_states)
 
     def _quantize_qkv(self, q, k, v):
         if not self.qconfig.is_qkv_quantization_enabled:

@@ -325,6 +325,13 @@ class LlamaAttention(nnx.Module):
         self.o_proj = Linear(self.num_heads * self.head_dim, h, use_bias=config.attention_bias, rngs=rngs)
 
     # -- seams the MX subclass overrides ------------------------------------
+    def _project_qkv(self, hidden_states: Array):
+        return (
+            self.q_proj(hidden_states),
+            self.k_proj(hidden_states),
+            self.v_proj(hidden_states),
+        )
+
     def _quantize_qkv(self, q: Array, k: Array, v: Array):
         return q, k, v
 
@@ -351,9 +358,7 @@ class LlamaAttention(nnx.Module):
         cache_position: Optional[Array] = None,
     ):
         bsz, q_len, _ = hidden_states.shape
-        q = self.q_proj(hidden_states)
-        k = self.k_proj(hidden_states)
-        v = self.v_proj(hidden_states)
+        q, k, v = self._project_qkv(hidden_states)
 
         # (b, heads, s, d)
         q = q.reshape(bsz, q_len, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)

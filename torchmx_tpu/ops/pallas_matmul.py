@@ -58,11 +58,6 @@ from .backend import interpret as _interpret
 # ---------------------------------------------------------------------------
 
 
-def _msb3(m):
-    """MSB position of a 3-bit value (valid for m >= 1)."""
-    return jnp.where(m >= 4, 2, jnp.where(m >= 2, 1, 0))
-
-
 def decode_codes_to_bf16(codes, se, elem_dtype: dtypes.DType):
     """Decode integer element codes to scaled bf16 values.
 
@@ -73,41 +68,55 @@ def decode_codes_to_bf16(codes, se, elem_dtype: dtypes.DType):
 
     Returns bf16 values ``decode(code) * 2^(se - 127)``, bit-identical to
     ``dequantize_mx`` for results in the bf16-normal range.
+
+    Implicit-bit-subtraction scheme (~25% fewer VPU ops than normalizing
+    element subnormals with an msb-select chain — at decode batch sizes the
+    fused matmul is VPU-decode-bound, so these ops are the token latency):
+    the element's exp/mantissa bits land in the bf16 field positions
+    unchanged (``mag = code << (7 - mb)``), the scale folds into the
+    exponent as ``fa = se - bias + (e == 0)``, and subnormal codes
+    (``e == 0``) decode through the identity
+
+        (1 + m/2^mb) * 2^F  -  1 * 2^F  =  (m/2^mb) * 2^F
+
+    — one exact bf16 subtraction replaces the normalize/shift/mask chain,
+    and the zero code falls out as ``2^F - 2^F`` for free.
     """
     mb = elem_dtype.mantissa_bits
     eb = elem_dtype.exponent_bits
     bias = elem_dtype.exponent_bias
 
-    s = (codes >> (mb + eb)) & 1
-    e = (codes >> mb) & ((1 << eb) - 1)
-    m = codes & ((1 << mb) - 1)
-
-    # Normal elements.
-    field_n = e + se - bias
-    mant_n = m << (7 - mb)
-
-    # Subnormal elements (e == 0, m > 0): normalize m's msb into the implicit
-    # bit.  For mb == 1 the msb is always 0; for mb <= 3 use a 2-select msb.
-    if mb == 1:
-        p = jnp.zeros_like(m)
-    else:
-        p = _msb3(m)
-    field_s = p + se + 1 - bias - mb
-    mant_s = (m << (7 - p)) & 0x7F
-
-    is_sub = e == 0
-    field = jnp.where(is_sub, field_s, field_n)
-    mant = jnp.where(is_sub, mant_s, mant_n)
-    iszero = (codes & ((1 << (mb + eb)) - 1)) == 0
-    # Flush sub-bf16-normal results (field <= 0) to zero.
-    dead = iszero | (field <= 0)
-    bits = jnp.where(dead, 0, (field << 7) | mant) | (s << 15)
+    sgn_hi = ((codes >> (mb + eb)) & 1) << 15
+    mag = (codes & ((1 << (mb + eb)) - 1)) << (7 - mb)
+    sub = mag < 0x80  # element exponent == 0
+    fa = se - bias + sub
+    fshift = fa << 7
+    bits = mag + fshift
+    # Flush sub-bf16-normal results: covers normal codes whose folded field
+    # drops to <= 0 and subnormal codes with fa <= 0 in one comparison.
+    dead = bits < 0x80
+    bits = jnp.where(dead, 0, bits) | sgn_hi
+    corr = jnp.where(sub & ~dead, fshift, 0) | sgn_hi
+    f = jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+    c = jax.lax.bitcast_convert_type(corr.astype(jnp.uint16), jnp.bfloat16)
+    # Re-OR the sign: IEEE gives +0 for (-x) - (-x), but dequantize_mx (and
+    # the reference quantizer's signed-zero-preserving contract) keep -0 for
+    # negative zero codes; nonzero results already carry the right sign, so
+    # the OR only resurrects signed zeros.
+    r = jax.lax.bitcast_convert_type(
+        (
+            jax.lax.bitcast_convert_type(f - c, jnp.uint16).astype(jnp.int32) | sgn_hi
+        ).astype(jnp.uint16),
+        jnp.bfloat16,
+    )
     if elem_dtype == dtypes.float8_e4m3:
         # S.1111.111 encodes NaN (the quantizer never emits it, but decode
         # must agree with dequantize_mx on every code).
-        nan_bits = 0x7FC0
-        bits = jnp.where((e == 15) & (m == 7), nan_bits, bits)
-    return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+        nan = jax.lax.bitcast_convert_type(
+            jnp.full_like(codes, 0x7FC0).astype(jnp.uint16), jnp.bfloat16
+        )
+        r = jnp.where((codes & 0x7F) == 0x7F, nan, r)
+    return r
 
 
 def decode_fp4_to_bf16(nibbles, se):
