@@ -46,8 +46,12 @@ def fresh_model():
     return ckpt.load_model(str(ROOT / "artifacts" / "tiny_lm"), model)
 
 
-def qlin(w, a):
-    return QLinearConfig(weights_config=MXConfig(w), activations_config=MXConfig(a))
+def qlin(w, a, rotate=False):
+    return QLinearConfig(
+        weights_config=MXConfig(w),
+        activations_config=MXConfig(a),
+        rotate_blocks=rotate,
+    )
 
 
 def build_choice_task(val: np.ndarray, rng: np.random.Generator):
@@ -106,6 +110,8 @@ def main():
     fp6w_fp8a = qlin("float6_e3m2", "float8_e4m3")
     fp6 = qlin("float6_e3m2", "float6_e3m2")
     fp4w_fp8a = qlin("float4_e2m1", "float8_e4m3")
+    fp4w_fp8a_rot = qlin("float4_e2m1", "float8_e4m3", rotate=True)
+    fp6_rot = qlin("float6_e3m2", "float6_e3m2", rotate=True)
     attn_fp6_full = QAttentionConfig(
         projection_config=fp6w_fp8a,
         query_config=MXConfig("float6_e3m2"),
@@ -121,6 +127,8 @@ def main():
         ("MXFP6 W / FP8 A (proj+MLP)", QAttentionConfig(projection_config=fp6w_fp8a), fp6w_fp8a, None),
         ("MXFP6 W+A (proj+MLP)", QAttentionConfig(projection_config=fp6), fp6, None),
         ("MXFP4 W / FP8 A (proj+MLP)", QAttentionConfig(projection_config=fp4w_fp8a), fp4w_fp8a, None),
+        ("MXFP4 W / FP8 A + block rotation", QAttentionConfig(projection_config=fp4w_fp8a_rot), fp4w_fp8a_rot, None),
+        ("MXFP6 W+A + block rotation", QAttentionConfig(projection_config=fp6_rot), fp6_rot, None),
         ("MXFP6/FP8 + Q/K/V/attn-W FP6", attn_fp6_full, fp6w_fp8a, None),
         ("MXFP6 full stack", QAttentionConfig(
             projection_config=fp6,

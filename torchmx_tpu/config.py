@@ -90,10 +90,15 @@ class QLinearConfig(_BaseConfig):
     Args:
         weights_config: MX format for the weights.
         activations_config: MX format for the (dynamically quantized) activations.
+        rotate_blocks: block-Hadamard-rotate weight and activation before
+            quantization (outlier spreading; numerically transparent at the
+            matmul level — see ``rotation.py``).  A TPU-build extension: the
+            reference quantizes raw tensors only.  Default False.
     """
 
     weights_config: MXConfig
     activations_config: MXConfig
+    rotate_blocks: bool = False
 
     @classmethod
     def load_from_dict(cls, config_dict: dict) -> "QLinearConfig":
@@ -102,6 +107,7 @@ class QLinearConfig(_BaseConfig):
             activations_config=MXConfig.load_from_dict(
                 config_dict["activations_config"]
             ),
+            rotate_blocks=config_dict.get("rotate_blocks", False),
         )
 
     def __eq__(self, other: Any) -> bool:
@@ -110,15 +116,19 @@ class QLinearConfig(_BaseConfig):
         return (
             self.weights_config == other.weights_config
             and self.activations_config == other.activations_config
+            and self.rotate_blocks == other.rotate_blocks
         )
 
     def __hash__(self) -> int:
-        return hash((self.weights_config, self.activations_config))
+        return hash(
+            (self.weights_config, self.activations_config, self.rotate_blocks)
+        )
 
     def to_dict(self) -> dict:
         return {
             "weights_config": self.weights_config.to_dict(),
             "activations_config": self.activations_config.to_dict(),
+            "rotate_blocks": self.rotate_blocks,
         }
 
 

@@ -118,6 +118,15 @@ class MXInferenceLinear(nnx.Module):
     def from_weights(cls, weight: jax.Array, bias, qconfig: QLinearConfig) -> "MXInferenceLinear":
         if weight.dtype != jnp.bfloat16:
             weight = weight.astype(jnp.bfloat16)
+        if qconfig.rotate_blocks:
+            # Outlier-spreading block rotation (see rotation.py): the weight
+            # side carries H/B so the rotated matmul reproduces x @ W.
+            from ..rotation import rotate_blocks
+
+            assert qconfig.weights_config.block_size == 32, (
+                "rotate_blocks requires the OCP block size 32"
+            )
+            weight = rotate_blocks(weight, inverse=True)
         w_mx = MXArray.to_mx(
             weight,
             qconfig.weights_config.elem_dtype,
@@ -127,12 +136,17 @@ class MXInferenceLinear(nnx.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         a_cfg = self.qconfig.activations_config
+        x = x.astype(jnp.bfloat16)
+        if self.qconfig.rotate_blocks:
+            from ..rotation import rotate_blocks
+
+            x = rotate_blocks(x)
         # Dynamic activation quantization fused into the matmul kernel on the
         # Pallas backend (the x tile is fake-quantized in VMEM — no separate
         # HBM pass); the jnp path runs the quantize->dequantize pair then the
         # dequant-dot.  Numerics are identical either way.
         out = mx_dynamic_matmul(
-            x.astype(jnp.bfloat16),
+            x,
             self.weight.get_value(),
             a_cfg.elem_dtype_name,
             a_cfg.block_size,
@@ -180,11 +194,18 @@ def shared_activation_fq(x: jax.Array, *linears: "MXInferenceLinear"):
     if not all(isinstance(lin, MXInferenceLinear) for lin in linears):
         return None
     cfg = linears[0].qconfig.activations_config
-    if any(lin.qconfig.activations_config != cfg for lin in linears[1:]):
+    rot = linears[0].qconfig.rotate_blocks
+    if any(
+        lin.qconfig.activations_config != cfg or lin.qconfig.rotate_blocks != rot
+        for lin in linears[1:]
+    ):
         return None
     n_rows = x.size // x.shape[-1] if x.ndim > 1 else 1
     if n_rows <= _ACT_FQ_FUSE_MAX_M:
         return None
-    return mx_fake_quantize(
-        x.astype(jnp.bfloat16), cfg.elem_dtype, cfg.block_size
-    )
+    x = x.astype(jnp.bfloat16)
+    if rot:
+        from ..rotation import rotate_blocks
+
+        x = rotate_blocks(x)
+    return mx_fake_quantize(x, cfg.elem_dtype, cfg.block_size)
