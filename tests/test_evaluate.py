@@ -58,3 +58,21 @@ def test_perplexity_finite_and_batched():
     assert np.isfinite(ppl) and ppl > 1.0
     # Random model on random tokens: ppl should be near vocab size.
     assert 10 < ppl < 400
+
+
+def test_perplexity_through_mx_kv_cache():
+    """kv_cache_config scores the SAME chunks through an MX cache: close to
+    the uncached PPL (quantization noise only), never identical-by-skipping."""
+    from torchmx_tpu.config import MXConfig
+
+    model = tiny_model()
+    rng = np.random.RandomState(9)
+    stream = rng.randint(0, 64, (300,))
+    base = perplexity(model, stream, seq_len=32, batch_size=4)
+    cached = perplexity(
+        model, stream, seq_len=32, batch_size=4,
+        kv_cache_config=MXConfig("float8_e4m3"),
+    )
+    assert np.isfinite(cached)
+    # fp8 cache error is small but nonzero on a random-init model.
+    assert abs(cached - base) / base < 0.5

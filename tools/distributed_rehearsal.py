@@ -20,6 +20,8 @@ import re
 import subprocess
 import sys
 
+import numpy as np
+
 N_PROC = 2
 LOCAL_DEVICES = 4
 PORT = 49731
@@ -121,32 +123,62 @@ def worker(pid: int) -> None:
         )
 
 
+def _iota_groups(spec: str):
+    """Expand an iota replica-group spec ``[G,S]<=[d0,d1,...]T(p0,p1,...)``
+    (the transpose suffix is optional) into explicit device-id groups, or
+    None if the spec doesn't parse."""
+    m = re.match(r"\[(\d+),(\d+)\]<=\[([\d,]+)\](?:T\(([\d,]+)\))?$", spec)
+    if not m:
+        return None
+    ngroups, gsize = int(m.group(1)), int(m.group(2))
+    dims = [int(t) for t in m.group(3).split(",")]
+    total = 1
+    for d in dims:
+        total *= d
+    ids = np.arange(total).reshape(dims)
+    if m.group(4):
+        ids = ids.transpose([int(t) for t in m.group(4).split(",")])
+    flat = ids.reshape(-1)
+    if ngroups * gsize != total:
+        return None
+    return [list(map(int, flat[g * gsize : (g + 1) * gsize])) for g in range(ngroups)]
+
+
 def _cross_process_collectives(hlo: str):
     """Collective ops whose replica group mixes devices of both processes.
 
     Devices 0..LOCAL_DEVICES-1 belong to process 0, the rest to process 1.
-    Handles both explicit ``replica_groups={{0,1},{2,3}}`` and iota
-    ``replica_groups=[2,4]<=[8]``-style forms.
+    Handles explicit ``replica_groups={{0,1},{2,3}}`` and iota forms
+    (``[2,4]<=[8]``, including transposed ``[4,2]<=[2,4]T(1,0)`` — the shape
+    strided groups print as).  FAIL-CLOSED: a replica_groups spec this
+    parser does not recognize is reported as crossing, so a new HLO printing
+    format can never silently pass the ICI-only assertion.
     """
     bad = []
     for m in re.finditer(r"(\S*(?:all-reduce|all-gather|reduce-scatter|"
                          r"collective-permute|all-to-all)\S*).*?replica_groups=(\S+)",
                          hlo):
         op, groups = m.group(1), m.group(2)
-        for g in re.findall(r"\{([\d,\s]+)\}", groups):
-            ids = [int(t) for t in g.replace(" ", "").split(",") if t]
+        explicit = re.findall(r"\{([\d,\s]+)\}", groups)
+        if explicit:
+            parsed = [
+                [int(t) for t in g.replace(" ", "").split(",") if t]
+                for g in explicit
+            ]
+        else:
+            parsed = (
+                _iota_groups(groups.rstrip(",}")) if groups.startswith("[") else None
+            )
+        if parsed is None:
+            if groups in ("{}", "{{}}"):  # empty groups: all devices together
+                parsed = [list(range(N_PROC * LOCAL_DEVICES))]
+            else:
+                bad.append((op, f"unrecognized replica_groups {groups!r}"))
+                continue
+        for ids in parsed:
             procs = {i // LOCAL_DEVICES for i in ids}
             if len(procs) > 1:
                 bad.append((op, ids))
-        it = re.match(r"\[(\d+),(\d+)\]<=\[(\d+)\]", groups)
-        if it:
-            ngroups, gsize, total = map(int, it.groups())
-            # iota groups: [g*gsize, ..., g*gsize+gsize-1]
-            for g in range(ngroups):
-                ids = list(range(g * gsize, (g + 1) * gsize))
-                procs = {i // LOCAL_DEVICES for i in ids}
-                if len(procs) > 1:
-                    bad.append((op, ids))
     return bad
 
 

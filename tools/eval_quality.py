@@ -69,28 +69,6 @@ def build_choice_task(val: np.ndarray, rng: np.random.Generator):
     return ctxs, choices
 
 
-def ppl_with_mx_cache(model, tokens: np.ndarray, kv_cfg, batch=8) -> float:
-    """Chunked PPL where the forward WRITES and attends THROUGH an MX cache."""
-    graphdef, state = nnx.split(model)
-
-    @jax.jit
-    def token_logprobs(state, ids):
-        m = nnx.merge(graphdef, state)
-        caches = m.init_cache(ids.shape[0], SEQ, kv_cfg)
-        logits, _ = m(ids, caches=caches, cache_position=0)
-        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return jnp.take_along_axis(lp[:, :-1], ids[:, 1:, None], axis=-1)[..., 0]
-
-    n = (len(tokens) // SEQ) * SEQ
-    chunks = np.asarray(tokens[:n], np.int32).reshape(-1, SEQ)
-    total, count = 0.0, 0
-    for i in range(0, len(chunks) - len(chunks) % batch, batch):
-        lp = token_logprobs(state, jnp.asarray(chunks[i : i + batch]))
-        total += float(jnp.sum(lp))
-        count += lp.shape[0] * lp.shape[1]
-    return float(np.exp(-total / max(count, 1)))
-
-
 def main():
     tokens = load_corpus()
     _, val = split_corpus(tokens)
@@ -98,10 +76,11 @@ def main():
     ctxs, choices = build_choice_task(val, rng)
 
     def evaluate_model(model, kv_cfg=None):
-        if kv_cfg is not None:
-            ppl = ppl_with_mx_cache(model, val, kv_cfg)
-        else:
-            ppl = evaluate.perplexity(model, val, seq_len=SEQ, batch_size=8)
+        # kv_cfg routes the SAME chunk set through an MX-quantized cache
+        # (fused kernel path), keeping the rows apples-to-apples.
+        ppl = evaluate.perplexity(
+            model, val, seq_len=SEQ, batch_size=8, kv_cache_config=kv_cfg
+        )
         picks = evaluate.score_choices(model, ctxs, choices)
         acc = float(np.mean(np.asarray(picks) == 0))
         return ppl, acc

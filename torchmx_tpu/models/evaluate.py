@@ -23,33 +23,43 @@ from flax import nnx
 _LOGPROB_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
 
 
-def _make_token_logprobs(model):
+def _make_token_logprobs(model, kv_cache_config=None):
     """Jitted per-position log P(token[t] | tokens[<t]) for (b, s) inputs.
 
     Position 0 has no prediction; returns ``fn(ids) -> (b, s-1)`` fp32
-    log-probs.  The jitted executable is cached per model (weakly) while the
-    *state* is re-read on every call, so weight updates (checkpoint restore,
-    training) are reflected without recompiling."""
+    log-probs.  The jitted executable is cached per (model, kv config)
+    (weakly per model) while the *state* is re-read on every call, so weight
+    updates (checkpoint restore, training) are reflected without
+    recompiling.  With ``kv_cache_config`` the forward WRITES and attends
+    THROUGH an MX-quantized KV cache (the fused kernel path on TPU), so the
+    reported likelihoods include cache-quantization error."""
     global _LOGPROB_CACHE
     import weakref
 
     if _LOGPROB_CACHE is None:
         _LOGPROB_CACHE = weakref.WeakKeyDictionary()
     graphdef, _ = nnx.split(model)
+    key = (graphdef, kv_cache_config)
     entry = _LOGPROB_CACHE.get(model)
-    if entry is None or entry[0] != graphdef:  # invalidate on surgery
+    if entry is None or entry[0] != key:  # invalidate on surgery/config
 
         @jax.jit
         def f(state, input_ids):
             m = nnx.merge(graphdef, state)
-            logits, _ = m(input_ids)
+            if kv_cache_config is not None:
+                caches = m.init_cache(
+                    input_ids.shape[0], input_ids.shape[1], kv_cache_config
+                )
+                logits, _ = m(input_ids, caches=caches, cache_position=0)
+            else:
+                logits, _ = m(input_ids)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             # logits[t] predicts token[t+1]
             return jnp.take_along_axis(
                 logp[:, :-1, :], input_ids[:, 1:, None].astype(jnp.int32), axis=2
             )[..., 0]
 
-        _LOGPROB_CACHE[model] = (graphdef, f)
+        _LOGPROB_CACHE[model] = (key, f)
     f = _LOGPROB_CACHE[model][1]
     return lambda ids: f(nnx.state(model), ids)
 
@@ -69,17 +79,27 @@ def sequence_logprob(
     return jnp.sum(jnp.where(mask, lp, 0.0), axis=-1)
 
 
-def perplexity(model, token_ids: np.ndarray, *, seq_len: int = 512, batch_size: int = 8) -> float:
+def perplexity(
+    model,
+    token_ids: np.ndarray,
+    *,
+    seq_len: int = 512,
+    batch_size: int = 8,
+    kv_cache_config=None,
+) -> float:
     """Non-overlapping chunked perplexity over a 1-D token stream.
 
     The stream is split into disjoint ``seq_len`` chunks; each chunk's first
     token gets no context, so this reports slightly worse PPL than a true
     sliding window (wikitext-style numbers computed with overlapping strides
-    are not directly comparable).
+    are not directly comparable).  ``kv_cache_config`` scores through an
+    MX-quantized KV cache (see :func:`_make_token_logprobs`) — the SAME
+    chunk set either way, so cache rows compare apples-to-apples against
+    the uncached rows.
     """
     n = (len(token_ids) // seq_len) * seq_len
     chunks = np.asarray(token_ids[:n], np.int32).reshape(-1, seq_len)
-    logprobs = _make_token_logprobs(model)
+    logprobs = _make_token_logprobs(model, kv_cache_config)
     total, count = 0.0, 0
     for i in range(0, len(chunks), batch_size):
         batch = chunks[i : i + batch_size]

@@ -104,6 +104,9 @@ class DecodeEngine:
         #: why a slot auto-released: "eos" or "cache_full"; cleared by add().
         self.finished_reason: Dict[int, str] = {}
         self._next_token = np.zeros((max_batch,), np.int32)
+        # Slot's cache is full but its final computed token is still
+        # unemitted: one more step() emits it, then the slot evicts.
+        self._draining = np.zeros((max_batch,), bool)
         self._slot_cache_template = model.init_cache(1, max_len, kv_cache_config)
 
         temp, topk = self.temperature, self.top_k
@@ -244,6 +247,13 @@ class DecodeEngine:
         for i in range(self.max_batch):
             if not self.active[i]:
                 continue
+            if self._draining[i]:
+                # Final token (computed last step, needing no further cache
+                # write): emit it and evict.  This step's decode output for
+                # the slot is garbage (clamped K/V write) and is discarded.
+                out[i] = int(self._next_token[i])
+                self._evict(i, "cache_full")
+                continue
             emitted = int(self._next_token[i])
             out[i] = emitted
             self._next_token[i] = int(nxt[i])
@@ -251,17 +261,22 @@ class DecodeEngine:
             if int(nxt[i]) in self.eos_token_ids:
                 self._evict(i, "eos")
             elif self.pos[i] >= self.max_len:
-                self._evict(i, "cache_full")
+                # The cache is full, but nxt is a valid final token (its
+                # K/V row was just written): drain it on the next step
+                # instead of dropping it.
+                self._draining[i] = True
         return out
 
     def _evict(self, slot: int, reason: str) -> None:
         self.active[slot] = False
         self.pos[slot] = 0
+        self._draining[slot] = False
         self.finished_reason[slot] = reason
 
     def release(self, slot: int) -> None:
         self.active[slot] = False
         self.pos[slot] = 0
+        self._draining[slot] = False
         self.finished_reason.pop(slot, None)
 
 

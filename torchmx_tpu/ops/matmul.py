@@ -52,7 +52,7 @@ def _shape_reason(a, b) -> str:
     return f"{tuple(a.shape)}@{tuple(b.shape)} {bdesc}"
 
 
-def mx_matmul(a: ArrayLike, b: ArrayLike, out_dtype=None) -> Array:
+def mx_matmul(a: ArrayLike, b: ArrayLike, out_dtype=None, _noted: bool = False) -> Array:
     """``a @ b`` where either operand may be an MXArray.
 
     Supports 2-D and batched (3-D/4-D attention) shapes.  On the simulation
@@ -60,9 +60,11 @@ def mx_matmul(a: ArrayLike, b: ArrayLike, out_dtype=None) -> Array:
     contracted with fp32 accumulation, matching the reference's semantics
     (``ops.py:60-107``: ``aten.mm/matmul/bmm`` handlers); eligible shapes with
     K-major MXArray weights route through the fused Pallas kernels.
+    ``_noted`` marks a call from a wrapper that already counted (and
+    re-attempted) the kernel path for this logical op — skip both here.
     """
     out_dtype = out_dtype or _result_dtype(a, b)
-    if _use_pallas():
+    if _use_pallas() and not _noted:
         from . import pallas_matmul
 
         out = pallas_matmul.matmul_any(a, b, out_dtype)
@@ -96,18 +98,24 @@ def mx_dynamic_matmul(
     if not isinstance(elem_name := act_elem_dtype_name, str):
         elem_name = elem_name.name  # accept a DType
     out_dtype = out_dtype or _result_dtype(x, w)
+    attempted = False
     if _use_pallas() and act_block_size == 32:
         from . import pallas_matmul
 
         out = pallas_matmul.matmul_any(x, w, out_dtype, act_fq=elem_name)
         if out is not None:
             return out
+        attempted = True
         if isinstance(w, MXArray) and w.ndim == 2:
             _note_fallback("mx_dynamic_matmul", _shape_reason(x, w))
     from .quantize import mx_fake_quantize
 
     x_fq = mx_fake_quantize(x.astype(jnp.bfloat16), elem_name, act_block_size)
-    return mx_matmul(x_fq, w, out_dtype)
+    # _noted: when the kernel path was already attempted (and the miss
+    # counted) above, don't re-attempt or double-count it inside mx_matmul;
+    # an unusual act_block_size skips the fused attempt but the plain
+    # kernel may still take block-32 weights.
+    return mx_matmul(x_fq, w, out_dtype, _noted=attempted)
 
 
 def mx_linear(

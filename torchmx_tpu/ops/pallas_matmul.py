@@ -447,7 +447,7 @@ def _pallas_matmul_fp6q(
     if x_cache:
         def xq_spec(qi):
             return pl.BlockSpec(
-                (M, bkq), _pin_after_first_sweep(qi * nq), memory_space=pltpu.VMEM
+                (M, bkq), _pin_after_first_sweep(nq, qi * nq), memory_space=pltpu.VMEM
             )
 
         scratch += [pltpu.VMEM((K // bk, M, bkq), jnp.bfloat16)] * 4
@@ -510,11 +510,13 @@ def _is_kernel_layout(w: MXArray) -> bool:
     )
 
 
-def _pin_after_first_sweep(offset: int = 0):
+def _pin_after_first_sweep(nk: int, offset: int = 0):
     """Index map streaming the true k-tile on the j == 0 sweep and pinning
-    later sweeps to the first tile (same block index as the previous step,
-    so Pallas skips the DMA) — the kernel reads the VMEM cache instead."""
-    return lambda j, k: (0, jnp.where(j == 0, k + offset, offset))
+    later sweeps to the LAST streamed tile — every j > 0 step then has the
+    same block index as the step before it, so Pallas never issues another
+    DMA (pinning to tile 0 would re-DMA one dead tile per operand per
+    sweep at the j-transition) — the kernel reads the VMEM cache instead."""
+    return lambda j, k: (0, jnp.where(j == 0, k, nk - 1) + offset)
 
 
 @functools.partial(
@@ -534,7 +536,9 @@ def _pallas_matmul_1byte(
     # sublanes): one XLA transpose outside replaces the separate
     # fake-quantize pass's full HBM round trip.
     if x_cache:
-        x_spec = pl.BlockSpec((M, bk), _pin_after_first_sweep(), memory_space=pltpu.VMEM)
+        x_spec = pl.BlockSpec(
+            (M, bk), _pin_after_first_sweep(K // bk), memory_space=pltpu.VMEM
+        )
         scratch.append(pltpu.VMEM((K // bk, M, bk), jnp.bfloat16))
     elif act_fq is None:
         x_spec = pl.BlockSpec((M, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM)
@@ -618,10 +622,10 @@ def _pallas_matmul_fp4_halves(
     scratch = [pltpu.VMEM((M, bn), jnp.float32)]
     if x_cache:
         xa_spec = pl.BlockSpec(
-            (M, bkp), _pin_after_first_sweep(), memory_space=pltpu.VMEM
+            (M, bkp), _pin_after_first_sweep(K // bk), memory_space=pltpu.VMEM
         )
         xb_spec = pl.BlockSpec(
-            (M, bkp), _pin_after_first_sweep(nko), memory_space=pltpu.VMEM
+            (M, bkp), _pin_after_first_sweep(K // bk, nko), memory_space=pltpu.VMEM
         )
         scratch += [pltpu.VMEM((K // bk, M, bkp), jnp.bfloat16)] * 2
     elif act_fq is None:
