@@ -274,3 +274,34 @@ def test_astype_rebrands_orig_dtype_only():
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(mx.to_dtype(jnp.bfloat16), np.float32)
     )
+
+
+def test_to_mx_mse_scale_search():
+    """Per-block MSE scale search: shift-0-only reproduces to_mx bitwise;
+    the multi-shift search never does worse than the max-based rule (and on
+    realistic distributions selects shift 0 — see the docstring caveat)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torchmx_tpu.mx_array import MXArray
+
+    rng = np.random.default_rng(6)
+    w_np = (rng.standard_normal((32, 256)) * 0.05).astype(np.float32)
+    w_np[:, ::32] *= 50.0
+    w = jnp.asarray(w_np, jnp.bfloat16)
+
+    a = MXArray.to_mx(w, "float4_e2m1", 32)
+    b = MXArray.to_mx_mse(w, "float4_e2m1", 32, shifts=(0,))
+    np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+    np.testing.assert_array_equal(
+        np.asarray(a.scale_e8m0), np.asarray(b.scale_e8m0)
+    )
+
+    def mse(mx):
+        d = np.asarray(mx.to_dtype(jnp.bfloat16), np.float32)
+        return float(np.mean((d - w_np) ** 2))
+
+    opt = MXArray.to_mx_mse(w, "float4_e2m1", 32)
+    assert mse(opt) <= mse(a) + 1e-12
+    assert opt.shape == a.shape and opt.elem_dtype == a.elem_dtype
