@@ -365,3 +365,37 @@ def test_pipeline_model_composes_with_dp():
     d = np.abs(got - ref)
     assert d.max() <= 0.5 * ref.std(), (d.max(), ref.std())
     assert d.mean() <= 0.1 * ref.std(), (d.mean(), ref.std())
+
+
+def test_tp_sharded_decode_engine_matches_replicated():
+    """The continuous-batching DecodeEngine runs a TP-sharded quantized
+    model unchanged (multi-chip serving): greedy tokens match the
+    unsharded engine exactly (TP logits are bit-identical jit-vs-jit, so
+    the argmax stream is too)."""
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    prompt = np.random.RandomState(7).randint(0, 256, (6,)).tolist()
+
+    ref_model, _ = tiny_model(seed=3)
+    quantize(ref_model)
+    ref_engine = DecodeEngine(ref_model, max_batch=2, max_len=32)
+    s0 = ref_engine.add(prompt)
+    ref_tokens = []
+    while len(ref_tokens) < 8 and ref_engine.is_active(s0):
+        out = ref_engine.step()
+        if s0 in out:
+            ref_tokens.append(out[s0])
+
+    tp_model, _ = tiny_model(seed=3)
+    quantize(tp_model)
+    mesh = create_mesh()  # pure TP over 8 devices
+    shard_model(tp_model, mesh)
+    with mesh:
+        engine = DecodeEngine(tp_model, max_batch=2, max_len=32)
+        s1 = engine.add(prompt)
+        tp_tokens = []
+        while len(tp_tokens) < 8 and engine.is_active(s1):
+            out = engine.step()
+            if s1 in out:
+                tp_tokens.append(out[s1])
+    assert tp_tokens == ref_tokens and len(tp_tokens) == 8

@@ -34,3 +34,10 @@ TORCHMX_QUANTIZE_BACKEND = os.environ.get("TORCHMX_QUANTIZE_BACKEND", "auto")
 # shapes are eligible), "pallas" (force; interpreter mode off-TPU), or "off"
 # (dequantize-the-cache reference path).  TPU-build extension.
 TORCHMX_FUSED_ATTENTION = os.environ.get("TORCHMX_FUSED_ATTENTION", "auto")
+
+# "1" (default): MXInferenceLinear packs eligible fp6 weights into the
+# 4-codes-per-3-bytes "quarters" HBM layout — 25% less weight storage and
+# traffic, best for capacity-bound serving and bandwidth-bound large-batch
+# shapes.  "0": keep fp6 at 1 byte/code — ~25% lower batch-1 decode latency
+# (the sub-byte unpack is VPU-bound there; see docs/results.md).
+TORCHMX_FP6_PACK = os.environ.get("TORCHMX_FP6_PACK", "1")

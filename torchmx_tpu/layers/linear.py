@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from .. import env_variables as env
 from ..config import QLinearConfig
 from ..mx_array import MXArray
 from ..ops import mx_dynamic_matmul
@@ -93,9 +94,12 @@ class MXInferenceLinear(nnx.Module):
             and weight_mx.block_dim == 0
             and weight_mx.padding == 0
             and weight_mx.shape[0] % 1024 == 0  # kernel needs bk >= 1024
+            and env.TORCHMX_FP6_PACK == "1"
         ):
             # fp6 kernel layout: 4 codes per 3 bytes, planar quarters — 25%
-            # less weight HBM than 1 byte/code (see MXArray.to_fp6_quarters).
+            # less weight HBM than 1 byte/code (see MXArray.to_fp6_quarters);
+            # opt out via TORCHMX_FP6_PACK=0 for minimum batch-1 decode
+            # latency (the quarters unpack is VPU-bound there).
             weight_mx = weight_mx.to_fp6_quarters()
         self.weight = nnx.Param(weight_mx)
         self.bias = nnx.Param(bias) if bias is not None else None
