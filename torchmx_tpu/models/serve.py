@@ -267,16 +267,17 @@ class DecodeEngine:
                 self._draining[i] = True
         return out
 
-    def _evict(self, slot: int, reason: str) -> None:
+    def _deactivate(self, slot: int) -> None:
         self.active[slot] = False
         self.pos[slot] = 0
         self._draining[slot] = False
+
+    def _evict(self, slot: int, reason: str) -> None:
+        self._deactivate(slot)
         self.finished_reason[slot] = reason
 
     def release(self, slot: int) -> None:
-        self.active[slot] = False
-        self.pos[slot] = 0
-        self._draining[slot] = False
+        self._deactivate(slot)
         self.finished_reason.pop(slot, None)
 
 
