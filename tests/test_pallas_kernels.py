@@ -523,3 +523,19 @@ def test_shared_activation_quantize_bit_identical():
         jnp.zeros((1024, 512), jnp.bfloat16), None, other
     )
     assert shared_activation_fq(x, qmlp.gate_proj, lin_other) is None
+
+
+def test_quantize_tiles_obey_scale_block_rule():
+    """Regression: K=384 (divisible by 128 but not 256) used to pick bk=128,
+    whose (bk/32, bm) scale block Mosaic rejects on real TPU (sublane count
+    4 neither divisible by 8 nor the full dim).  Every plan must use
+    bk >= 256 or a full-dim block."""
+    for K in (32, 64, 96, 128, 160, 256, 384, 512, 768, 1024, 1152, 4096, 14336):
+        t = pq._tiles(K, 384)
+        if t is None:
+            continue
+        bk, bm = t
+        assert K % bk == 0 and 384 % bm == 0
+        assert (bk // 32) % 8 == 0 or bk == K, (K, t)
+    # The failing shape from the 384-hidden model resolves to a plan.
+    assert pq._tiles(384, 384) is not None

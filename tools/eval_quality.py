@@ -31,17 +31,21 @@ from torchmx_tpu.config import MXConfig, QAttentionConfig, QLinearConfig
 from torchmx_tpu.models import evaluate
 from torchmx_tpu.models.llama import LlamaForCausalLM
 from torchmx_tpu.quant_api import quantize_llm_
-from tools.train_tiny_lm import CONFIG, load_corpus, split_corpus
+from tools.train_tiny_lm import PRESETS, load_corpus, split_corpus
 
 ROOT = Path(__file__).resolve().parent.parent
 SEQ = 256
 N_CHOICE = 200
 CTX, CONT = 64, 16
+#: selected by argv[1]; "small" shows sensitivity falling with model size
+#: (train it first: ``python tools/train_tiny_lm.py 3000 small``).
+PRESET = sys.argv[1] if len(sys.argv) > 1 else "tiny"
+DIRNAME, CONFIG = PRESETS[PRESET]
 
 
 def fresh_model():
     model = LlamaForCausalLM(CONFIG, rngs=nnx.Rngs(0))
-    return ckpt.load_model(str(ROOT / "artifacts" / "tiny_lm"), model)
+    return ckpt.load_model(str(ROOT / "artifacts" / DIRNAME), model)
 
 
 def qlin(w, a, rotate=False):
@@ -68,7 +72,7 @@ def build_choice_task(val: np.ndarray, rng: np.random.Generator):
 
 
 def main():
-    tokens = load_corpus()
+    tokens = load_corpus(snapshot=DIRNAME)
     _, val = split_corpus(tokens)
     rng = np.random.default_rng(42)
     ctxs, choices = build_choice_task(val, rng)

@@ -30,9 +30,11 @@ ROOT = Path(__file__).resolve().parent.parent
 SEQ_LEN = 256
 BATCH = 32
 
-# Byte-level model sized so every quantization seam is exercised: head_dim
+# Byte-level models sized so every quantization seam is exercised: head_dim
 # 128 (fused MX-KV-cache attention eligible), hidden/intermediate multiples
-# of 128 (fused matmul kernels eligible).
+# of 128 (fused matmul kernels eligible).  Two scales let the quality sweep
+# show quantization sensitivity FALLING with model size, the structure of
+# the reference's 8B-vs-70B study (``llama31.md:24-41``).
 CONFIG = LlamaConfig(
     vocab_size=256,
     hidden_size=256,
@@ -45,6 +47,27 @@ CONFIG = LlamaConfig(
     rope_theta=10000.0,
 )
 
+PRESETS = {
+    # ~6M params; committed to artifacts/tiny_lm for reproducible evals.
+    "tiny": ("tiny_lm", CONFIG),
+    # ~18M params; too large to commit — retrain deterministically from the
+    # committed command (seeds fixed, corpus snapshotted beside it).
+    "small": (
+        "lm_small",
+        LlamaConfig(
+            vocab_size=256,
+            hidden_size=384,
+            intermediate_size=1152,
+            num_hidden_layers=6,
+            num_attention_heads=3,
+            num_key_value_heads=3,
+            head_dim=128,
+            max_position_embeddings=512,
+            rope_theta=10000.0,
+        ),
+    ),
+}
+
 
 def load_corpus(snapshot: bool = True) -> np.ndarray:
     """Repo source + docs as a byte stream (deterministic file order).
@@ -55,7 +78,8 @@ def load_corpus(snapshot: bool = True) -> np.ndarray:
     published quality table stays reproducible.  ``snapshot=False`` forces a
     fresh scan (used by training itself).
     """
-    snap = ROOT / "artifacts" / "tiny_lm" / "corpus.bin"
+    dirname = snapshot if isinstance(snapshot, str) else "tiny_lm"
+    snap = ROOT / "artifacts" / dirname / "corpus.bin"
     if snapshot and snap.exists():
         return np.frombuffer(snap.read_bytes(), dtype=np.uint8).astype(np.int32)
     files = sorted(
@@ -82,11 +106,13 @@ def batches(tokens: np.ndarray, rng: np.random.Generator):
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    preset = sys.argv[2] if len(sys.argv) > 2 else "tiny"
+    dirname, config = PRESETS[preset]
     tokens = load_corpus(snapshot=False)
     train, val = split_corpus(tokens)
     print(f"corpus: {len(tokens)} bytes ({len(train)} train / {len(val)} val)")
 
-    model = LlamaForCausalLM(CONFIG, rngs=nnx.Rngs(0))
+    model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     tx = optax.adamw(
         optax.cosine_decay_schedule(3e-4, steps, alpha=0.1), weight_decay=0.01
@@ -119,7 +145,7 @@ def main():
     print(f"val loss {vloss:.4f}  (ppl {np.exp(vloss):.2f})")
 
     model = nnx.merge(graphdef, params, rest)
-    out = ROOT / "artifacts" / "tiny_lm"
+    out = ROOT / "artifacts" / dirname
     if out.exists():
         import shutil
 

@@ -238,16 +238,21 @@ def _fake_quantize_lane_kernel(x_ref, out_ref, *, elem_name: str):
 
 
 def _tiles(K: int, R: int):
-    bk = next((c for c in (512, 256, 128, 64, 32) if K % c == 0), None)
+    # The scale output block is (bk/32, bm): Mosaic requires its sublane
+    # count divisible by 8 (bk >= 256) OR equal to the full array dim
+    # (bk == K) — a bk of 128 with K = 384 compiles the data block fine but
+    # rejects the scale block.
+    bk = next((c for c in (512, 256) if K % c == 0), None)
+    if bk is None and 32 <= K <= 1024 and K % 32 == 0:
+        bk = K  # full-dim block: any sublane count is legal
     bm = next((c for c in (512, 256, 128) if R % c == 0), None)
     if bk is None or bm is None:
         return None
     # The cast pipeline keeps ~8 int32 temporaries of the tile live; stay
-    # well inside the 16MB VMEM budget.
+    # well inside the 16MB VMEM budget (only bm may shrink: smaller bk
+    # would break the scale-block rule above).
     while bk * bm > 128 * 1024 and bm > 128:
         bm //= 2
-    while bk * bm > 128 * 1024 and bk > 32:
-        bk //= 2
     return (bk, bm) if R % bm == 0 and K % bk == 0 else None
 
 
