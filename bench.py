@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 M, K, N = 1024, 4096, 14336
-REPS_LO, REPS_HI, TRIALS = 40, 120, 5
+REPS_LO, REPS_HI, TRIALS = 40, 120, 7
 
 
 def _timed_loop(step_fn, x, *consts):
@@ -55,15 +55,28 @@ def _timed_loop(step_fn, x, *consts):
     lo, hi = make(REPS_LO), make(REPS_HI)
     float(lo(x, *consts))
     float(hi(x, *consts))
-    deltas = []
-    for _ in range(TRIALS):
+
+    def one_trial():
         t0 = time.perf_counter()
         float(lo(x, *consts))
         t1 = time.perf_counter()
         float(hi(x, *consts))
         t2 = time.perf_counter()
-        deltas.append(((t2 - t1) - (t1 - t0)) / (REPS_HI - REPS_LO))
-    return float(np.median(deltas))
+        return ((t2 - t1) - (t1 - t0)) / (REPS_HI - REPS_LO)
+
+    return one_trial
+
+
+def _paired(trial_a, trial_b, trials: int = TRIALS):
+    """Measure two warmed-up measurements with trials INTERLEAVED
+    (a, b, a, b, ...): the tunneled device drifts several percent over
+    minutes, and sequential measurement biases a ratio of the two; pairing
+    cancels the drift."""
+    a, b = [], []
+    for _ in range(trials):
+        a.append(trial_a())
+        b.append(trial_b())
+    return float(np.median(a)), float(np.median(b))
 
 
 def main():
@@ -91,8 +104,9 @@ def main():
 
         return mx_dynamic_matmul(x, w_mx, "float8_e4m3", 32, out_dtype=jnp.bfloat16)
 
-    t_bf16 = _timed_loop(bf16_step, x, w)
-    t_mx = _timed_loop(mx_step, x, w_mx)
+    t_bf16, t_mx = _paired(
+        _timed_loop(bf16_step, x, w), _timed_loop(mx_step, x, w_mx)
+    )
 
     # Secondary: fused MX-KV-cache decode attention vs a bf16 cache
     # (b=4 hq=32 hkv=8 d=128 L=8192 fp8; the serving hot path).
@@ -122,11 +136,13 @@ def main():
         p = jax.nn.softmax(s.astype(jnp.float32) * sm, axis=-1).astype(jnp.bfloat16)
         return jnp.matmul(p, vv, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-    t_attn_mx = _timed_loop(
-        fused_attn_step, qd,
-        mx_cache.k_data, mx_cache.k_scale, mx_cache.v_data, mx_cache.v_scale,
+    t_attn_mx, t_attn_bf16 = _paired(
+        _timed_loop(
+            fused_attn_step, qd,
+            mx_cache.k_data, mx_cache.k_scale, mx_cache.v_data, mx_cache.v_scale,
+        ),
+        _timed_loop(bf16_attn_step, qd, kc, vc),
     )
-    t_attn_bf16 = _timed_loop(bf16_attn_step, qd, kc, vc)
 
     ratio = t_bf16 / t_mx
     flops = 2.0 * M * K * N
