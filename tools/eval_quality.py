@@ -119,6 +119,7 @@ def main():
             attention_weights_config=MXConfig("float6_e3m2"),
         ), fp6, None),
         ("MXFP6/FP8 + fp8 MX KV cache", QAttentionConfig(projection_config=fp6w_fp8a), fp6w_fp8a, MXConfig("float8_e4m3")),
+        ("MXFP6/FP8 + int8 MX KV cache", QAttentionConfig(projection_config=fp6w_fp8a), fp6w_fp8a, MXConfig("int8")),
         ("MXFP6/FP8 + fp4 MX KV cache", QAttentionConfig(projection_config=fp6w_fp8a), fp6w_fp8a, MXConfig("float4_e2m1")),
     ]
 
