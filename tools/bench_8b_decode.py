@@ -66,6 +66,7 @@ def main():
     prompt_len = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     new_tokens = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    kv_name = sys.argv[4] if len(sys.argv) > 4 else "float8_e4m3"
     cfg = LlamaConfig(max_position_embeddings=prompt_len + new_tokens, **LLAMA3_8B)
 
     t0 = time.perf_counter()
@@ -83,7 +84,7 @@ def main():
         np.random.default_rng(0).integers(0, 1000, (batch, prompt_len), np.int64),
         jnp.int32,
     )
-    kv = MXConfig("float8_e4m3")
+    kv = MXConfig(kv_name)
     t0 = time.perf_counter()
     out = generate(model, prompt, max_new_tokens=new_tokens, kv_cache_config=kv)
     _force = int(jnp.sum(out))  # block_until_ready lies on this platform
@@ -100,7 +101,7 @@ def main():
     print(
         f"steady state: {batch}x{new_tokens} tokens in {dt:.2f}s = "
         f"{batch * new_tokens / dt:.1f} tok/s "
-        f"(prompt {prompt_len}, MXFP4-w/MXFP8-a, fp8 MX KV cache, one v5e chip)"
+        f"(prompt {prompt_len}, MXFP4-w/MXFP8-a, {kv_name} MX KV cache, one v5e chip)"
     )
 
 
