@@ -119,15 +119,21 @@ def main():
     qd = jnp.asarray(rng.standard_normal((B, HQ, 1, D)) * 0.3, jnp.bfloat16)
     kc = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
     vc = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
-    mx_cache = MXLayerKVCache.create(B, HKV, L, D, "float8_e4m3", 32).write(kc, vc, 0)
     sm = 1.0 / math.sqrt(D)
 
-    def fused_attn_step(q, kd, ks, vd, vs):
-        cache = MXLayerKVCache(
-            k_data=kd, k_scale=ks, v_data=vd, v_scale=vs,
-            elem_dtype_name="float8_e4m3", block_size=32,
+    def fused_trial(ename):
+        cache0 = MXLayerKVCache.create(B, HKV, L, D, ename, 32).write(kc, vc, 0)
+
+        def step(q, kd, ks, vd, vs):
+            cache = MXLayerKVCache(
+                k_data=kd, k_scale=ks, v_data=vd, v_scale=vs,
+                elem_dtype_name=ename, block_size=32,
+            )
+            return pa.cached_attention_any(q, cache, L - 1, L, sm)
+
+        return _timed_loop(
+            step, qd, cache0.k_data, cache0.k_scale, cache0.v_data, cache0.v_scale
         )
-        return pa.cached_attention_any(q, cache, L - 1, L, sm)
 
     def bf16_attn_step(q, kf, vf):
         kk = repeat_kv(kf, HQ // HKV)
@@ -137,12 +143,11 @@ def main():
         return jnp.matmul(p, vv, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
     t_attn_mx, t_attn_bf16 = _paired(
-        _timed_loop(
-            fused_attn_step, qd,
-            mx_cache.k_data, mx_cache.k_scale, mx_cache.v_data, mx_cache.v_scale,
-        ),
-        _timed_loop(bf16_attn_step, qd, kc, vc),
+        fused_trial("float8_e4m3"), _timed_loop(bf16_attn_step, qd, kc, vc)
     )
+    # int8 cache: same bytes as fp8 but ~3x cheaper VPU decode — the
+    # recommended serving format (docs/results.md).
+    t_attn_int8, _t_fp8_again = _paired(fused_trial("int8"), fused_trial("float8_e4m3"))
 
     ratio = t_bf16 / t_mx
     flops = 2.0 * M * K * N
@@ -163,8 +168,12 @@ def main():
                     "decode_attention": {
                         "shape": {"b": B, "hq": HQ, "hkv": HKV, "d": D, "L": L},
                         "fused_mx_fp8_cache_ms": round(t_attn_mx * 1e3, 3),
+                        "fused_mx_int8_cache_ms": round(t_attn_int8 * 1e3, 3),
                         "bf16_cache_ms": round(t_attn_bf16 * 1e3, 3),
                         "speedup_vs_bf16_cache": round(t_attn_bf16 / t_attn_mx, 2),
+                        "int8_speedup_vs_bf16_cache": round(
+                            t_attn_bf16 / t_attn_int8, 2
+                        ),
                     },
                 },
             }
