@@ -399,3 +399,38 @@ def test_tp_sharded_decode_engine_matches_replicated():
             if s1 in out:
                 tp_tokens.append(out[s1])
     assert tp_tokens == ref_tokens and len(tp_tokens) == 8
+
+
+def test_dp_sharded_decode_engine_matches_replicated():
+    """DecodeEngine with slot-axis-sharded caches over the data axis (DP
+    serving): slot rows are independent, so tokens match the unsharded
+    engine exactly."""
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    prompt = np.random.RandomState(11).randint(0, 256, (5,)).tolist()
+
+    ref_model, _ = tiny_model(seed=4)
+    quantize(ref_model)
+    ref_engine = DecodeEngine(ref_model, max_batch=8, max_len=32)
+    s0 = ref_engine.add(prompt)
+    ref_tokens = []
+    while len(ref_tokens) < 8 and ref_engine.is_active(s0):
+        out = ref_engine.step()
+        if s0 in out:
+            ref_tokens.append(out[s0])
+
+    dp_model, _ = tiny_model(seed=4)
+    quantize(dp_model)
+    mesh = create_mesh((8, 1))  # pure DP
+    shard_model(dp_model, mesh)  # replicated weights under pure DP
+    engine = DecodeEngine(dp_model, max_batch=8, max_len=32, mesh=mesh)
+    s1 = engine.add(prompt)
+    # A second concurrent request on a different shard's slot group.
+    s2 = engine.add(prompt[::-1])
+    dp_tokens = []
+    while len(dp_tokens) < 8 and engine.is_active(s1):
+        out = engine.step()
+        if s1 in out:
+            dp_tokens.append(out[s1])
+    assert dp_tokens == ref_tokens and len(dp_tokens) == 8
+    assert engine.is_active(s2)

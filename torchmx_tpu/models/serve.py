@@ -72,6 +72,8 @@ class DecodeEngine:
         temperature: float = 0.0,
         top_k: int = 0,
         seed: int = 0,
+        mesh=None,
+        batch_axis: str = "data",
     ):
         self.model = model
         self.max_batch = max_batch
@@ -108,6 +110,33 @@ class DecodeEngine:
         # unemitted: one more step() emits it, then the slot evicts.
         self._draining = np.zeros((max_batch,), bool)
         self._slot_cache_template = model.init_cache(1, max_len, kv_cache_config)
+        # Cache-leaf axis holding the request slot: 0 for per-layer cache
+        # lists, 1 for stacked (layer-leading) caches (ScanLlamaForCausalLM).
+        slot_axis = getattr(model, "cache_slot_axis", 0)
+        if mesh is not None:
+            # Data-parallel serving: shard the engine caches on the slot
+            # axis over ``batch_axis`` — each device serves a contiguous
+            # group of slots; step()/add() are unchanged (slot rows are
+            # independent, so DP tokens are bit-identical to unsharded,
+            # tested).  Shard the model's weights separately
+            # (``parallel.shard_model``: replicated under a pure-DP mesh,
+            # TP-sharded under a hybrid mesh — DP x TP serving composes).
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            n_shards = mesh.shape[batch_axis]
+            assert max_batch % n_shards == 0, (
+                f"max_batch {max_batch} must divide over {batch_axis}={n_shards}"
+            )
+
+            def _shard(leaf):
+                if not hasattr(leaf, "ndim") or leaf.ndim <= slot_axis:
+                    return leaf
+                spec = [None] * leaf.ndim
+                spec[slot_axis] = batch_axis
+                return jax.device_put(leaf, NamedSharding(mesh, _P(*spec)))
+
+            self._caches = jax.tree.map(_shard, self._caches)
 
         temp, topk = self.temperature, self.top_k
 
@@ -127,10 +156,6 @@ class DecodeEngine:
             )[:, 0, :]
             token = _select_token(last, key, temp, topk)
             return token, new_caches
-
-        # Cache-leaf axis holding the request slot: 0 for per-layer cache
-        # lists, 1 for stacked (layer-leading) caches (ScanLlamaForCausalLM).
-        slot_axis = getattr(model, "cache_slot_axis", 0)
 
         def scatter_slot(big, small, slot):
             """Insert single-slot cache arrays into the engine caches.
