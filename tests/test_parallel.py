@@ -434,3 +434,35 @@ def test_dp_sharded_decode_engine_matches_replicated():
             dp_tokens.append(out[s1])
     assert dp_tokens == ref_tokens and len(dp_tokens) == 8
     assert engine.is_active(s2)
+
+
+def test_dp_tp_hybrid_decode_engine_matches_replicated():
+    """DP x TP serving composition: TP-sharded weights AND slot-axis-sharded
+    caches on a (2, 4) mesh; tokens still match the unsharded engine."""
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    prompt = np.random.RandomState(13).randint(0, 256, (6,)).tolist()
+
+    ref_model, _ = tiny_model(seed=5)
+    quantize(ref_model)
+    ref_engine = DecodeEngine(ref_model, max_batch=4, max_len=32)
+    s0 = ref_engine.add(prompt)
+    ref_tokens = []
+    while len(ref_tokens) < 6 and ref_engine.is_active(s0):
+        out = ref_engine.step()
+        if s0 in out:
+            ref_tokens.append(out[s0])
+
+    hy_model, _ = tiny_model(seed=5)
+    quantize(hy_model)
+    mesh = create_mesh((2, 4))  # DP=2 x TP=4
+    shard_model(hy_model, mesh)
+    with mesh:
+        engine = DecodeEngine(hy_model, max_batch=4, max_len=32, mesh=mesh)
+        s1 = engine.add(prompt)
+        hy_tokens = []
+        while len(hy_tokens) < 6 and engine.is_active(s1):
+            out = engine.step()
+            if s1 in out:
+                hy_tokens.append(out[s1])
+    assert hy_tokens == ref_tokens and len(hy_tokens) == 6
