@@ -539,3 +539,165 @@ def test_quantize_tiles_obey_scale_block_rule():
         assert (bk // 32) % 8 == 0 or bk == K, (K, t)
     # The failing shape from the 384-hidden model resolves to a plan.
     assert pq._tiles(384, 384) is not None
+
+
+# ---------------------------------------------------------------------------
+# int8-domain decode path (round 3): exact re-coding + int8-MXU-dot kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ename", ["float4_e2m1", "float6_e2m3", "int8"])
+def test_to_int8_domain_exact(ename):
+    """fp4/fp6_e2m3 values are integer multiples of 2^-1 / 2^-3, so the
+    int8-domain re-coding must dequantize bit-equal to the original."""
+    w = rand_bf16(40, (256, 128), spread=3.0)
+    wm = MXArray.to_mx(w, ename, 32).T
+    wi = wm.to_int8_domain()
+    assert wi.elem_dtype == dtypes.int8 and wi.data.dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(wm.to_dtype(jnp.bfloat16), np.float32),
+        np.asarray(wi.to_dtype(jnp.bfloat16), np.float32),
+    )
+
+
+def test_to_int8_domain_halves_and_flush_contract():
+    w = rand_bf16(41, (128, 256), spread=1.0)
+    wm = MXArray.to_mx(w, "float4_e2m1", 32).T.to_fp4_halves()
+    wi = wm.to_int8_domain()
+    np.testing.assert_array_equal(
+        np.asarray(wm.to_dtype(jnp.bfloat16), np.float32),
+        np.asarray(wi.to_dtype(jnp.bfloat16), np.float32),
+    )
+    # Blocks whose shared scale sits below the offset flush to zero (their
+    # values are at the bf16-subnormal boundary; unreachable for real model
+    # weights — documented conversion contract).
+    tiny = jnp.full((32, 1), 2.0**-125, jnp.bfloat16)
+    tm = MXArray.to_mx(tiny.T, "float6_e2m3", 32).T
+    ti = tm.to_int8_domain()
+    assert int(jnp.max(jnp.abs(ti.data.astype(jnp.int32)))) == 0
+    # Formats whose value set is not int8-representable refuse.
+    w8 = MXArray.to_mx(w, "float8_e4m3", 32).T
+    with pytest.raises(AssertionError):
+        w8.to_int8_domain()
+
+
+@pytest.mark.parametrize("src", ["int8", "float4_e2m1", "float6_e2m3"])
+def test_int8dot_matmul_matches_sim(src):
+    """The int8-MXU-dot decode kernel: per-32-block integer partial sums are
+    exact; only the cross-block f32 accumulation order differs from the
+    dequantize-then-dot reference, so results agree to f32 reordering
+    tolerance."""
+    M, K, N = 8, 512, 1024
+    x = rand_bf16(42, (M, K), spread=1.0)
+    w = (jax.random.normal(jax.random.PRNGKey(43), (N, K)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    wm = MXArray.to_mx(w, src, 32).T.to_int8_domain()
+    assert pm.plan_int8dot(M, N, K) is not None
+    out = pm.int8dot_any(x, wm, jnp.bfloat16)
+    assert out is not None
+    xq = MXArray.to_mx(x, "int8", 32)
+    ref = jnp.matmul(
+        xq.to_dtype(jnp.float32), wm.to_dtype(jnp.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref.astype(jnp.bfloat16), np.float32),
+        rtol=1e-2,
+        atol=1e-2,
+    )
+
+
+def test_int8dot_dispatch_and_eligibility():
+    """mx_dynamic_matmul with int8 activations routes decode-size shapes with
+    int8 kernel-layout weights through the int8-dot kernel; prefill-size M
+    falls back to the regular fused kernel path."""
+    from torchmx_tpu.ops import mx_dynamic_matmul
+
+    M, K, N = 8, 512, 1024
+    x = rand_bf16(44, (2, 4, K), spread=1.0)
+    w = (jax.random.normal(jax.random.PRNGKey(45), (N, K)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    wm = MXArray.to_mx(w, "int8", 32).T
+    old = env.TORCHMX_QUANTIZE_BACKEND
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "pallas"
+        out_k = mx_dynamic_matmul(x, wm, "int8", 32, out_dtype=jnp.bfloat16)
+        env.TORCHMX_QUANTIZE_BACKEND = "jnp"
+        out_j = mx_dynamic_matmul(x, wm, "int8", 32, out_dtype=jnp.bfloat16)
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old
+    assert out_k.shape == (2, 4, N)
+    np.testing.assert_allclose(
+        np.asarray(out_k, np.float32), np.asarray(out_j, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+    # Plan oracle: decode M engages, prefill M does not (regular kernel wins
+    # there), production 8B shapes stay eligible.
+    assert pm.plan_int8dot(8, 14336, 4096) is not None
+    assert pm.plan_int8dot(64, 14336, 4096) is not None
+    assert pm.plan_int8dot(1024, 14336, 4096) is None
+
+
+def test_int8_domain_linear_layer_env():
+    """TORCHMX_INT8_DOMAIN=1 re-codes eligible fp4/fp6_e2m3 linear weights;
+    forward matches the packed-layout layer within f32 accumulation
+    tolerance (same MX values either way)."""
+    from torchmx_tpu.config import MXConfig, QLinearConfig
+    from torchmx_tpu.layers.linear import MXInferenceLinear
+
+    K, N = 512, 1024
+    w = (jax.random.normal(jax.random.PRNGKey(46), (N, K)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    qcfg = QLinearConfig(
+        weights_config=MXConfig("float4_e2m1"),
+        activations_config=MXConfig("int8"),
+    )
+    old = env.TORCHMX_INT8_DOMAIN
+    try:
+        env.TORCHMX_INT8_DOMAIN = "1"
+        lin_i8 = MXInferenceLinear.from_weights(w, None, qcfg)
+        env.TORCHMX_INT8_DOMAIN = "0"
+        lin_ref = MXInferenceLinear.from_weights(w, None, qcfg)
+    finally:
+        env.TORCHMX_INT8_DOMAIN = old
+    assert lin_i8.weight.get_value().elem_dtype == dtypes.int8
+    assert lin_ref.weight.get_value().elem_dtype == dtypes.float4_e2m1
+    x = rand_bf16(47, (8, K), spread=1.0)
+    a = lin_i8(x)
+    b = lin_ref(x)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_fp4_swar_decode_exhaustive():
+    """The SWAR two-per-lane fp4 decode must be bit-identical to the
+    two-plane specialized decode over EVERY (hi code, lo code, sa, se_b)
+    combination — including the se<=1 flush region and se==0 blocks whose
+    large codes still decode to bf16 normals (3*2^-126 etc.)."""
+    ses = [0, 1, 2, 3, 64, 127, 200, 252]
+    bytes_all = np.arange(256, dtype=np.int32)
+    rows = []
+    for sa in ses:
+        for sb in ses:
+            b = jnp.asarray(np.tile(bytes_all, (32, 1)))  # (32, 256)
+            sa_a = jnp.full((1, 256), sa, jnp.int32)
+            sb_a = jnp.full((1, 256), sb, jnp.int32)
+            w_hi, w_lo = pm.decode_fp4_swar_planes(b, sa_a, sb_a)
+            se_a = pm._expand_scale(sa_a, 32)
+            se_b = pm._expand_scale(sb_a, 32)
+            r_hi = pm.decode_fp4_to_bf16((b >> 4) & 0xF, se_a)
+            r_lo = pm.decode_fp4_to_bf16(b & 0xF, se_b)
+            np.testing.assert_array_equal(
+                np.asarray(w_hi, np.float32), np.asarray(r_hi, np.float32),
+                err_msg=f"hi sa={sa} sb={sb}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(w_lo, np.float32), np.asarray(r_lo, np.float32),
+                err_msg=f"lo sa={sa} sb={sb}",
+            )
+            rows.append(1)
+    assert len(rows) == len(ses) ** 2

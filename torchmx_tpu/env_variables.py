@@ -41,3 +41,12 @@ TORCHMX_FUSED_ATTENTION = os.environ.get("TORCHMX_FUSED_ATTENTION", "auto")
 # shapes.  "0": keep fp6 at 1 byte/code — ~25% lower batch-1 decode latency
 # (the sub-byte unpack is VPU-bound there; see docs/results.md).
 TORCHMX_FP6_PACK = os.environ.get("TORCHMX_FP6_PACK", "1")
+
+# "1": MXInferenceLinear re-codes eligible fp4 / fp6_e2m3 weights into the
+# EXACT int8 domain (``MXArray.to_int8_domain``: same values, one int8 code
+# per element) so decode-size matmuls ride the native int8-MXU-dot kernel
+# and larger shapes the hw-convert int8 decode — the fastest serving path
+# measured on v5e (0.107 ms at the M=8 8B shape vs fp4 0.191 / fp6 0.293 /
+# bf16 0.156).  Costs fp4 2x weight HBM (0.5 -> 1 byte/element); fp6 stays
+# 1 byte.  Default "0": keep the reference packed layouts.
+TORCHMX_INT8_DOMAIN = os.environ.get("TORCHMX_INT8_DOMAIN", "0")

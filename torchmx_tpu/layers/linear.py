@@ -76,6 +76,19 @@ class MXInferenceLinear(nnx.Module):
         if weight_mx.block_dim == weight_mx.ndim - 1:
             weight_mx = weight_mx.T  # to K-major kernel layout
         if (
+            weight_mx.elem_dtype.name in ("float4_e2m1", "float6_e2m3")
+            and weight_mx.ndim == 2
+            and weight_mx.block_dim == 0
+            and weight_mx.padding == 0
+            and env.TORCHMX_INT8_DOMAIN == "1"
+        ):
+            # Exact int8-domain re-coding (same values, one int8 code per
+            # element): decode-size matmuls ride the native int8-MXU-dot
+            # kernel, larger shapes the hw-convert int8 decode — the fastest
+            # measured serving path (fp4 grows 0.5 -> 1 byte/element; see
+            # MXArray.to_int8_domain and env_variables.TORCHMX_INT8_DOMAIN).
+            weight_mx = weight_mx.to_int8_domain()
+        if (
             weight_mx.elem_dtype.name == "float4_e2m1"
             and weight_mx.fp4_pack == "pair"
             and weight_mx.ndim == 2

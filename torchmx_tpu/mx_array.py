@@ -521,6 +521,70 @@ class MXArray:
             fp4_pack="quarters",
         )
 
+    def to_int8_domain(self) -> "MXArray":
+        """Exact MXINT8 re-coding of fp4/fp6_e2m3 weights (int8 passthrough).
+
+        Every float4_e2m1 value is an integer multiple of 2^-1 and every
+        float6_e2m3 value of 2^-3, so ``value = intval * 2^(se' - 127)`` with
+        ``intval = value * 2^k`` (|intval| <= 12 / 60) and ``se' = se - k``
+        (k = 1 / 3) represents the SAME values as a valid MXINT8 array — no
+        re-quantization, bit-equal dequantization.  The int8-domain layout
+        (one int8 code per element) is what the decode-optimized int8-MXU-dot
+        kernel consumes (``ops/pallas_matmul._int8dot_kernel``) and it also
+        rides the fast hw-convert decode of the regular int8 kernel
+        (0.115 ms vs fp6's 0.293 at the M=8 8B shape).
+
+        Trade-off: fp4 grows from 0.5 to 1 byte/element (e2m3 stays at its
+        1-byte flat size).  Contract: blocks with ``se < k`` flush to zero —
+        all their values are below ~2^-124·max, the region the fused serving
+        kernels flush anyway; unreachable for real model weights.
+        """
+        if self.elem_dtype == dtypes.int8:
+            return self
+        assert self.padding == 0, "int8-domain re-coding of padded arrays"
+        if self.elem_dtype == dtypes.float4_e2m1:
+            if self.fp4_pack == "halves":
+                return self._halves_to_pair().to_int8_domain()
+            from .packing import unpack_uint4
+
+            codes = unpack_uint4(
+                self.data, packing_dim=self.block_dim
+            ).astype(jnp.int32)
+            mag = codes & 7
+            # value*2: {0,.5,1,1.5,2,3,4,6} -> {0,1,2,3,4,6,8,12}
+            intmag = jnp.where(mag < 4, mag, (4 + 2 * (mag & 1)) << ((mag >> 1) - 2))
+            sign = codes & 8
+            k_off = 1
+        elif self.elem_dtype == dtypes.float6_e2m3:
+            assert self.fp4_pack == "pair", "re-code from the flat layout"
+            codes = self.data.astype(jnp.int32)
+            e = (codes >> 3) & 3
+            m = codes & 7
+            # value*8: subnormal m, normal (8+m) << (e-1); max 60
+            intmag = jnp.where(e == 0, m, (8 + m) << jnp.maximum(e - 1, 0))
+            sign = codes & 0x20
+            k_off = 3
+        else:
+            raise AssertionError(
+                f"{self.elem_dtype.name} values are not int8-representable "
+                "(float6_e3m2 spans 0.0625..28 = 449 steps; float8_e4m3 more)"
+            )
+        se = self.scale_e8m0.astype(jnp.int32)
+        keep = se >= k_off
+        data = jnp.where(sign > 0, -intmag, intmag)
+        keep_full = jnp.repeat(keep, self.block_size, axis=self.block_dim)
+        data = jnp.where(keep_full, data, 0).astype(jnp.int8)
+        scale = jnp.where(keep, se - k_off, 0).astype(jnp.uint8)
+        return MXArray(
+            scale,
+            data,
+            dtypes.int8,
+            self.block_size,
+            self.orig_dtype,
+            self.padding,
+            self.block_dim,
+        )
+
     def _quarters_to_flat(self) -> "MXArray":
         """Inverse of :meth:`to_fp6_quarters` (one byte per code)."""
         assert self.fp4_pack == "quarters"

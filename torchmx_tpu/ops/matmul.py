@@ -102,6 +102,13 @@ def mx_dynamic_matmul(
     if _use_pallas() and act_block_size == 32:
         from . import pallas_matmul
 
+        if elem_name == "int8":
+            # int8 acts x int8(-domain) weights at decode sizes: native int8
+            # MXU dots with per-32-block rescale — same MX values, per-block
+            # accumulation grouping (see pallas_matmul._int8dot_kernel).
+            out = pallas_matmul.int8dot_any(x, w, out_dtype)
+            if out is not None:
+                return out
         out = pallas_matmul.matmul_any(x, w, out_dtype, act_fq=elem_name)
         if out is not None:
             return out

@@ -89,7 +89,7 @@ def _decode_tile(codes_u8, scale_u8, elem: dtypes.DType, d: int):
     se = _lane_block_scale(scale_u8, d)
     if elem == dtypes.int8:
         return decode_int8_to_bf16(codes, se)
-    return decode_codes_to_bf16(codes, se, elem)
+    return decode_codes_to_bf16(codes, se, elem, dot_operand=True)
 
 
 def _decode_fp4_halves(bytes_u8, scale_u8, d: int):

@@ -34,6 +34,7 @@ kernel flushes to zero — which XLA arithmetic would flush anyway).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -58,13 +59,23 @@ from .backend import interpret as _interpret
 # ---------------------------------------------------------------------------
 
 
-def decode_codes_to_bf16(codes, se, elem_dtype: dtypes.DType):
+def decode_codes_to_bf16(
+    codes, se, elem_dtype: dtypes.DType, *, dot_operand: bool = False
+):
     """Decode integer element codes to scaled bf16 values.
 
     Args:
         codes: int32 element codes (fp4: one nibble in the low 4 bits).
         se: int32 biased E8M0 exponents, broadcast to ``codes.shape``.
         elem_dtype: one of the supported fp element dtypes.
+        dot_operand: the decoded values feed an MXU dot directly — skip the
+            two contract details a contraction cannot observe: the signed
+            zero of negative-zero codes (``x * -0`` never changes a dot
+            result; only an all-(-0) column could, producing -0 vs +0) and
+            the fp8 NaN code remap (the quantizer never emits NaN codes from
+            finite inputs — same precondition as the no-NaN-scales rule).
+            Saves ~6 of ~26 VPU ops/element; at decode batch sizes those ops
+            are the token latency.
 
     Returns bf16 values ``decode(code) * 2^(se - 127)``, bit-identical to
     ``dequantize_mx`` for results in the bf16-normal range.
@@ -99,6 +110,8 @@ def decode_codes_to_bf16(codes, se, elem_dtype: dtypes.DType):
     corr = jnp.where(sub & ~dead, fshift, 0) | sgn_hi
     f = jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
     c = jax.lax.bitcast_convert_type(corr.astype(jnp.uint16), jnp.bfloat16)
+    if dot_operand:
+        return f - c
     # Re-OR the sign: IEEE gives +0 for (-x) - (-x), but dequantize_mx (and
     # the reference quantizer's signed-zero-preserving contract) keep -0 for
     # negative zero codes; nonzero results already carry the right sign, so
@@ -135,6 +148,55 @@ def decode_fp4_to_bf16(nibbles, se):
     dead = (c == 0) | (bits < 0x80)
     bits = jnp.where(dead, 0, bits) | ((nibbles & 8) << 12)
     return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+
+
+def _i32c(v: int):
+    """int32 constant from a u32 bit pattern (0x80008000 etc.)."""
+    return jnp.int32(v if v < 2**31 else v - 2**32)
+
+
+def decode_fp4_swar_planes(b, sa, sb):
+    """SWAR fp4 decode: both nibbles of each halves-packed byte decode inside
+    ONE i32 lane (two bf16 fields built simultaneously), roughly halving the
+    per-element VPU ops of :func:`decode_fp4_to_bf16` — 0.146 ms vs 0.191 at
+    the M=8 8B shape where those ops ARE the token latency (bf16: 0.160;
+    tools/decode_lab.py).  Bit-identical to the two-plane
+    ``decode_fp4_to_bf16`` path over every (code, scale) pair (tested
+    exhaustively).
+
+    Args:
+        b: (rows, bn) int32 — halves-packed bytes (hi nibble: element p of
+           the first K half, lo: element p + K/2).
+        sa, sb: (rows // 32, bn) int32 — E8M0 scale rows of the two halves.
+
+    Returns ``(w_hi, w_lo)`` bf16 planes.
+
+    Scheme: gather both codes into half-words (``u``), build both BIASED
+    bf16 fields at once — ``biased = field + 0xC0`` with the scale folded as
+    ``se << 7`` (= ``0x3F80 + (se-127)<<7``, always >= 0 so no cross-half
+    borrow) — and mask dead halves from a per-block minimum-alive-magnitude
+    threshold: se >= 2 -> 1, se == 1 -> 2, se == 0 -> 4 (magnitudes below
+    the threshold have field <= 0, i.e. flush-to-zero or garbage; at the
+    threshold and above the field is a valid positive bf16).  The biased
+    subtract never borrows: alive halves have ``biased >= 0x140``.
+    """
+
+    def thr(se):
+        return jnp.where(se >= 2, 1, jnp.where(se == 1, 2, 4))
+
+    swfp = _expand_scale((sa << 23) | (sb << 7), BLOCK)
+    thrp = _expand_scale((thr(sa) << 16) | thr(sb), BLOCK)
+    u = ((b << 12) | b) & 0x000F000F
+    m = u & 0x00070007
+    sgn = (u & 0x00080008) << 12
+    step = ((m >> 1) | (m >> 2)) & 0x00010001
+    biased = ((m + step) << 6) + swfp
+    g = ((m | _i32c(0x80008000)) - thrp) & _i32c(0x80008000)
+    mask = ((g >> 15) & 0x00010001) * 0xFFFF
+    bits = ((biased & mask) - (0x00C000C0 & mask)) | sgn
+    w_hi = jax.lax.bitcast_convert_type((bits >> 16).astype(jnp.uint16), jnp.bfloat16)
+    w_lo = jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+    return w_hi, w_lo
 
 
 def decode_int8_to_bf16(codes, se):
@@ -280,7 +342,9 @@ def _linear_kernel_1byte(
     if elem_name == "int8":
         w = decode_int8_to_bf16(codes, se)
     else:
-        w = decode_codes_to_bf16(codes, se, dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name])
+        w = decode_codes_to_bf16(
+            codes, se, dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name], dot_operand=True
+        )
     if x_cache:
         acc_ref[:] += _dot_f32acc(scratch[0][k], w)
     elif act_fq is None:
@@ -354,10 +418,9 @@ def _linear_kernel_fp4_halves(
     if x_cache:
         _cache_x_tiles(k, act_fq, (xa_ref, scratch[0]), (xb_ref, scratch[1]))
     b = w_ref[:].astype(jnp.int32)
-    se_a = _expand_scale(sa_ref[:].astype(jnp.int32), BLOCK)
-    se_b = _expand_scale(sb_ref[:].astype(jnp.int32), BLOCK)
-    w_hi = decode_fp4_to_bf16((b >> 4) & 0xF, se_a)
-    w_lo = decode_fp4_to_bf16(b & 0xF, se_b)
+    w_hi, w_lo = decode_fp4_swar_planes(
+        b, sa_ref[:].astype(jnp.int32), sb_ref[:].astype(jnp.int32)
+    )
     w = jnp.concatenate([w_hi, w_lo], axis=0)
     if x_cache:
         x = jnp.concatenate([scratch[0][k], scratch[1][k]], axis=1)
@@ -410,7 +473,10 @@ def _linear_kernel_fp6q(
     q3 = ((p0 & 3) << 4) | ((p1 & 3) << 2) | (p2 & 3)
     w = jnp.concatenate(
         [
-            decode_codes_to_bf16(q, _expand_scale(s_ref[:].astype(jnp.int32), BLOCK), elem)
+            decode_codes_to_bf16(
+                q, _expand_scale(s_ref[:].astype(jnp.int32), BLOCK), elem,
+                dot_operand=True,
+            )
             for q, s_ref in ((q0, s0_ref), (q1, s1_ref), (q2, s2_ref), (q3, s3_ref))
         ],
         axis=0,
@@ -498,6 +564,136 @@ def _pallas_matmul_fp6q(
         ),
         interpret=_interpret(),
     )(x, x, x, x, w_data, w_data, w_data, w_scale, w_scale, w_scale, w_scale)
+
+
+# ---------------------------------------------------------------------------
+# int8-domain decode path: feed the MXU int8 codes DIRECTLY (v5e native int8
+# matmul) and rescale the per-32-block integer partial sums in f32.
+# ---------------------------------------------------------------------------
+
+
+def _int8dot_kernel(xcT_ref, sxT_ref, w_ref, sw_ref, o_ref, acc_ref):
+    """MXINT8 x MXINT8 fused matmul with native int8 MXU dots.
+
+    Decode-M rewrite (round 3): instead of decoding every weight byte to bf16
+    on the VPU (~10 ops/element — the token latency at decode sizes), the
+    packed codes go to the MXU as int8 and only the (nb, M, bn) block partial
+    sums are rescaled: ``sum_b 2^(sx[b,m]+sw[b,n]-254) * dot32(xc, wc)``.
+    Per-weight-element VPU work drops to ~3*M/32 ops (M=8: ~0.75), taking the
+    M=8 8B-shape matmul from 0.115 ms to ~0.107 ms vs a 0.072 ms HBM floor
+    (bf16: 0.156 ms; fp8 bit-surgery: 0.324 ms) — measured in
+    tools/decode_lab.py.
+
+    Numerics: every 32-block partial sum is EXACT (integer products, |sum| <
+    2^19, and the power-of-two rescale is an exact f32 multiply); only the
+    cross-block f32 accumulation order differs from the dequantize-then-dot
+    reference, so results match within f32 reordering tolerance (the
+    per-block grouping is at least as accurate).  Preconditions: no NaN (255)
+    scales on either side — quantizing finite bf16 guarantees this.
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    bk, m = xcT_ref.shape
+    bn = w_ref.shape[1]
+    nb = bk // BLOCK
+    x3 = xcT_ref[:].reshape(nb, BLOCK, m)
+    w3 = w_ref[:].reshape(nb, BLOCK, bn)
+    dots = jax.lax.dot_general(
+        x3, w3, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )  # (nb, m, bn) exact int32 block sums
+    ex = sxT_ref[:].astype(jnp.int32)  # (nb, m)
+    ew = sw_ref[:].astype(jnp.int32)  # (nb, bn)
+    # 2^(ex+ew-254) as f32 bits; exponent field clamped to [0, 254] (0 -> +0
+    # flushes products below the f32-normal range — far below bf16 anyway).
+    e = jnp.clip(ex[:, :, None] + ew[:, None, :] - 127, 0, 254)
+    scale = jax.lax.bitcast_convert_type(e << 23, jnp.float32)
+    acc_ref[:] += jnp.sum(dots.astype(jnp.float32) * scale, axis=0)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk", "out_dtype"))
+def _pallas_matmul_int8dot(xcT, sxT, w_codes, w_scale, bn, bk, out_dtype):
+    K, M = xcT.shape
+    N = w_codes.shape[1]
+    grid = (N // bn, K // bk)
+    return pl.pallas_call(
+        _int8dot_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bk, M), lambda j, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // BLOCK, M), lambda j, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // BLOCK, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + N * K + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(xcT, sxT, w_codes, w_scale)
+
+
+# The int8-dot path wins while the per-block rescale (3*M/32 VPU ops per
+# weight element) stays below the ~10-op bf16 decode it replaces; above this
+# M the regular 1-byte kernel (MXU-bound there) takes over.
+_INT8DOT_MAX_M = 256
+
+
+def plan_int8dot(M: int, N: int, K: int):
+    """(bn, bk) for the int8-dot decode kernel, or None if the shape falls
+    back to the regular kernels (M too large, or no legal tiling)."""
+    if M % 8 != 0 or M > _INT8DOT_MAX_M:
+        return None
+    return _pick_tiles(M, N, K, w_bytes=1.0)
+
+
+def int8dot_any(x_hp, w: MXArray, out_dtype) -> Optional[jax.Array]:
+    """int8-dot path for ``mx_dynamic_matmul`` with int8 activations and
+    int8(-domain) kernel-layout weights.  ``x_hp`` is the raw bf16 activation;
+    it is quantized to MXINT8 here (same values as the fused act-fq path —
+    only the cross-block accumulation grouping differs, see
+    :func:`_int8dot_kernel`).  Returns None if ineligible.
+    """
+    if not isinstance(w, MXArray) or w.elem_dtype != dtypes.int8:
+        return None
+    if not _is_kernel_layout(w):
+        return None
+    if x_hp.ndim < 2:
+        return None
+    lead = x_hp.shape[:-1]
+    K = x_hp.shape[-1]
+    N = w.shape[1]
+    M = int(math.prod(lead)) if lead else 1
+    plan = plan_int8dot(M + (8 - M % 8) % 8, N, K)
+    if plan is None:
+        return None
+    bn, bk = plan
+    from ..mx_array import quantize_mx
+
+    x2 = x_hp.astype(jnp.bfloat16).reshape(M, K)
+    pad_m = (8 - M % 8) % 8
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    sx, xc = quantize_mx(x2, "int8", BLOCK)
+    out = _pallas_matmul_int8dot(xc.T, sx.T, w.data, w.scale_e8m0, bn, bk, out_dtype)
+    if pad_m:
+        out = out[:M]
+    return out.reshape(*lead, N)
 
 
 def _is_kernel_layout(w: MXArray) -> bool:
