@@ -79,6 +79,43 @@ def _paired(trial_a, trial_b, trials: int = TRIALS):
     return float(np.median(a)), float(np.median(b))
 
 
+def _serving_toks():
+    """8B-shape greedy-decode tok/s at b=1 and b=32 (short runs; compile
+    dominates the wall clock, steady-state timing uses repeat calls)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_8b_decode import LLAMA3_8B, build_zeros_quantized
+
+    from torchmx_tpu import MXConfig
+    from torchmx_tpu.models.generate import generate
+    from torchmx_tpu.models.llama import LlamaConfig
+
+    prompt_len, new_tokens = 16, 32
+    cfg = LlamaConfig(max_position_embeddings=1024, **LLAMA3_8B)
+    model = build_zeros_quantized(cfg)
+    kv = MXConfig("int8")
+    out = {}
+    rng = np.random.default_rng(0)
+    for batch, key in ((1, "tok_s_b1"), (32, "tok_s_b32")):
+        prompt = jnp.asarray(
+            rng.integers(0, 1000, (batch, prompt_len), np.int64), jnp.int32
+        )
+        toks = generate(model, prompt, max_new_tokens=new_tokens, kv_cache_config=kv)
+        int(jnp.sum(toks))  # compile + sync (block_until_ready lies here)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            toks = generate(model, prompt, max_new_tokens=new_tokens, kv_cache_config=kv)
+            int(jnp.sum(toks))
+            times.append(time.perf_counter() - t0)
+        out[key] = round(batch * new_tokens / min(times), 1)
+    out["config"] = "mxfp4w_fp8a_int8kv_prompt16_new32"
+    del model
+    return out
+
+
 def main():
     from torchmx_tpu.mx_array import MXArray
     from torchmx_tpu.ops import mx_matmul
@@ -149,6 +186,26 @@ def main():
     # recommended serving format (docs/results.md).
     t_attn_int8, _t_fp8_again = _paired(fused_trial("int8"), fused_trial("float8_e4m3"))
 
+    # Honest iso-kernel baseline: the SAME blockwise kernel with bf16 K/V
+    # tiles (no decode).  The eager bf16 path above overstates the MX
+    # speedup; the MX-vs-fused-bf16 ratio is the defensible number.
+    def bf16_fused_step(q, kf, vf):
+        return pa.bf16_cached_attention(q, kf, vf, L - 1, L, sm)
+
+    t_attn_bf16_fused, t_attn_int8_b = _paired(
+        _timed_loop(bf16_fused_step, qd, kc, vc), fused_trial("int8")
+    )
+
+    # 8B-shape serving throughput (decode regressions must move this file):
+    # abstract-init quantized 8B (zeros; kernel timing is data-independent),
+    # short greedy decode at b=1 and b=32, int8 MX KV cache.  Guarded: on
+    # any failure the fields are null and the headline metric still prints.
+    serving = {"tok_s_b1": None, "tok_s_b32": None}
+    try:
+        serving = _serving_toks()
+    except Exception as e:  # noqa: BLE001 — never break the headline metric
+        serving["error"] = f"{type(e).__name__}: {e}"[:200]
+
     ratio = t_bf16 / t_mx
     flops = 2.0 * M * K * N
     print(
@@ -170,11 +227,16 @@ def main():
                         "fused_mx_fp8_cache_ms": round(t_attn_mx * 1e3, 3),
                         "fused_mx_int8_cache_ms": round(t_attn_int8 * 1e3, 3),
                         "bf16_cache_ms": round(t_attn_bf16 * 1e3, 3),
+                        "fused_bf16_cache_ms": round(t_attn_bf16_fused * 1e3, 3),
                         "speedup_vs_bf16_cache": round(t_attn_bf16 / t_attn_mx, 2),
                         "int8_speedup_vs_bf16_cache": round(
                             t_attn_bf16 / t_attn_int8, 2
                         ),
+                        "int8_speedup_vs_fused_bf16": round(
+                            t_attn_bf16_fused / t_attn_int8_b, 2
+                        ),
                     },
+                    "serving_8b": serving,
                 },
             }
         )

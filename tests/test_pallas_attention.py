@@ -164,3 +164,28 @@ def test_generate_with_fused_mx_cache_close_to_reference_path():
     # sequences should agree at the start (same prefill numerics class).
     assert a.shape == r.shape == (1, 64)
     assert (a == r).mean() > 0.5
+
+
+def test_bf16_cached_attention_baseline_matches_eager():
+    """The no-decode bf16-cache kernel variant (bench baseline) must match
+    eager full-softmax attention within online-softmax fp32 tolerance."""
+    import math
+
+    from torchmx_tpu.models.llama import repeat_kv
+
+    b, hq, hkv, L, d = 2, 8, 4, 256, 128
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((b, hq, 1, d)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, hkv, L, d)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, hkv, L, d)) * 0.3, jnp.bfloat16)
+    sm = 1.0 / math.sqrt(d)
+    out = pa.bf16_cached_attention(q, k, v, L - 1, L, sm)
+    assert out is not None
+    g = hq // hkv
+    kk, vv = repeat_kv(k, g), repeat_kv(v, g)
+    s = jnp.matmul(q, kk.swapaxes(-2, -1), preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s.astype(jnp.float32) * sm, axis=-1).astype(jnp.bfloat16)
+    ref = jnp.matmul(p, vv, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
+    )

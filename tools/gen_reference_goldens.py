@@ -104,7 +104,13 @@ def main():
 
     torch.manual_seed(7)
     x = (torch.randn(8, 64) * 3).to(torch.bfloat16)
-    # Exercise specials: zeros, a huge value, tiny values.
+    # Exercise specials: zeros, a huge value, tiny values.  Inf/NaN blocks
+    # are INTENTIONALLY excluded: there the repo deliberately diverges from
+    # the reference's self-contradictory hw-exact behavior (NaN-block
+    # payloads are all-zero with scale 255 here; see
+    # torchmx_tpu/mx_quantization.py module docstring).  The repo-side
+    # contract for that region is pinned by
+    # tests/test_reference_goldens.py::test_nan_inf_block_repo_contract.
     x[0, :4] = 0.0
     x[1, 0] = 300.0
     x[2, :8] = torch.tensor([2.0**-120] * 8).to(torch.bfloat16)

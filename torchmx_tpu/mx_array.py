@@ -664,7 +664,12 @@ class MXArray:
     def transpose(self, axes: Optional[Sequence[int]] = None) -> "MXArray":
         """Permute dims; payload and scale permute together and ``block_dim``
         is remapped (semantics of reference ``ops.py:122-158``)."""
-        assert self.fp4_pack == "pair", "structural ops need the reference layout"
+        assert self.fp4_pack == "pair", (
+            f"structural ops operate on the reference 'pair' layout only; "
+            f"this array uses the '{self.fp4_pack}' kernel layout — convert "
+            f"first via _halves_to_pair() / _quarters_to_flat() (weights "
+            f"normally repack once at load; see docs/architecture.md)"
+        )
         if axes is None:
             axes = tuple(reversed(range(self.ndim)))
         axes = tuple(_normalize_dim(a, self.ndim) for a in axes)
@@ -699,7 +704,12 @@ class MXArray:
         Covers the reference's ``aten.view`` support surface (block_dim last,
         or second-last for the 4-D attention lowering; ``ops.py:181-248``).
         """
-        assert self.fp4_pack == "pair", "structural ops need the reference layout"
+        assert self.fp4_pack == "pair", (
+            f"structural ops operate on the reference 'pair' layout only; "
+            f"this array uses the '{self.fp4_pack}' kernel layout — convert "
+            f"first via _halves_to_pair() / _quarters_to_flat() (weights "
+            f"normally repack once at load; see docs/architecture.md)"
+        )
         if len(new_shape) == 1 and isinstance(new_shape[0], (tuple, list)):
             new_shape = tuple(new_shape[0])
         logical = self.shape
@@ -742,7 +752,12 @@ class MXArray:
 
         The blocked dim cannot be broadcast.
         """
-        assert self.fp4_pack == "pair", "structural ops need the reference layout"
+        assert self.fp4_pack == "pair", (
+            f"structural ops operate on the reference 'pair' layout only; "
+            f"this array uses the '{self.fp4_pack}' kernel layout — convert "
+            f"first via _halves_to_pair() / _quarters_to_flat() (weights "
+            f"normally repack once at load; see docs/architecture.md)"
+        )
         target_shape = tuple(target_shape)
         logical = self.shape
         extra = len(target_shape) - len(logical)

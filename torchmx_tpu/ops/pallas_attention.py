@@ -124,7 +124,13 @@ def _attn_kernel(
     g: int,
     sqt: int,
 ):
-    elem = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name]
+    # "bfloat16" selects the no-decode baseline variant: K/V tiles are read
+    # as bf16 directly (scale refs carry dummies).  This is the honest
+    # iso-kernel comparator for the MX-cache speedups (same blockwise
+    # online-softmax structure, no dequantization) — a benchmarking aid, not
+    # a serving path (a bf16 cache belongs to the plain LayerKVCache flow).
+    bf16_cache = elem_name == "bfloat16"
+    elem = None if bf16_cache else dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name]
     qt = pl.program_id(2)
     kt = pl.program_id(3)
     rows, d = q_ref.shape[2], q_ref.shape[3]
@@ -148,7 +154,11 @@ def _attn_kernel(
     def _():
         q = q_ref[0, 0]  # (rows, d) bf16, rows ordered (si, gi)
         dn_qk = (((1,), (1,)), ((), ()))
-        if elem == dtypes.float4_e2m1:
+        if bf16_cache:
+            s = jax.lax.dot_general(
+                q, kd_ref[0, 0], dn_qk, preferred_element_type=jnp.float32
+            )
+        elif elem == dtypes.float4_e2m1:
             # Halves-packed fp4: decode the two nibble planes and split the
             # contraction (q[:, :d/2] @ k_hi^T + q[:, d/2:] @ k_lo^T).
             k_hi, k_lo = _decode_fp4_halves(kd_ref[0, 0], ks_ref[0, 0], d)
@@ -177,7 +187,11 @@ def _attn_kernel(
 
         dn_pv = (((1,), (0,)), ((), ()))
         p16 = p.astype(jnp.bfloat16)
-        if elem == dtypes.float4_e2m1:
+        if bf16_cache:
+            pv = jax.lax.dot_general(
+                p16, vd_ref[0, 0], dn_pv, preferred_element_type=jnp.float32
+            )
+        elif elem == dtypes.float4_e2m1:
             v_hi, v_lo = _decode_fp4_halves(vd_ref[0, 0], vs_ref[0, 0], d)
             pv = jnp.concatenate(
                 [
@@ -242,6 +256,39 @@ def _mx_cached_attention(
         ),
         interpret=_interpret(),
     )(q_off, kv_len, q4, k_data, k_scale, v_data, v_scale)
+
+
+def bf16_cached_attention(q, k, v, q_off, kv_len, sm_scale) -> Optional[jax.Array]:
+    """Blockwise online-softmax attention over a BF16 KV cache — the same
+    fused kernel with the MX decode removed.  The honest iso-kernel baseline
+    for the MX-cache speedup numbers (an eager bf16-cache comparison
+    overstates them); used by ``bench.py``, not by serving.
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, L, dk = k.shape
+    if dk != d or d % 128 != 0 or hq % hkv != 0:
+        return None
+    g = hq // hkv
+    lt = _pick_lt(L)
+    sqt = _pick_sqt(sq, g)
+    if lt is None or sqt is None:
+        return None
+    q4 = (
+        q.astype(jnp.bfloat16)
+        .reshape(b, hkv, g, sq, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, hkv, sq * g, d)
+    )
+    dummy = jnp.zeros((b, hkv, L, d // BLOCK), jnp.uint8)
+    q_off = jnp.broadcast_to(jnp.asarray(q_off, jnp.int32), (b,))
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+    out = _mx_cached_attention(
+        q4, k.astype(jnp.bfloat16), dummy, v.astype(jnp.bfloat16), dummy,
+        q_off, kv_len, "bfloat16", float(sm_scale), lt, g, sqt,
+    )
+    return (
+        out.reshape(b, hkv, sq, g, d).transpose(0, 1, 3, 2, 4).reshape(b, hq, sq, d)
+    )
 
 
 def _use_fused() -> bool:
