@@ -189,3 +189,104 @@ def test_bf16_cached_attention_baseline_matches_eager():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_qkv_quantized_fused_cache_attention():
+    """Round 3 (VERDICT item 6): with Q/K/V quantization configured AND the
+    cache in the same format as key/value configs, attention runs the FUSED
+    cache kernel (Q fake-quantized per query config; cache quantization ==
+    K/V quantization; attn-weights fq eager-only) instead of dropping to
+    eager O(L^2).  Output must be close to the eager QKV path (which
+    double-quantizes K/V and fq's the post-softmax weights)."""
+    import math
+
+    from flax import nnx
+
+    from torchmx_tpu import env_variables as env
+    from torchmx_tpu.config import MXConfig, QAttentionConfig, QLinearConfig
+    from torchmx_tpu.layers.mx_llama_attention import MXInferenceLlamaAttention
+    from torchmx_tpu.models.llama import (
+        LlamaAttention,
+        LlamaConfig,
+        MXLayerKVCache,
+        rope_cos_sin,
+    )
+
+    cfg = LlamaConfig(
+        vocab_size=64,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        head_dim=128,
+        max_position_embeddings=256,
+    )
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float8_e4m3"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    qattn = QAttentionConfig(
+        projection_config=qlin,
+        query_config=MXConfig("float8_e4m3"),
+        key_config=MXConfig("float8_e4m3"),
+        value_config=MXConfig("float8_e4m3"),
+        attention_weights_config=MXConfig("float8_e4m3"),
+    )
+    base = LlamaAttention(cfg, 0, rngs=nnx.Rngs(0))
+    attn = MXInferenceLlamaAttention.from_float(base, qattn)
+
+    cache = MXLayerKVCache.create(2, 2, 256, 128, "float8_e4m3", 32)
+    assert attn._fused_cache_attention_ok(cache)
+    mismatched = MXLayerKVCache.create(2, 2, 256, 128, "int8", 32)
+    assert not attn._fused_cache_attention_ok(mismatched)
+    assert not attn._fused_cache_attention_ok(None)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 256)) * 0.3, jnp.bfloat16)
+    pos = jnp.arange(8)[None, :]
+    cos, sin = rope_cos_sin(
+        jnp.asarray(1.0 / (10000.0 ** (np.arange(0, 128, 2) / 128.0))), pos,
+        jnp.bfloat16,
+    )
+
+    calls = []
+    orig = pa.cached_attention_any
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls.append(r is not None)
+        return r
+
+    old_mode = env.TORCHMX_FUSED_ATTENTION
+    try:
+        env.TORCHMX_FUSED_ATTENTION = "pallas"  # interpret mode off-TPU
+        # llama.py imports the pallas_attention MODULE and resolves the
+        # function at call time, so patching the module attribute suffices.
+        pa.cached_attention_any = spy
+        out_fused, _ = attn(
+            x, cos=cos, sin=sin, attention_mask=None,
+            cache=cache, cache_position=0,
+        )
+        assert calls and calls[-1], "fused kernel did not engage"
+    finally:
+        pa.cached_attention_any = orig
+        env.TORCHMX_FUSED_ATTENTION = old_mode
+
+    # Eager QKV reference (fused disabled).
+    try:
+        env.TORCHMX_FUSED_ATTENTION = "off"
+        out_eager, _ = attn(
+            x, cos=cos, sin=sin, attention_mask=None,
+            cache=MXLayerKVCache.create(2, 2, 256, 128, "float8_e4m3", 32),
+            cache_position=0,
+        )
+    finally:
+        env.TORCHMX_FUSED_ATTENTION = old_mode
+
+    a = np.asarray(out_fused, np.float32)
+    b = np.asarray(out_eager, np.float32)
+    # Different quantization seams (single vs double K/V quantization, no
+    # attn-weights fq in the kernel): close, not bit-equal.
+    err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+    assert err < 0.15, err

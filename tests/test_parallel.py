@@ -309,14 +309,32 @@ def test_pipeline_apply_matches_sequential():
     )
 
 
+def _assert_greedy_tokens_match(got, ref, min_compared=0.6):
+    """Per-position greedy-token equality between two COMPILATIONS of the
+    same math (see _TIE_MARGIN): positions whose sequential top-2 margin is
+    below the drift bound are excluded (argmax there is decided by legal
+    rounding differences), everything else must match exactly."""
+    srt = np.sort(ref, axis=-1)
+    margin = srt[..., -1] - srt[..., -2]
+    confident = margin >= _TIE_MARGIN
+    assert confident.mean() >= min_compared, (
+        f"only {confident.mean():.0%} of positions have confident margins"
+    )
+    np.testing.assert_array_equal(
+        got.argmax(-1)[confident], ref.argmax(-1)[confident]
+    )
+
+
 def test_pipeline_model_matches_sequential():
     """Full-model PP: LlamaForCausalLM staged over the model axis must match
-    the sequential jit forward (MX-quantized layers included)."""
+    the sequential jit forward — greedy tokens EQUAL at every confident
+    position (trained checkpoint), logits tight elementwise."""
     from torchmx_tpu.parallel import pipeline_model
 
-    model, _ = tiny_model(seed=3)
-    quantize(model)
-    ids = jnp.asarray(np.random.RandomState(3).randint(0, 256, (8, 16)), jnp.int32)
+    model, cfg, corpus = trained_tiny_quantized()
+    ids = jnp.asarray(
+        np.stack([corpus[i * 773 : i * 773 + 16] for i in range(8)]), jnp.int32
+    )
     graphdef, state = nnx.split(model)
 
     @jax.jit
@@ -326,27 +344,34 @@ def test_pipeline_model_matches_sequential():
 
     ref = np.asarray(seq(state, ids), np.float32)
 
-    mesh = create_mesh((4, 2))  # 2 stages of 1 layer each (data axis unused)
+    mesh = create_mesh((4, 2))  # 2 stages of 2 layers each (data axis unused)
     fwd, params = pipeline_model(model, mesh, n_microbatches=4)
     with mesh:
         staged_sh = NamedSharding(mesh, P(MODEL_AXIS))
         params["staged"] = jax.tree.map(
             lambda a: jax.device_put(a, staged_sh), params["staged"]
         )
+        repl = NamedSharding(mesh, P())
+        for k in ("embed", "norm", "head", "inv_freq"):
+            if params[k] is not None:
+                params[k] = jax.tree.map(lambda a: jax.device_put(a, repl), params[k])
         got = np.asarray(jax.jit(fwd)(params, ids), np.float32)
-    # Microbatch boundaries change fp32 fusion like any re-jit; drift is
-    # bf16-rounding level through the quantized stack.
+    _assert_greedy_tokens_match(got, ref)
+    # Secondary: elementwise drift stays at quantization-grid level (one
+    # activation fq bin flip from re-jit ulp drift moves a logit by up to
+    # ~0.3 sigma on this stack; the token gate above is the primary).
     d = np.abs(got - ref)
-    assert d.max() <= 0.5 * ref.std(), (d.max(), ref.std())
-    assert d.mean() <= 0.1 * ref.std(), (d.mean(), ref.std())
+    assert d.max() <= 0.35 * ref.std(), (d.max(), ref.std())
+    assert d.mean() <= 0.05 * ref.std(), (d.mean(), ref.std())
 
 
 def test_pipeline_model_composes_with_dp():
     from torchmx_tpu.parallel import pipeline_model
 
-    model, _ = tiny_model(seed=4)
-    quantize(model)
-    ids = jnp.asarray(np.random.RandomState(4).randint(0, 256, (8, 16)), jnp.int32)
+    model, cfg, corpus = trained_tiny_quantized()
+    ids = jnp.asarray(
+        np.stack([corpus[i * 881 : i * 881 + 16] for i in range(8)]), jnp.int32
+    )
     graphdef, state = nnx.split(model)
 
     @jax.jit
@@ -361,10 +386,19 @@ def test_pipeline_model_composes_with_dp():
         model, mesh, n_microbatches=2, data_axis=DATA_AXIS
     )
     with mesh:
+        params["staged"] = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P(MODEL_AXIS))),
+            params["staged"],
+        )
+        repl = NamedSharding(mesh, P())
+        for k in ("embed", "norm", "head", "inv_freq"):
+            if params[k] is not None:
+                params[k] = jax.tree.map(lambda a: jax.device_put(a, repl), params[k])
         got = np.asarray(jax.jit(fwd)(params, ids), np.float32)
+    _assert_greedy_tokens_match(got, ref)
     d = np.abs(got - ref)
-    assert d.max() <= 0.5 * ref.std(), (d.max(), ref.std())
-    assert d.mean() <= 0.1 * ref.std(), (d.mean(), ref.std())
+    assert d.max() <= 0.35 * ref.std(), (d.max(), ref.std())
+    assert d.mean() <= 0.05 * ref.std(), (d.mean(), ref.std())
 
 
 def test_tp_sharded_decode_engine_matches_replicated():
@@ -466,3 +500,199 @@ def test_dp_tp_hybrid_decode_engine_matches_replicated():
             if s1 in out:
                 hy_tokens.append(out[s1])
     assert hy_tokens == ref_tokens and len(hy_tokens) == 6
+
+
+def _greedy_stream_sequential(model, prompt, new_tokens, kv_cfg, max_len):
+    """Greedy reference: explicit cached prefill + per-token steps (the same
+    call pattern the pipeline fwd uses).  Returns (stream, margins) where
+    ``margins[b, t]`` is the top-2 logit gap behind token ``stream[b, t]``."""
+    graphdef, state = nnx.split(model)
+    caches = model.init_cache(prompt.shape[0], max_len, kv_cfg)
+
+    @jax.jit
+    def call(state, caches, ids, position_ids, cache_position):
+        m = nnx.merge(graphdef, state)
+        return m(
+            ids,
+            attention_mask=None,
+            position_ids=position_ids,
+            caches=caches,
+            cache_position=cache_position,
+        )
+
+    def _margin(logits):
+        top2 = jax.lax.top_k(logits.astype(jnp.float32), 2)[0]
+        return np.asarray(top2[:, 0] - top2[:, 1])
+
+    b, s = prompt.shape
+    logits, caches = call(
+        state, caches, prompt, jnp.arange(s)[None, :], jnp.zeros((b,), jnp.int32)
+    )
+    tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    stream, margins = [np.asarray(tok)], [_margin(logits[:, -1, :])]
+    for i in range(new_tokens - 1):
+        pos = jnp.full((b,), s + i, jnp.int32)
+        logits, caches = call(state, caches, tok[:, None], pos[:, None], pos)
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        stream.append(np.asarray(tok))
+        margins.append(_margin(logits[:, -1, :]))
+    return np.stack(stream, axis=1), np.stack(margins, axis=1)  # (b, T) each
+
+
+#: Greedy streams from two DIFFERENT compilations of the same math (pipeline
+#: schedule vs sequential jit) are compared tie-aware: re-jit legally moves
+#: f32->bf16 rounding points (measured logit drift ~0.1 on the tiny stack),
+#: so a row may diverge only at a step whose top-2 margin is below this
+#: bound; from there its inputs legitimately differ and comparison stops.
+#: Any mismatch at a confident margin is a real schedule bug and fails.
+#: (Same-program replicas — the TP/DP engine tests — assert exact streams.)
+_TIE_MARGIN = 0.5
+
+
+def assert_streams_equal_outside_ties(got, ref, margins, min_compared=0.6):
+    b, T = ref.shape
+    compared = 0
+    for r in range(b):
+        for t in range(T):
+            if got[r, t] != ref[r, t]:
+                assert margins[r, t] < _TIE_MARGIN, (
+                    f"row {r} diverged at step {t} with a confident margin "
+                    f"{margins[r, t]:.3f} (>= {_TIE_MARGIN}): schedule bug, "
+                    f"not rounding.  got {got[r, t]} != ref {ref[r, t]}"
+                )
+                break
+            compared += 1
+    assert compared >= min_compared * b * T, (
+        f"only {compared}/{b * T} stream positions were comparable — the "
+        f"gate lost its teeth (model margins too small?)"
+    )
+
+
+def trained_tiny_quantized(elem="float8_e4m3"):
+    """The committed trained 6M checkpoint (artifacts/tiny_lm), MX-quantized.
+
+    Token-stream equality gates need CONFIDENT logit margins: a random-init
+    model's near-flat logits flip argmax on the bf16-ulp drift any re-jit
+    (microbatch boundaries, scan fusion) legally introduces, making "streams
+    equal" a coin flip rather than a correctness statement.  The trained LM
+    predicts repo text with decisive margins, so stream equality is a real
+    schedule-correctness gate."""
+    import pathlib
+    import sys as _sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    if str(root) not in _sys.path:
+        _sys.path.insert(0, str(root))
+    from tools.train_tiny_lm import CONFIG, load_corpus
+
+    from torchmx_tpu import checkpoint as ckpt
+
+    model = LlamaForCausalLM(CONFIG, rngs=nnx.Rngs(0))
+    model = ckpt.load_model(str(root / "artifacts" / "tiny_lm"), model)
+    # int8 activations: per-step activation fake-quantization AMPLIFIES
+    # cross-compilation ulp drift to a full quantization step (fp8: ~6% of
+    # the value); the int8 grid keeps that amplification ~8x smaller so the
+    # tie-aware stream gate keeps a tight margin bound.
+    qlin = QLinearConfig(
+        weights_config=MXConfig(elem), activations_config=MXConfig("int8")
+    )
+    quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
+    tokens = load_corpus()
+    return model, CONFIG, tokens
+
+
+@pytest.mark.parametrize("kv", [None, "float8_e4m3"])
+def test_pipeline_decode_token_stream_matches_sequential(kv):
+    """PP decode (round 3): cached prefill + token steps through the staged
+    pipeline — per-stage KV caches sharded over the model axis (MX formats
+    included) — must produce greedy token streams EQUAL to the sequential
+    model's (trained checkpoint: decisive margins make this a schedule gate,
+    see trained_tiny_quantized)."""
+    from torchmx_tpu.parallel import pipeline_decode_model
+
+    model, cfg, corpus = trained_tiny_quantized()
+    kv_cfg = MXConfig(kv) if kv else None
+    b, s, new_tokens, max_len = 8, 32, 8, 64
+    prompt = jnp.asarray(
+        np.stack([corpus[i * 997 : i * 997 + s] for i in range(b)]), jnp.int32
+    )
+    ref, margins = _greedy_stream_sequential(model, prompt, new_tokens, kv_cfg, max_len)
+
+    mesh = create_mesh((4, 2))  # 2 stages x 2 layers
+    fwd, params, init_caches = pipeline_decode_model(model, mesh, n_microbatches=2)
+    with mesh:
+        staged_sh = NamedSharding(mesh, P(MODEL_AXIS))
+        params["staged"] = jax.tree.map(
+            lambda a: jax.device_put(a, staged_sh), params["staged"]
+        )
+        # Checkpoint-restored leaves are committed to one device; replicate
+        # the non-staged params over the mesh explicitly.
+        repl = NamedSharding(mesh, P())
+        for k in ("embed", "norm", "head", "inv_freq"):
+            if params[k] is not None:
+                params[k] = jax.tree.map(lambda a: jax.device_put(a, repl), params[k])
+        caches = init_caches(b, max_len, kv_cfg)
+        caches = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P(MODEL_AXIS))), caches
+        )
+        fwd_j = jax.jit(fwd, donate_argnums=(1,))
+        logits, caches = fwd_j(
+            params, caches, prompt, jnp.arange(s)[None, :], jnp.zeros((b,), jnp.int32)
+        )
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        stream = [np.asarray(tok)]
+        for i in range(new_tokens - 1):
+            pos = jnp.full((b,), s + i, jnp.int32)
+            logits, caches = fwd_j(params, caches, tok[:, None], pos[:, None], pos)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            stream.append(np.asarray(tok))
+    got = np.stack(stream, axis=1)
+    assert_streams_equal_outside_ties(got, ref, margins)
+
+
+def test_pipeline_decode_composes_with_dp():
+    """PP x DP decode: microbatch rows shard over the data axis, per-stage
+    caches shard congruently; token streams stay equal."""
+    from torchmx_tpu.parallel import pipeline_decode_model
+
+    model, cfg, corpus = trained_tiny_quantized()
+    kv_cfg = MXConfig("float8_e4m3")
+    b, s, new_tokens, max_len = 8, 32, 4, 64
+    prompt = jnp.asarray(
+        np.stack([corpus[i * 1499 : i * 1499 + s] for i in range(b)]), jnp.int32
+    )
+    ref, margins = _greedy_stream_sequential(model, prompt, new_tokens, kv_cfg, max_len)
+
+    mesh = create_mesh((4, 2))  # DP=4 x PP=2
+    fwd, params, init_caches = pipeline_decode_model(
+        model, mesh, n_microbatches=2, data_axis=DATA_AXIS
+    )
+    with mesh:
+        params["staged"] = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P(MODEL_AXIS))),
+            params["staged"],
+        )
+        repl = NamedSharding(mesh, P())
+        for k in ("embed", "norm", "head", "inv_freq"):
+            if params[k] is not None:
+                params[k] = jax.tree.map(lambda a: jax.device_put(a, repl), params[k])
+        caches = init_caches(b, max_len, kv_cfg)
+        caches = jax.tree.map(
+            lambda a: jax.device_put(
+                a, NamedSharding(mesh, P(MODEL_AXIS, None, DATA_AXIS))
+            ),
+            caches,
+        )
+        fwd_j = jax.jit(fwd, donate_argnums=(1,))
+        logits, caches = fwd_j(
+            params, caches, prompt, jnp.arange(s)[None, :], jnp.zeros((b,), jnp.int32)
+        )
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        stream = [np.asarray(tok)]
+        for i in range(new_tokens - 1):
+            pos = jnp.full((b,), s + i, jnp.int32)
+            logits, caches = fwd_j(params, caches, tok[:, None], pos[:, None], pos)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            stream.append(np.asarray(tok))
+    got = np.stack(stream, axis=1)
+    assert_streams_equal_outside_ties(got, ref, margins)

@@ -168,3 +168,55 @@ def test_engine_sampling_temperature_topk():
     g = DecodeEngine(model, max_batch=1, max_len=64)
     sg = g.add(prompt)
     assert collect(g, sg, 8) == ref_tokens(model, prompt, 8)
+
+
+def test_chunked_prefill_matches_and_keeps_decode_cadence():
+    """prefill_chunk engines admit long prompts in chunks: (1) the admitted
+    stream equals the whole-prompt-prefill engine's exactly; (2) during the
+    admission, an already-active slot keeps emitting a token at EVERY
+    step() — the admission never stalls decode for more than one chunk."""
+    model = tiny_model()
+    prompt_a = [5, 9, 2, 7, 1, 3]
+    prompt_b = list(range(1, 49))  # long admission: 6 chunks of 8
+
+    ref_engine = DecodeEngine(model, max_batch=2, max_len=64)
+    sa = ref_engine.add(prompt_a)
+    ref_a_first = collect(ref_engine, sa, 3)
+    sb = ref_engine.add(prompt_b)
+    ref_mix = [ref_engine.step() for _ in range(10)]
+    ref_b = [o[sb] for o in ref_mix if sb in o]
+
+    eng = DecodeEngine(model, max_batch=2, max_len=64, prefill_chunk=8)
+    ca = eng.add(prompt_a)  # chunked too (single chunk: 6 <= 8)
+    # the admission itself takes one step() before slot A decodes
+    got_a_first = collect(eng, ca, 3)
+    assert got_a_first == ref_a_first
+    cb = eng.add(prompt_b)
+    assert eng.is_active(cb)  # reserved immediately
+    cadence = []
+    got_b = []
+    for _ in range(16):
+        out = eng.step()
+        cadence.append(ca in out)
+        if cb in out:
+            got_b.append(out[cb])
+    # Slot A emitted at every single step, including the 6 admission steps.
+    assert all(cadence), cadence
+    # Slot B's stream matches the unchunked engine's exactly.
+    assert got_b[: len(ref_b)] == ref_b[: len(got_b)] and got_b, (got_b, ref_b)
+
+
+def test_chunked_prefill_short_prompt_and_release():
+    model = tiny_model()
+    eng = DecodeEngine(model, max_batch=1, max_len=64, prefill_chunk=16)
+    s = eng.add([3, 1, 4])
+    assert eng.free_slots() == []  # reserved while pending
+    toks = collect(eng, s, 4)
+    ref = ref_tokens(model, [3, 1, 4], 4)
+    assert toks == ref
+    eng.release(s)
+    assert eng.free_slots() == [0]
+    # releasing a still-pending slot clears the queue
+    s2 = eng.add(list(range(40)))
+    eng.release(s2)
+    assert not eng._pending and eng.free_slots() == [0]

@@ -163,12 +163,19 @@ def load_checkpoint(directory: str, template):
         # Restore sharded arrays with the template's shardings (a TP-sharded
         # model restores distributed instead of onto one device).
         sharding = getattr(v, "sharding", None)
-        if sharding is not None and hasattr(sharding, "spec"):
-            abstract[k] = jax.ShapeDtypeStruct(shape, v.dtype, sharding=sharding)
-        else:
-            abstract[k] = jax.ShapeDtypeStruct(shape, v.dtype)
+        if sharding is None or not isinstance(sharding, jax.sharding.Sharding):
+            # orbax requires a concrete sharding whenever more than one
+            # device is visible (e.g. the 8-device CPU test mesh); a plain
+            # template (numpy leaves / eval_shape) restores to the default
+            # device exactly as before.
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract[k] = jax.ShapeDtypeStruct(shape, v.dtype, sharding=sharding)
     ckptr = ocp.PyTreeCheckpointer()
-    flat = ckptr.restore(os.path.join(directory, _ARRAYS_DIR), item=abstract)
+    flat = ckptr.restore(
+        os.path.join(directory, _ARRAYS_DIR),
+        item=abstract,
+        restore_args=ocp.checkpoint_utils.construct_restore_args(abstract),
+    )
     return unflatten_with_mx(template, flat, meta)
 
 

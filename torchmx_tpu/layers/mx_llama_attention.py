@@ -135,11 +135,46 @@ class MXInferenceLlamaAttention(LlamaAttention):
             attn_weights.astype(jnp.bfloat16), ac.elem_dtype, ac.block_size
         )
 
-    def _fused_cache_attention_ok(self) -> bool:
-        # With Q/K/V quantization configured, attention must run the
-        # quantize-Q/K/V path; the fused cache kernel computes hp-Q
-        # against the MX cache.
-        return not self.qconfig.is_qkv_quantization_enabled
+    def _fused_cache_attention_ok(self, cache=None) -> bool:
+        """Fused-kernel eligibility under this layer's Q/K/V config.
+
+        Without Q/K/V quantization: always (hp-Q x MX-cache attention).
+
+        WITH Q/K/V quantization (round-3 extension — the serving
+        configuration the accuracy tables recommend used to drop to eager
+        O(L^2) + materialized ``repeat_kv``): the fused path runs when the
+        cache format equals both key and value configs.  Semantics there:
+
+        * Q is fake-quantized per ``query_config`` before the kernel
+          (:meth:`_fused_q` — the quantize-then-matmul identity, exactly as
+          the eager path's Q treatment);
+        * the CACHE quantization *is* the K/V quantization — K/V are
+          quantized once at cache-write (precisely "K/V in the key/value
+          format"), where the eager path re-quantizes the dequantized cache
+          a second time.  Single quantization is at least as accurate;
+        * post-softmax attention-weights quantization does NOT apply inside
+          the online-softmax kernel — an accuracy-FAVORING deviation.  For
+          bit-faithful eager semantics (double K/V quantization +
+          attn-weights fq) set ``TORCHMX_FUSED_ATTENTION=off``.
+        """
+        if not self.qconfig.is_qkv_quantization_enabled:
+            return True
+        if cache is None or not hasattr(cache, "elem_dtype_name"):
+            return False
+        kc, vc = self.qconfig.key_config, self.qconfig.value_config
+        return (
+            kc.elem_dtype_name == cache.elem_dtype_name
+            and vc.elem_dtype_name == cache.elem_dtype_name
+            and kc.block_size == cache.block_size == vc.block_size
+        )
+
+    def _fused_q(self, q):
+        if not self.qconfig.is_qkv_quantization_enabled:
+            return q
+        qc = self.qconfig.query_config
+        # (b, h, s, -head_dim-): blocked along the Q.K^T contraction dim,
+        # same grid as the eager path's Q quantization.
+        return mx_fake_quantize(q.astype(jnp.bfloat16), qc.elem_dtype, qc.block_size)
 
     def _matmul(self, a, b):
         return mx_matmul(a, b, out_dtype=jnp.bfloat16)

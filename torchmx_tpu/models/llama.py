@@ -338,11 +338,16 @@ class LlamaAttention(nnx.Module):
     def _quantize_attn_weights(self, attn_weights):
         return attn_weights
 
-    def _fused_cache_attention_ok(self) -> bool:
+    def _fused_cache_attention_ok(self, cache=None) -> bool:
         """May this layer take the fused MX-KV-cache attention kernel?  The
-        MX subclass disables it when Q/K/V quantization is configured (the
-        fused kernel computes hp-Q x MX-cache attention)."""
+        MX subclass gates this on its Q/K/V quantization config vs the
+        cache format (see ``MXInferenceLlamaAttention``)."""
         return True
+
+    def _fused_q(self, q):
+        """Query preprocessing for the fused-kernel path (the MX subclass
+        fake-quantizes q per its query config here)."""
+        return q
 
     def _matmul(self, a, b):
         return jnp.matmul(a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
@@ -373,7 +378,7 @@ class LlamaAttention(nnx.Module):
                 isinstance(cache, MXLayerKVCache)
                 and cache_position is not None
                 and attention_mask is None
-                and self._fused_cache_attention_ok()
+                and self._fused_cache_attention_ok(cache)
             ):
                 # ``attention_mask=None`` + a cache means standard causal
                 # attention over the written prefix: the fused kernel masks
@@ -384,7 +389,7 @@ class LlamaAttention(nnx.Module):
 
                 new_cache = cache.write(k, v, cache_position)
                 fused = pallas_attention.cached_attention_any(
-                    q,
+                    self._fused_q(q),
                     new_cache,
                     cache_position,
                     cache_position + q_len,

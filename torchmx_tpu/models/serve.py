@@ -53,6 +53,14 @@ class DecodeEngine:
         kv_cache_config: optional ``MXConfig`` for an MX-quantized KV cache.
         eos_token_id: token id(s) that auto-release a slot when *generated*
             (the EOS token itself is not emitted).
+        prefill_chunk: enable CHUNKED admissions: ``add()`` only queues the
+            prompt, and each ``step()`` advances one ``prefill_chunk``-token
+            chunk of the oldest pending admission before decoding — a long
+            prompt no longer stalls active slots for its full prefill
+            latency (plus a per-bucket compile); the stall per step is
+            bounded by one chunk.  Chunked and whole-prompt admissions
+            produce identical greedy streams (chunked causal attention over
+            the cache prefix is the same math; tested).
         temperature: 0.0 (default) decodes greedily; > 0 samples from the
             temperature-scaled distribution.
         top_k: with sampling, restrict to the k highest-probability tokens
@@ -68,6 +76,7 @@ class DecodeEngine:
         *,
         kv_cache_config=None,
         prefill_buckets: Sequence[int] = DEFAULT_BUCKETS,
+        prefill_chunk: Optional[int] = None,
         eos_token_id=None,
         temperature: float = 0.0,
         top_k: int = 0,
@@ -106,6 +115,10 @@ class DecodeEngine:
         #: why a slot auto-released: "eos" or "cache_full"; cleared by add().
         self.finished_reason: Dict[int, str] = {}
         self._next_token = np.zeros((max_batch,), np.int32)
+        self.prefill_chunk = prefill_chunk
+        self._kv_cache_config = kv_cache_config
+        # Chunked admissions in flight: slot -> {"ids", "done", "caches"}.
+        self._pending: Dict[int, dict] = {}
         # Slot's cache is full but its final computed token is still
         # unemitted: one more step() emits it, then the slot evicts.
         self._draining = np.zeros((max_batch,), bool)
@@ -193,7 +206,25 @@ class DecodeEngine:
             nxt = _select_token(logits[:, -1, :], key, temp, topk)
             return nxt, new_caches
 
+        def prefill_chunk_fn(state, slot_caches, ids, offset, last_idx, key):
+            """One chunk of a chunked admission: positions offset..offset+w
+            against the slot's partially-filled caches (donated)."""
+            m = nnx.merge(graphdef, state)
+            w = ids.shape[1]
+            logits, new_caches = m(
+                ids,
+                attention_mask=None,
+                position_ids=offset + jnp.arange(w)[None, :],
+                caches=slot_caches,
+                cache_position=offset,
+            )
+            last = jnp.take_along_axis(
+                logits, last_idx[None, None, None], axis=1
+            )[:, 0, :]
+            return _select_token(last, key, temp, topk), new_caches
+
         self._prefill_one = jax.jit(prefill_one)
+        self._prefill_chunk_fn = jax.jit(prefill_chunk_fn, donate_argnums=(1,))
         self._scatter_slot = jax.jit(scatter_slot, donate_argnums=(0,))
         self._decode_step = jax.jit(decode_step, donate_argnums=(1,))
 
@@ -222,12 +253,32 @@ class DecodeEngine:
         return jax.random.fold_in(self._base_key, self._step_count)
 
     def add(self, prompt_ids: Sequence[int]) -> int:
-        """Prefill ``prompt_ids`` into a free slot; returns the slot id."""
+        """Admit ``prompt_ids`` into a free slot; returns the slot id.
+
+        Without ``prefill_chunk`` the whole prompt prefills synchronously
+        here.  With it, the prompt is queued and ``step()`` advances one
+        chunk per call — the slot starts emitting once its last chunk lands.
+        """
         free = self.free_slots()
         if not free:
             raise RuntimeError("no free slots; release() one first")
         slot = free[0]
         n = len(prompt_ids)
+        if n > self.max_len:
+            raise ValueError(
+                f"prompt length {n} exceeds the cache length {self.max_len}"
+            )
+        if self.prefill_chunk is not None:
+            self._pending[slot] = {
+                "ids": np.asarray(list(prompt_ids), np.int32),
+                "done": 0,
+                "caches": self.model.init_cache(
+                    1, self.max_len, self._kv_cache_config
+                ),
+            }
+            self.active[slot] = True  # reserved; emits after the last chunk
+            self.finished_reason.pop(slot, None)
+            return slot
         width = self._bucket(n)
         ids = np.zeros((1, width), np.int32)
         ids[0, :n] = prompt_ids
@@ -258,7 +309,12 @@ class DecodeEngine:
         ``finished_reason`` to distinguish eviction from an explicit
         ``release()``.
         """
-        if not self.active.any():
+        if self._pending:
+            self._advance_pending_chunk()
+        decoding = self.active & ~np.isin(
+            np.arange(self.max_batch), list(self._pending)
+        )
+        if not decoding.any():
             return {}
         nxt, self._caches = self._decode_step(
             self._state,
@@ -270,7 +326,7 @@ class DecodeEngine:
         nxt = np.asarray(nxt)
         out: Dict[int, int] = {}
         for i in range(self.max_batch):
-            if not self.active[i]:
+            if not self.active[i] or i in self._pending:
                 continue
             if self._draining[i]:
                 # Final token (computed last step, needing no further cache
@@ -292,10 +348,38 @@ class DecodeEngine:
                 self._draining[i] = True
         return out
 
+    def _advance_pending_chunk(self) -> None:
+        """Run ONE chunk of the oldest pending admission (bounded stall)."""
+        slot = next(iter(self._pending))
+        p = self._pending[slot]
+        chunk = self.prefill_chunk
+        n = len(p["ids"])
+        done = p["done"]
+        take = min(chunk, n - done)
+        ids = np.zeros((1, chunk), np.int32)
+        ids[0, :take] = p["ids"][done : done + take]
+        token, p["caches"] = self._prefill_chunk_fn(
+            self._state,
+            p["caches"],
+            jnp.asarray(ids),
+            jnp.asarray(done, jnp.int32),
+            jnp.asarray(take - 1, jnp.int32),
+            self._next_key(),
+        )
+        p["done"] = done + take
+        if p["done"] >= n:
+            del self._pending[slot]
+            self._caches = self._scatter_slot(self._caches, p["caches"], slot)
+            self._next_token[slot] = int(token[0])
+            self.pos[slot] = n
+            if int(token[0]) in self.eos_token_ids:
+                self._evict(slot, "eos")
+
     def _deactivate(self, slot: int) -> None:
         self.active[slot] = False
         self.pos[slot] = 0
         self._draining[slot] = False
+        self._pending.pop(slot, None)
 
     def _evict(self, slot: int, reason: str) -> None:
         self._deactivate(slot)

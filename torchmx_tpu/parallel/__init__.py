@@ -10,7 +10,11 @@ move packed uint8 bytes — 4-8x cheaper than bf16.
 """
 
 from . import multihost  # noqa: F401
-from .pipeline import pipeline_apply, pipeline_model  # noqa: F401
+from .pipeline import (  # noqa: F401
+    pipeline_apply,
+    pipeline_decode_model,
+    pipeline_model,
+)
 from .mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,

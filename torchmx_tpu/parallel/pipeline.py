@@ -109,6 +109,189 @@ def pipeline_apply(
     return out[-1].reshape(b, *x.shape[1:])
 
 
+def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
+                          axis: str = MODEL_AXIS, data_axis: str = None):
+    """Cached decode (and cached prefill) through the staged pipeline.
+
+    Round-3 extension of :func:`pipeline_model`, which covers only
+    non-cached forwards: here each stage owns the **KV caches of its own
+    layers** (leaves ``(n_stages, L/S, batch, ...)`` sharded over ``axis`` —
+    MX cache formats included, they are ordinary pytrees), and every token
+    step runs the GPipe rotation: microbatches of batch rows hand their
+    activations to the next stage over ICI ``ppermute`` while each stage
+    scans its layers locally, reading and writing only its cache shard.
+    Composes with DP via ``data_axis`` (batch rows shard within each
+    microbatch, caches shard congruently).
+
+    Returns ``(fwd, params, init_caches)``:
+
+    * ``fwd(params, caches, input_ids, position_ids, cache_position) ->
+      (logits, new_caches)`` — same contract as the model's ``__call__``
+      with caches: pass the prompt for a cached prefill (s > 1), then one
+      token per row with per-row ``cache_position`` for decode steps.  Jit
+      with the mesh active and donate ``caches``.
+    * ``init_caches(batch, max_len, kv_cache_config=None)`` — stage-stacked
+      caches; shard leaves ``P(axis, None, data_axis)``.
+
+    Greedy token streams are bit-equal to the sequential model's (tested on
+    the 8-device CPU mesh; the per-layer math is identical, only the
+    stage/microbatch schedule differs).
+    """
+    from flax import nnx
+
+    from ..models.llama import rope_cos_sin
+    from ..models.scan import stack_decoder_layers
+
+    cfg = model.config
+    n_stages = mesh.shape[axis]
+    M = n_microbatches
+    L = cfg.num_hidden_layers
+    assert L % n_stages == 0, f"{L} layers not divisible into {n_stages} stages"
+    layer_graphdef, stacked = stack_decoder_layers(model.model.layers)
+    staged = jax.tree.map(
+        lambda a: a.reshape(n_stages, L // n_stages, *a.shape[1:]), stacked
+    )
+
+    embed_gd, embed_state = nnx.split(model.model.embed_tokens)
+    norm_gd, norm_state = nnx.split(model.model.norm)
+    if model.lm_head is not None:
+        head_gd, head_state = nnx.split(model.lm_head)
+    else:
+        head_gd, head_state = None, None
+
+    params = dict(
+        staged=staged,
+        embed=embed_state,
+        norm=norm_state,
+        head=head_state,
+        inv_freq=model.model.inv_freq.get_value(),
+    )
+
+    def init_caches(batch: int, max_len: int, kv_cache_config=None):
+        from ..models.llama import LayerKVCache, MXLayerKVCache
+
+        if kv_cache_config is None:
+            one = LayerKVCache.create(
+                batch, cfg.num_key_value_heads, max_len, cfg.head_dim
+            )
+        else:
+            one = MXLayerKVCache.create(
+                batch,
+                cfg.num_key_value_heads,
+                max_len,
+                cfg.head_dim,
+                kv_cache_config.elem_dtype_name,
+                kv_cache_config.block_size,
+            )
+        return jax.tree.map(
+            lambda a: jnp.zeros((n_stages, L // n_stages) + a.shape, a.dtype), one
+        )
+
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    param_specs = jax.tree.map(lambda _: P(axis), staged)
+    row = data_axis  # None under pure PP
+    cache_specs_leaf = P(axis, None, row)
+
+    def device_fn(staged_params, caches, xs, cosr, sinr, cpr):
+        sid = jax.lax.axis_index(axis)
+        my_params = jax.tree.map(lambda p: p[0], staged_params)  # (L/S, ...)
+        mb_loc = xs.shape[1]
+
+        def stage_apply(x, mcaches, cos_m, sin_m, cp_m):
+            def layer_body(x, inp2):
+                lstate, lcache = inp2
+                layer = nnx.merge(layer_graphdef, lstate)
+                x, nc = layer(
+                    x, cos=cos_m, sin=sin_m, attention_mask=None,
+                    cache=lcache, cache_position=cp_m,
+                )
+                return x, nc
+
+            return jax.lax.scan(layer_body, x, (my_params, mcaches))
+
+        n_steps = M + n_stages - 1
+
+        def body(carry, t):
+            prev_out, buf, caches = carry
+            recv = jax.lax.ppermute(prev_out, axis, perm)
+            m_idx = t - sid
+            m = jnp.clip(m_idx, 0, M - 1)
+            valid = (m_idx >= 0) & (m_idx < M)
+            inp = jnp.where(sid == 0, xs[jnp.clip(t, 0, M - 1)], recv)
+            mcaches = jax.tree.map(
+                lambda c: jax.lax.dynamic_slice_in_dim(
+                    c[0], m * mb_loc, mb_loc, axis=1
+                ),
+                caches,
+            )
+            out, new_mc = stage_apply(inp, mcaches, cosr[m], sinr[m], cpr[m])
+            # Suppress invalid-step writes on the SLICE (cheap), then write
+            # unconditionally — no full-cache select per substep.
+            new_mc = jax.tree.map(
+                lambda n, o: jnp.where(valid, n.astype(o.dtype), o), new_mc, mcaches
+            )
+            caches = jax.tree.map(
+                lambda c, n: jax.lax.dynamic_update_slice(
+                    c, n[None], (0, 0, m * mb_loc) + (0,) * (c.ndim - 3)
+                ),
+                caches,
+                new_mc,
+            )
+            upd = jax.lax.dynamic_update_slice(
+                buf, out[None].astype(buf.dtype),
+                (m,) + (0,) * out.ndim,
+            )
+            buf = jnp.where(valid, upd, buf)
+            return (out, buf, caches), None
+
+        zero = jax.lax.pcast(jnp.zeros_like(xs[0]), (axis,), to="varying")
+        buf0 = jax.lax.pcast(jnp.zeros_like(xs), (axis,), to="varying")
+        (_, buf, caches), _ = jax.lax.scan(
+            body, (zero, buf0, caches), jnp.arange(n_steps)
+        )
+        return buf[None], caches
+
+    def fwd(params, caches, input_ids, position_ids, cache_position):
+        b, s = input_ids.shape
+        assert b % M == 0, (b, M)
+        mb = b // M
+        embed = nnx.merge(embed_gd, params["embed"])
+        x = embed(input_ids)
+        cos, sin = rope_cos_sin(params["inv_freq"], position_ids, x.dtype)
+        # position_ids may broadcast over the batch ((1, s)): expand so the
+        # RoPE tables split into microbatches alongside the activations.
+        cos = jnp.broadcast_to(cos, (b,) + cos.shape[1:])
+        sin = jnp.broadcast_to(sin, (b,) + sin.shape[1:])
+        xs = x.reshape(M, mb, s, -1)
+        cosr = cos.reshape(M, mb, *cos.shape[1:])
+        sinr = sin.reshape(M, mb, *sin.shape[1:])
+        cpr = jnp.broadcast_to(
+            jnp.asarray(cache_position, jnp.int32), (b,)
+        ).reshape(M, mb)
+        mb_spec = P(None, row)
+        buf, new_caches = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(
+                param_specs,
+                jax.tree.map(lambda _: cache_specs_leaf, caches),
+                P(None, row),
+                mb_spec,
+                mb_spec,
+                mb_spec,
+            ),
+            out_specs=(P(axis, None, row), jax.tree.map(lambda _: cache_specs_leaf, caches)),
+        )(params["staged"], caches, xs, cosr, sinr, cpr)
+        hidden = nnx.merge(norm_gd, params["norm"])(buf[-1].reshape(b, s, -1))
+        if head_state is None:
+            logits = hidden @ embed.weight.get_value().T
+        else:
+            logits = nnx.merge(head_gd, params["head"])(hidden)
+        return logits, new_caches
+
+    return fwd, params, init_caches
+
+
 def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_AXIS,
                    data_axis: str = None):
     """Stage a ``LlamaForCausalLM``'s decoder layers over ``axis`` (GPipe).
