@@ -87,18 +87,16 @@ def main():
 
         return _timed_loop(step, qd, kc, vc)
 
+    fmts = os.environ.get("LAB_FMTS", "int8,float8_e4m3,float4_e2m1,bf16").split(",")
+    lts = [int(v) for v in os.environ.get("LAB_LTS", "512,1024,2048").split(",")]
     base = fused_trial("int8", 512)
-    for ename in ("int8", "float8_e4m3", "float4_e2m1"):
-        for lt in (512, 1024, 2048):
+    for ename in fmts:
+        for lt in lts:
             if L % lt:
                 continue
-            t, tb = _paired(fused_trial(ename, lt), base, trials=4)
+            trial = bf16_trial(lt) if ename == "bf16" else fused_trial(ename, lt)
+            t, tb = _paired(trial, base, trials=4)
             print(f"{ename:14s} lt={lt:5d}: {t*1e3:.3f} ms  (int8/512 same-run {tb*1e3:.3f})", flush=True)
-    for lt in (512, 1024, 2048):
-        if L % lt:
-            continue
-        t, tb = _paired(bf16_trial(lt), base, trials=4)
-        print(f"{'bf16-cache':14s} lt={lt:5d}: {t*1e3:.3f} ms  (int8/512 same-run {tb*1e3:.3f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -84,8 +84,17 @@ def main():
             model, val, seq_len=SEQ, batch_size=8, kv_cache_config=kv_cfg
         )
         picks = evaluate.score_choices(model, ctxs, choices)
-        acc = float(np.mean(np.asarray(picks) == 0))
-        return ppl, acc
+        correct = np.asarray(picks) == 0
+        acc = float(np.mean(correct))
+        # Bootstrap 95% CI over the N_CHOICE items: quantifies how much of a
+        # config-to-config accuracy delta is item-sampling noise (~+-3.5pp
+        # half-width at 200 items and acc ~0.5) — the resolution limit of
+        # this column.
+        bs = np.random.default_rng(7).choice(
+            correct, size=(2000, correct.size), replace=True
+        ).mean(axis=1)
+        ci = float((np.percentile(bs, 97.5) - np.percentile(bs, 2.5)) / 2)
+        return ppl, acc, ci
 
     fp8 = qlin("float8_e4m3", "float8_e4m3")
     fp6w_fp8a = qlin("float6_e3m2", "float8_e4m3")
@@ -132,14 +141,14 @@ def main():
             quantize_llm_(model, qattn, qmlp)
         if kv is not None and name == "bf16 baseline":
             raise AssertionError
-        ppl, acc = evaluate_model(model, kv_cfg=kv)
+        ppl, acc, ci = evaluate_model(model, kv_cfg=kv)
         if base_ppl is None:
             base_ppl, base_acc = ppl, acc
-            print(f"| {name} | {ppl:.3f} | — | {acc*100:.1f} % | — |")
+            print(f"| {name} | {ppl:.3f} | — | {acc*100:.1f} ± {ci*100:.1f} % | — |")
         else:
             print(
                 f"| {name} | {ppl:.3f} | {ppl-base_ppl:+.3f} | "
-                f"{acc*100:.1f} % | {(acc-base_acc)*100:+.1f} |"
+                f"{acc*100:.1f} ± {ci*100:.1f} % | {(acc-base_acc)*100:+.1f} |"
             )
 
 

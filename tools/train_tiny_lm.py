@@ -66,6 +66,23 @@ PRESETS = {
             rope_theta=10000.0,
         ),
     ),
+    # ~62M params (round-3 third scale): extends the sensitivity-vs-scale
+    # study to a 10x span (6M -> 18M -> 62M).  Retrain deterministically:
+    # ``python tools/train_tiny_lm.py 1200 medium`` (~10-15 min on one v5e).
+    "medium": (
+        "lm_medium",
+        LlamaConfig(
+            vocab_size=256,
+            hidden_size=768,
+            intermediate_size=2304,
+            num_hidden_layers=8,
+            num_attention_heads=6,
+            num_key_value_heads=6,
+            head_dim=128,
+            max_position_embeddings=512,
+            rope_theta=10000.0,
+        ),
+    ),
 }
 
 

@@ -94,7 +94,13 @@ def _decode_tile(codes_u8, scale_u8, elem: dtypes.DType, d: int):
 
 def _decode_fp4_halves(bytes_u8, scale_u8, d: int):
     """(Lt, d/2) halves-packed fp4 bytes -> two (Lt, d/2) bf16 planes
-    (elements [0, d/2) and [d/2, d)), each against its own scale rows."""
+    (elements [0, d/2) and [d/2, d)), each against its own scale rows.
+
+    Plane-wise decode: the matmul kernel's SWAR variant LOSES here (0.714 ms
+    vs 0.632 at L=8192 lt=2048) because its packed scale/threshold words are
+    free only when built on small sublane-block arrays — with the attention
+    cache's lane-dim blocks they cost ~9 extra VPU ops per byte on the
+    full-size tile, more than SWAR saves."""
     b = bytes_u8.astype(jnp.int32)
     half = d // 2
     nb2 = half // BLOCK
@@ -301,7 +307,15 @@ def _use_fused() -> bool:
 
 
 def _pick_lt(L: int) -> Optional[int]:
-    return next((c for c in (512, 256, 128) if L % c == 0), None)
+    """KV tile length: as large as the cache allows, scaled down for short
+    caches.  Fewer grid invocations dominate decode latency (measured, int8
+    cache L=8192 b=4: lt 512 -> 0.405 ms, 1024 -> 0.337, 2048 -> 0.308;
+    the bf16-cache variant 0.343 -> 0.189), at the cost of coarser
+    masked-tile skipping when the visible prefix is much shorter than the
+    cache — hence the L-proportional cap (waste is bounded by one tile).
+    """
+    cap = 2048 if L >= 8192 else (1024 if L >= 2048 else 512)
+    return next((c for c in (cap, 1024, 512, 256, 128) if c <= cap and L % c == 0), None)
 
 
 def _pick_sqt(sq: int, g: int) -> Optional[int]:

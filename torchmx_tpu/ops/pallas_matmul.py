@@ -181,11 +181,24 @@ def decode_fp4_swar_planes(b, sa, sb):
     subtract never borrows: alive halves have ``biased >= 0x140``.
     """
 
-    def thr(se):
-        return jnp.where(se >= 2, 1, jnp.where(se == 1, 2, 4))
-
     swfp = _expand_scale((sa << 23) | (sb << 7), BLOCK)
-    thrp = _expand_scale((thr(sa) << 16) | thr(sb), BLOCK)
+    thrp = _expand_scale((_fp4_thr(sa) << 16) | _fp4_thr(sb), BLOCK)
+    return _fp4_swar_core(b, swfp, thrp)
+
+
+def _fp4_thr(se):
+    """Smallest ALIVE fp4 magnitude code per scale: below it the biased
+    field is <= 0 (flush-to-zero or garbage); at and above it the field is
+    a valid positive bf16 (se >= 2 -> 1, se == 1 -> 2, se == 0 -> 4)."""
+    return jnp.where(se >= 2, 1, jnp.where(se == 1, 2, 4))
+
+
+def _fp4_swar_core(b, swfp, thrp):
+    """SWAR fp4 decode core on PRE-EXPANDED packed words (one per byte):
+    ``swfp = (sa << 23) | (sb << 7)``, ``thrp = (thr_a << 16) | thr_b``.
+    Callers with sublane-dim blocks expand via ``_expand_scale`` (free);
+    the attention kernel's lane-dim blocks expand via its MXU-dot broadcast.
+    """
     u = ((b << 12) | b) & 0x000F000F
     m = u & 0x00070007
     sgn = (u & 0x00080008) << 12
