@@ -37,10 +37,10 @@ LLAMA3_8B = dict(
 )
 
 
-def build_zeros_quantized(cfg) -> LlamaForCausalLM:
+def build_zeros_quantized(cfg, act_name: str = "float8_e4m3") -> LlamaForCausalLM:
     qlin = QLinearConfig(
         weights_config=MXConfig("float4_e2m1"),
-        activations_config=MXConfig("float8_e4m3"),
+        activations_config=MXConfig(act_name),
     )
 
     def build():
@@ -67,10 +67,11 @@ def main():
     new_tokens = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     kv_name = sys.argv[4] if len(sys.argv) > 4 else "float8_e4m3"
+    act_name = sys.argv[5] if len(sys.argv) > 5 else "float8_e4m3"
     cfg = LlamaConfig(max_position_embeddings=prompt_len + new_tokens, **LLAMA3_8B)
 
     t0 = time.perf_counter()
-    model = build_zeros_quantized(cfg)
+    model = build_zeros_quantized(cfg, act_name)
     _, state = nnx.split(model)
     nbytes = sum(
         x.nbytes for x in jax.tree_util.tree_leaves(state) if hasattr(x, "nbytes")
@@ -101,7 +102,9 @@ def main():
     print(
         f"steady state: {batch}x{new_tokens} tokens in {dt:.2f}s = "
         f"{batch * new_tokens / dt:.1f} tok/s "
-        f"(prompt {prompt_len}, MXFP4-w/MXFP8-a, {kv_name} MX KV cache, one v5e chip)"
+        f"(prompt {prompt_len}, MXFP4-w/{act_name}-a"
+        + (" int8-domain" if os.environ.get("TORCHMX_INT8_DOMAIN") == "1" else "")
+        + f", {kv_name} MX KV cache, one v5e chip)"
     )
 
 
