@@ -38,11 +38,11 @@ def ref_attention(q, cache, q_off, kv_len, sm_scale, hq):
     return jnp.matmul(p, v, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
 
-def make_cache(key, b, hkv, L, d, elem):
+def make_cache(key, b, hkv, L, d, elem, layout="seq"):
     k1, k2 = jax.random.split(jax.random.PRNGKey(key))
     k = (jax.random.normal(k1, (b, hkv, L, d)) * 0.3).astype(jnp.bfloat16)
     v = (jax.random.normal(k2, (b, hkv, L, d)) * 0.3).astype(jnp.bfloat16)
-    cache = MXLayerKVCache.create(b, hkv, L, d, elem, 32)
+    cache = MXLayerKVCache.create(b, hkv, L, d, elem, 32, layout=layout)
     return cache.write(k, v, 0)
 
 
@@ -102,6 +102,165 @@ def test_fused_gqa_grouping():
     out = run_both(q, cache, L - 1, L, hq)
     o = np.asarray(out, np.float32)
     assert not np.allclose(o[0, 0], o[0, 1])
+
+
+@pytest.mark.parametrize("hq,hkv", [(2, 2), (4, 2), (8, 2)])
+def test_chunkdot_int8_decode(hq, hkv):
+    """int8 decode routes through the chunk-dot kernel (scales factored out
+    of the dots); it must engage for sq=1 int8 and match both the eager
+    reference (run_both) and the general tiled kernel closely."""
+    b, d, L = 2, 128, 256
+    assert pa.use_chunkdot("int8", 1, d)
+    assert not pa.use_chunkdot("int8", 4, d)
+    assert not pa.use_chunkdot("float8_e4m3", 1, d)
+
+    q = (jax.random.normal(jax.random.PRNGKey(2), (b, hq, 1, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    cache = make_cache(9, b, hkv, L, d, "int8")
+    out = run_both(q, cache, L - 1, L, hq)
+
+    # Same inputs through the general tiled kernel: the two kernels differ
+    # only in summation order (chunked partial sums vs full-d dots).
+    g = hq // hkv
+    q4 = (
+        q.reshape(b, hkv, g, 1, d).transpose(0, 1, 3, 2, 4).reshape(b, hkv, g, d)
+    )
+    tiled = pa._mx_cached_attention(
+        q4, cache.k_data, cache.k_scale, cache.v_data, cache.v_scale,
+        jnp.full((b,), L - 1, jnp.int32), jnp.full((b,), L, jnp.int32),
+        "int8", 1.0 / math.sqrt(d), 256, g, 1,
+    ).reshape(b, hkv, 1, g, d).transpose(0, 1, 3, 2, 4).reshape(b, hq, 1, d)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(tiled, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+
+
+def test_chunkdot_respects_prefix_mask():
+    """Partial visible prefix (kv_len < L) must mask identically to eager."""
+    b, hq, hkv, d, L = 1, 4, 2, 128, 256
+    q = (jax.random.normal(jax.random.PRNGKey(3), (b, hq, 1, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    cache = make_cache(13, b, hkv, L, d, "int8")
+    run_both(q, cache, 99, 100, hq)
+
+
+@pytest.mark.parametrize("elem", ["float8_e4m3", "float6_e2m3", "float4_e2m1", "int8"])
+@pytest.mark.parametrize("sq,q_off", [(1, 99), (4, 96)])
+def test_dmajor_matches_reference(elem, sq, q_off):
+    """d-major cache layout: fused kernel vs eager over the same cache, and
+    bit-equal element decode vs the seq layout (same codes, transposed)."""
+    b, hq, hkv, d, L = 2, 4, 2, 128, 256
+    q = (jax.random.normal(jax.random.PRNGKey(7), (b, hq, sq, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    cache = make_cache(3, b, hkv, L, d, elem, layout="dmajor")
+    out = run_both(q, cache, q_off, q_off + sq, hq)
+
+    seq_cache = make_cache(3, b, hkv, L, d, elem, layout="seq")
+    # Identical quantization in both layouts.
+    k_dm, v_dm = cache.dequantize()
+    k_sq, v_sq = seq_cache.dequantize()
+    np.testing.assert_array_equal(np.asarray(k_dm), np.asarray(k_sq))
+    np.testing.assert_array_equal(np.asarray(v_dm), np.asarray(v_sq))
+    # Same fused result up to dot-order fp32 rounding.
+    out_seq = run_both(q, seq_cache, q_off, q_off + sq, hq)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(out_seq, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+
+
+def test_dmajor_prefill_tiling_and_offset():
+    """d-major prefill: multi-q-tile and chunked-prefill offsets."""
+    b, hq, hkv, d, L = 1, 4, 2, 128, 512
+    sq = 256
+    q = (jax.random.normal(jax.random.PRNGKey(5), (b, hq, sq, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    cache = make_cache(11, b, hkv, L, d, "float8_e4m3", layout="dmajor")
+    run_both(q, cache, 0, sq, hq)
+    cache2 = make_cache(12, 1, 2, 256, d, "float8_e4m3", layout="dmajor")
+    q2 = (jax.random.normal(jax.random.PRNGKey(6), (1, 2, 64, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    run_both(q2, cache2, 128, 192, 2)
+
+
+def test_dmajor_incremental_write_roundtrip():
+    """Decode-step writes along the lane dim land at the right positions."""
+    b, hkv, L, d = 1, 2, 128, 128
+    k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+    k = (jax.random.normal(k1, (b, hkv, 4, d)) * 0.3).astype(jnp.bfloat16)
+    v = (jax.random.normal(k2, (b, hkv, 4, d)) * 0.3).astype(jnp.bfloat16)
+    dm = MXLayerKVCache.create(b, hkv, L, d, "int8", 32, layout="dmajor")
+    sq_ = MXLayerKVCache.create(b, hkv, L, d, "int8", 32, layout="seq")
+    for i in range(4):
+        dm = dm.write(k[:, :, i : i + 1], v[:, :, i : i + 1], i)
+        sq_ = sq_.write(k[:, :, i : i + 1], v[:, :, i : i + 1], i)
+    np.testing.assert_array_equal(
+        np.asarray(dm.dequantize()[0]), np.asarray(sq_.dequantize()[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dm.dequantize()[1]), np.asarray(sq_.dequantize()[1])
+    )
+    assert dm.max_len == L and sq_.max_len == L
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 2), (8, 2)])
+def test_int8dot_decode_close_to_reference(hq, hkv):
+    """All-int8 MXU-dot decode (opt-in): q + attention weights requantize to
+    int8 in-kernel, so the gate is SQNR vs the exact-decode path, not
+    elementwise equality."""
+    b, d, L = 2, 128, 256
+    q = (jax.random.normal(jax.random.PRNGKey(2), (b, hq, 1, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    cache = make_cache(9, b, hkv, L, d, "int8", layout="dmajor")
+    assert not pa.use_int8dot(cache, 1, d)  # off by default
+    old_flag = env.TORCHMX_ATTN_INT8_DOT
+    env.TORCHMX_ATTN_INT8_DOT = "1"
+    try:
+        assert pa.use_int8dot(cache, 1, d)
+        assert not pa.use_int8dot(make_cache(9, b, hkv, L, d, "int8"), 1, d)  # seq
+        old = _force_fused()
+        try:
+            out = pa.cached_attention_any(
+                q, cache, L - 1, L, 1.0 / math.sqrt(d)
+            )
+        finally:
+            env.TORCHMX_FUSED_ATTENTION = old
+    finally:
+        env.TORCHMX_ATTN_INT8_DOT = old_flag
+    assert out is not None
+    ref = ref_attention(q, cache, L - 1, L, 1.0 / math.sqrt(d), hq)
+    o = np.asarray(out, np.float64)
+    r = np.asarray(ref, np.float64)
+    err = o - r
+    sqnr = 10 * np.log10(np.sum(r * r) / max(np.sum(err * err), 1e-30))
+    assert sqnr > 30.0, f"int8dot SQNR {sqnr:.1f} dB"
+
+
+def test_int8dot_respects_prefix_mask():
+    b, hq, hkv, d, L = 1, 4, 2, 128, 256
+    q = (jax.random.normal(jax.random.PRNGKey(3), (b, hq, 1, d)) * 0.3).astype(
+        jnp.bfloat16
+    )
+    cache = make_cache(13, b, hkv, L, d, "int8", layout="dmajor")
+    old_flag = env.TORCHMX_ATTN_INT8_DOT
+    env.TORCHMX_ATTN_INT8_DOT = "1"
+    old = _force_fused()
+    try:
+        out = pa.cached_attention_any(q, cache, 99, 100, 1.0 / math.sqrt(d))
+    finally:
+        env.TORCHMX_FUSED_ATTENTION = old
+        env.TORCHMX_ATTN_INT8_DOT = old_flag
+    ref = ref_attention(q, cache, 99, 100, 1.0 / math.sqrt(d), hq)
+    o, r = np.asarray(out, np.float64), np.asarray(ref, np.float64)
+    sqnr = 10 * np.log10(np.sum(r * r) / max(np.sum((o - r) ** 2), 1e-30))
+    assert sqnr > 30.0, f"masked int8dot SQNR {sqnr:.1f} dB"
 
 
 def test_fused_eligibility_gates():

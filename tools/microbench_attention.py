@@ -50,12 +50,15 @@ def main():
 
     elem = sys.argv[1] if len(sys.argv) > 1 else "float8_e4m3"
     sq = int(sys.argv[2]) if len(sys.argv) > 2 else 1  # >1 = prefill shape
+    layout = sys.argv[3] if len(sys.argv) > 3 else "seq"  # or "dmajor"
 
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((B, HQ, sq, D)) * 0.3, jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
-    mx_cache = MXLayerKVCache.create(B, HKV, L, D, elem, 32).write(k, v, 0)
+    mx_cache = MXLayerKVCache.create(B, HKV, L, D, elem, 32, layout=layout).write(
+        k, v, 0
+    )
     hp_cache = LayerKVCache(k=k, v=v)
     mask = jnp.zeros((1, 1, 1, L), jnp.float32)
     q_off, kv_len = L - sq, L
@@ -63,7 +66,7 @@ def main():
     def fused_step(q, kd, ks, vd, vs):
         cache = MXLayerKVCache(
             k_data=kd, k_scale=ks, v_data=vd, v_scale=vs,
-            elem_dtype_name=elem, block_size=32,
+            elem_dtype_name=elem, block_size=32, layout=layout,
         )
         out = pa.cached_attention_any(q, cache, q_off, kv_len, SCALE)
         assert out is not None
@@ -72,7 +75,7 @@ def main():
     def dequant_step(q, kd, ks, vd, vs):
         cache = MXLayerKVCache(
             k_data=kd, k_scale=ks, v_data=vd, v_scale=vs,
-            elem_dtype_name=elem, block_size=32,
+            elem_dtype_name=elem, block_size=32, layout=layout,
         )
         kf, vf = cache.dequantize()
         kf = repeat_kv(kf, HQ // HKV)

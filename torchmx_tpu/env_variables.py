@@ -42,6 +42,23 @@ TORCHMX_FUSED_ATTENTION = os.environ.get("TORCHMX_FUSED_ATTENTION", "auto")
 # (the sub-byte unpack is VPU-bound there; see docs/results.md).
 TORCHMX_FP6_PACK = os.environ.get("TORCHMX_FP6_PACK", "1")
 
+# "1": decode attention over an int8 d-major cache runs the ALL-int8
+# MXU-dot kernel — q MXINT8-quantized per 32-block (38 dB) and the softmax
+# weights requantized to 8-bit fixed point per (chunk, row) (~42 dB), so
+# K/V codes feed the MXU raw with zero per-element decode work.  Changes
+# numerics slightly (less than the reference's own fp8/fp6 QKV-quant
+# configs); default "0".
+TORCHMX_ATTN_INT8_DOT = os.environ.get("TORCHMX_ATTN_INT8_DOT", "0")
+
+# MX KV cache storage layout: "seq" (reference orientation — (b, h, L, d)
+# with MX blocks on the LANE dim, decoded via the MXU-dot scale broadcast)
+# or "dmajor" ((b, h, d, L): head_dim on SUBLANES, so the per-32-block scale
+# broadcast is a free sublane ``_expand_scale`` and the attention dots need
+# no in-kernel transposes — the same layout lesson the matmul kernels
+# embody).  Applies to caches built by ``MXLayerKVCache.create`` without an
+# explicit ``layout=``.
+TORCHMX_KV_LAYOUT = os.environ.get("TORCHMX_KV_LAYOUT", "seq")
+
 # "1": MXInferenceLinear re-codes eligible fp4 / fp6_e2m3 weights into the
 # EXACT int8 domain (``MXArray.to_int8_domain``: same values, one int8 code
 # per element) so decode-size matmuls ride the native int8-MXU-dot kernel

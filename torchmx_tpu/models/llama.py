@@ -152,6 +152,16 @@ def _seq_scatter(buf: Array, new: Array, pos) -> Array:
     )(buf, new, pos)
 
 
+def _seq_scatter_last(buf: Array, new: Array, pos) -> Array:
+    """Write ``new`` (b, h, x, s) into ``buf`` (b, h, x, L) at sequence
+    position ``pos`` along the LAST dim (d-major cache layout)."""
+    if jnp.ndim(pos) == 0:
+        return jax.lax.dynamic_update_slice(buf, new, (0, 0, 0, pos))
+    return jax.vmap(
+        lambda b, n, p: jax.lax.dynamic_update_slice(b, n, (0, 0, p))
+    )(buf, new, pos)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LayerKVCache:
@@ -186,14 +196,26 @@ class MXLayerKVCache:
     "halves" layout along head_dim — byte ``l`` holds elements
     ``(l, l + d/2)`` — so the fused kernel reads each nibble plane as a
     contiguous half (no strided lane access).
+
+    Two storage layouts (``layout``; env default ``TORCHMX_KV_LAYOUT``):
+
+    * ``"seq"`` — (b, kv, L, d): the reference orientation.  MX blocks land
+      on the LANE dim, so the fused kernel broadcasts scales via an MXU dot
+      and transposes K/V tiles in-kernel.
+    * ``"dmajor"`` — (b, kv, d, L), scales (b, kv, d//block, L): head_dim on
+      SUBLANES.  The per-32-block scale broadcast becomes a free sublane
+      ``_expand_scale`` and the attention dots consume tiles untransposed —
+      the same blocks-on-sublanes rule the matmul kernels follow.  Same HBM
+      bytes; the write path transposes only the incoming slice.
     """
 
-    k_data: Array  # uint8/int8 (b, kv, max_len, d)
-    k_scale: Array  # uint8 (b, kv, max_len, d // block)
+    k_data: Array  # uint8/int8; seq (b, kv, max_len, d) / dmajor (b, kv, d, max_len)
+    k_scale: Array  # uint8; seq (b, kv, max_len, d//block) / dmajor (b, kv, d//block, max_len)
     v_data: Array
     v_scale: Array
     elem_dtype_name: str = dataclasses.field(metadata=dict(static=True))
     block_size: int = dataclasses.field(metadata=dict(static=True))
+    layout: str = dataclasses.field(default="seq", metadata=dict(static=True))
 
     @staticmethod
     def create(
@@ -203,14 +225,24 @@ class MXLayerKVCache:
         head_dim: int,
         elem_dtype_name: str = "float8_e4m3",
         block_size: int = 32,
+        layout: Optional[str] = None,
     ):
         from .. import dtypes as _dt
+        from .. import env_variables as _env
 
+        if layout is None:
+            layout = _env.TORCHMX_KV_LAYOUT
+        if layout not in ("seq", "dmajor"):
+            raise ValueError(f"unknown KV cache layout {layout!r}")
         elem = _dt.STR_TO_SUPPORTED_ELEM_DTYPE[elem_dtype_name]
         payload_d = head_dim // 2 if elem == _dt.float4_e2m1 else head_dim
         payload_dtype = jnp.int8 if elem == _dt.int8 else jnp.uint8
-        data_shape = (batch, kv_heads, max_len, payload_d)
-        scale_shape = (batch, kv_heads, max_len, head_dim // block_size)
+        if layout == "dmajor":
+            data_shape = (batch, kv_heads, payload_d, max_len)
+            scale_shape = (batch, kv_heads, head_dim // block_size, max_len)
+        else:
+            data_shape = (batch, kv_heads, max_len, payload_d)
+            scale_shape = (batch, kv_heads, max_len, head_dim // block_size)
         return MXLayerKVCache(
             k_data=jnp.zeros(data_shape, payload_dtype),
             k_scale=jnp.zeros(scale_shape, jnp.uint8),
@@ -218,6 +250,7 @@ class MXLayerKVCache:
             v_scale=jnp.zeros(scale_shape, jnp.uint8),
             elem_dtype_name=elem_dtype_name,
             block_size=block_size,
+            layout=layout,
         )
 
     def _pack(self, codes: Array) -> Array:
@@ -246,28 +279,48 @@ class MXLayerKVCache:
         ks, kd = quantize_mx(k_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size)
         vs, vd = quantize_mx(v_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size)
         kd, vd = self._pack(kd), self._pack(vd)
-        return MXLayerKVCache(
+        if self.layout == "dmajor":
+            # Transpose only the incoming (b, h, s, x) slice, scatter on the
+            # sequence (last) dim of the d-major buffers.
+            sw = lambda a: a.swapaxes(2, 3)
+            return dataclasses.replace(
+                self,
+                k_data=_seq_scatter_last(self.k_data, sw(kd), pos),
+                k_scale=_seq_scatter_last(self.k_scale, sw(ks), pos),
+                v_data=_seq_scatter_last(self.v_data, sw(vd), pos),
+                v_scale=_seq_scatter_last(self.v_scale, sw(vs), pos),
+            )
+        return dataclasses.replace(
+            self,
             k_data=_seq_scatter(self.k_data, kd, pos),
             k_scale=_seq_scatter(self.k_scale, ks, pos),
             v_data=_seq_scatter(self.v_data, vd, pos),
             v_scale=_seq_scatter(self.v_scale, vs, pos),
-            elem_dtype_name=self.elem_dtype_name,
-            block_size=self.block_size,
         )
 
     def dequantize(self) -> Tuple[Array, Array]:
-        """Full dequantized (k, v) buffers."""
+        """Full dequantized (k, v) buffers (b, kv, L, d) in either layout."""
         from ..mx_array import dequantize_mx
 
+        if self.layout == "dmajor":
+            kd, ks = self.k_data.swapaxes(2, 3), self.k_scale.swapaxes(2, 3)
+            vd, vs = self.v_data.swapaxes(2, 3), self.v_scale.swapaxes(2, 3)
+        else:
+            kd, ks, vd, vs = self.k_data, self.k_scale, self.v_data, self.v_scale
         k = dequantize_mx(
-            self._unpack(self.k_data), self.k_scale, self.elem_dtype_name,
+            self._unpack(kd), ks, self.elem_dtype_name,
             self.block_size, jnp.bfloat16, 3,
         )
         v = dequantize_mx(
-            self._unpack(self.v_data), self.v_scale, self.elem_dtype_name,
+            self._unpack(vd), vs, self.elem_dtype_name,
             self.block_size, jnp.bfloat16, 3,
         )
         return k, v
+
+    @property
+    def max_len(self) -> int:
+        """Sequence capacity, layout-independent."""
+        return self.k_data.shape[3] if self.layout == "dmajor" else self.k_data.shape[2]
 
     def update(self, k_new: Array, v_new: Array, pos: Array):
         """Quantize incoming K/V along head_dim, write at ``pos``, and return

@@ -264,6 +264,487 @@ def _mx_cached_attention(
     )(q_off, kv_len, q4, k_data, k_scale, v_data, v_scale)
 
 
+def _attn_kernel_chunkdot(
+    qoff_ref,
+    kvlen_ref,
+    q_ref,
+    kd_ref,
+    ks_ref,
+    vd_ref,
+    vs_ref,
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    sm_scale: float,
+    g: int,
+):
+    """int8-cache decode attention with the block scale FACTORED OUT of the
+    dots (round 3; 0.308 -> 0.262 ms at b=4 L=8192 on v5e).
+
+    The tiled kernel decodes every K/V element to scaled bf16 (~4 VPU ops
+    each, via the MXU-dot lane broadcast of the scales).  Here codes convert
+    bare (one hardware int->bf16 op) and the per-32-lane-block scales
+    multiply the chunk PARTIAL SUMS instead:
+
+        q.k^T = sum_c 2^(se_c-127) * (q_c . k_c)       (c = d/32 chunks)
+        p.v   = sum_c (p * 2^(se_c-127)) . v_c         (scale folded into
+                                                        the small p side)
+
+    so the per-element work drops to the bare convert.  The accumulator
+    lives in (d/32, rows, 32) chunk layout; the wrapper un-chunks outside.
+    Decode-only (rows = g, one q tile): at prefill the tiled kernel's decode
+    cost amortizes over sq MXU rows and chunking would shrink the dots.
+    """
+    kt = pl.program_id(2)
+    nc, _, rows = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    lt = kd_ref.shape[2]
+
+    @pl.when(kt == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ib = pl.program_id(0)
+    q_hi = qoff_ref[ib]
+    kv_len = kvlen_ref[ib]
+    work = (kt * lt <= q_hi) & (kt * lt < kv_len)
+
+    @pl.when(work)
+    def _():
+        q3 = q_ref[0, 0]  # (nc, 32, rows) bf16: pre-chunked, pre-transposed
+        kf = kd_ref[0, 0].astype(jnp.bfloat16)  # (lt, d) bare hw convert
+        kT = kf.T.reshape(nc, BLOCK, lt)
+        dots = jax.lax.dot_general(
+            q3, kT, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (nc, rows, lt) chunk partials
+        ks = ks_ref[0, 0].astype(jnp.int32)  # (lt, nc) E8M0
+        kscale = jax.lax.bitcast_convert_type(
+            (ks.T << 23), jnp.float32
+        )  # (nc, lt) = 2^(se-127); se==0 only on never-written slots
+        s = jnp.sum(dots * kscale[:, None, :], axis=0) * sm_scale  # (rows, lt)
+
+        q_pos = q_hi + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 0) // g
+        kv_pos = kt * lt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 1)
+        valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        vf = vd_ref[0, 0].astype(jnp.bfloat16)  # (lt, d) bare hw convert
+        vT = vf.T.reshape(nc, BLOCK, lt)
+        vs = vs_ref[0, 0].astype(jnp.int32)
+        vscale = jax.lax.bitcast_convert_type((vs.T << 23), jnp.float32)
+        p3 = (p[None, :, :] * vscale[:, None, :]).astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p3, vT, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (nc, rows, 32)
+        acc_ref[:] = acc_ref[:] * alpha[None] + pv
+        m_ref[:, :1] = m_new
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l[None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "lt", "g"))
+def _mx_cached_attention_chunkdot(
+    q3, k_data, k_scale, v_data, v_scale, q_off, kv_len, sm_scale, lt, g
+):
+    b, hkv, nc, blk, rows = q3.shape
+    L = k_data.shape[2]
+    d = nc * blk
+    grid = (b, hkv, L // lt)
+    kernel = functools.partial(_attn_kernel_chunkdot, sm_scale=sm_scale, g=g)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nc, blk, rows), lambda ib, ih, kt: (ib, ih, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt, d), lambda ib, ih, kt: (ib, ih, kt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt, nc), lambda ib, ih, kt: (ib, ih, kt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt, d), lambda ib, ih, kt: (ib, ih, kt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt, nc), lambda ib, ih, kt: (ib, ih, kt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, nc, rows, blk), lambda ib, ih, kt: (ib, ih, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, nc, rows, blk), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((nc, rows, blk), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(q_off, kv_len, q3, k_data, k_scale, v_data, v_scale)
+
+
+def use_chunkdot(elem_name: str, sq: int, d: int) -> bool:
+    """True when the decode-specialized chunk-dot kernel serves this shape:
+    int8 cache, single query position, lane-multiple head_dim."""
+    return elem_name == "int8" and sq == 1 and d % 128 == 0
+
+
+def _chunkdot_attention(q, cache, q_off, kv_len, sm_scale, lt):
+    b, hq, sq, d = q.shape
+    hkv = cache.k_data.shape[1]
+    g = hq // hkv
+    # (b, hq, 1, d) -> chunk layout (b, hkv, d/32, 32, g): chunks of d on
+    # sublanes so the kernel's per-chunk dots batch over them.
+    q3 = (
+        q.astype(jnp.bfloat16)
+        .reshape(b, hkv, g, d)
+        .transpose(0, 1, 3, 2)
+        .reshape(b, hkv, d // BLOCK, BLOCK, g)
+    )
+    q_off = jnp.broadcast_to(jnp.asarray(q_off, jnp.int32), (b,))
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+    out = _mx_cached_attention_chunkdot(
+        q3, cache.k_data, cache.k_scale, cache.v_data, cache.v_scale,
+        q_off, kv_len, float(sm_scale), lt, g,
+    )  # (b, hkv, d/32, g, 32)
+    return (
+        out.transpose(0, 1, 3, 2, 4).reshape(b, hkv, g, d).reshape(b, hq, sq, d)
+    )
+
+
+def _decode_tile_dmajor(codes_u8, scale_u8, elem: dtypes.DType):
+    """d-major tile decode: (dp, lt) codes + (nb, lt) scales -> (d, lt) bf16.
+
+    MX blocks lie on SUBLANES here, so the per-32-block scale broadcast is a
+    free ``_expand_scale`` (the seq layout needs an MXU-dot lane broadcast)
+    and fp4 uses the same SWAR decode that wins in the matmul kernels.
+    """
+    from .pallas_matmul import _expand_scale, decode_fp4_swar_planes
+
+    if elem == dtypes.float4_e2m1:
+        b = codes_u8.astype(jnp.int32)  # (d/2, lt): hi nibble el p, lo el p+d/2
+        nb2 = scale_u8.shape[0] // 2
+        sa = scale_u8[:nb2].astype(jnp.int32)
+        sb = scale_u8[nb2:].astype(jnp.int32)
+        w_hi, w_lo = decode_fp4_swar_planes(b, sa, sb)
+        return jnp.concatenate([w_hi, w_lo], axis=0)  # (d, lt) sublane concat
+    codes = codes_u8.astype(jnp.int32)
+    se = _expand_scale(scale_u8.astype(jnp.int32), BLOCK)  # (d, lt), free
+    if elem == dtypes.int8:
+        return decode_int8_to_bf16(codes, se)
+    return decode_codes_to_bf16(codes, se, elem, dot_operand=True)
+
+
+def _attn_kernel_dmajor(
+    qoff_ref,
+    kvlen_ref,
+    q_ref,
+    kd_ref,
+    ks_ref,
+    vd_ref,
+    vs_ref,
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    elem_name: str,
+    sm_scale: float,
+    g: int,
+    sqt: int,
+):
+    """Blockwise online-softmax attention over a d-major MX KV cache.
+
+    Same masking/online-softmax structure as :func:`_attn_kernel`, but K/V
+    tiles arrive (dp, lt) with head_dim on sublanes: the scale broadcast is a
+    free sublane expand, the q.K^T and P.V dots consume the tiles with NO
+    in-kernel transposes (q (rows, d) . kf (d, lt), then p (rows, lt) . vf
+    (d, lt) contracted on lt), and fp4 decodes via the SWAR scheme that the
+    seq layout's lane-dim blocks price out (see ``_decode_fp4_halves``).
+    """
+    elem = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name]
+    qt = pl.program_id(2)
+    kt = pl.program_id(3)
+    rows = q_ref.shape[2]
+    lt = kd_ref.shape[3]
+
+    @pl.when(kt == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ib = pl.program_id(0)
+    q_off = qoff_ref[ib]
+    kv_len = kvlen_ref[ib]
+    q_hi = q_off + (qt + 1) * sqt - 1
+    work = (kt * lt <= q_hi) & (kt * lt < kv_len)
+
+    @pl.when(work)
+    def _():
+        q = q_ref[0, 0]  # (rows, d) bf16, rows ordered (si, gi)
+        kf = _decode_tile_dmajor(kd_ref[0, 0], ks_ref[0, 0], elem)  # (d, lt)
+        s = jax.lax.dot_general(
+            q, kf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (rows, lt)
+        s = s * sm_scale
+        q_pos = q_off + qt * sqt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 0) // g
+        kv_pos = kt * lt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 1)
+        valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        vf = _decode_tile_dmajor(vd_ref[0, 0], vs_ref[0, 0], elem)  # (d, lt)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (rows, d)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:, :1] = m_new
+
+    @pl.when(kt == pl.num_programs(3) - 1)
+    def _():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("elem_name", "sm_scale", "lt", "g", "sqt")
+)
+def _mx_cached_attention_dmajor(
+    q4, k_data, k_scale, v_data, v_scale, q_off, kv_len, elem_name, sm_scale, lt, g, sqt
+):
+    b, hkv, rows, d = q4.shape
+    dp = k_data.shape[2]  # payload rows: d, or d/2 for halves-packed fp4
+    L = k_data.shape[3]
+    nb = d // BLOCK
+    rows_t = sqt * g
+    grid = (b, hkv, rows // rows_t, L // lt)
+    kernel = functools.partial(
+        _attn_kernel_dmajor, elem_name=elem_name, sm_scale=sm_scale, g=g, sqt=sqt
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rows_t, d), lambda ib, ih, qt, kt: (ib, ih, qt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dp, lt), lambda ib, ih, qt, kt: (ib, ih, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nb, lt), lambda ib, ih, qt, kt: (ib, ih, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dp, lt), lambda ib, ih, qt, kt: (ib, ih, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nb, lt), lambda ib, ih, qt, kt: (ib, ih, 0, kt), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, rows_t, d), lambda ib, ih, qt, kt: (ib, ih, qt, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rows, d), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((rows_t, 128), jnp.float32),
+            pltpu.VMEM((rows_t, 128), jnp.float32),
+            pltpu.VMEM((rows_t, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(q_off, kv_len, q4, k_data, k_scale, v_data, v_scale)
+
+
+def _attn_kernel_int8dot(
+    qoff_ref,
+    kvlen_ref,
+    qd_ref,
+    qs_ref,
+    kd_ref,
+    ks_ref,
+    vd_ref,
+    vs_ref,
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    sm_scale: float,
+):
+    """Decode attention with int8 codes fed to the MXU RAW — zero per-element
+    K/V decode work (the d-major bare-convert path still pays one hw convert
+    per cache element; at decode that IS the latency).
+
+    q is MXINT8-quantized per 32-block of head_dim by the wrapper; q.K^T runs
+    as d/32 batched int8xint8 dots with exact int32 partial sums, rescaled by
+    2^(se_q + se_k - 254) per (chunk, row, position) and summed over chunks
+    (the int8-MXU matmul kernel's scheme, ``decode_lab`` B).  For P.V the V
+    scale 2^(se_v - 127) varies along the contraction, so it folds into the
+    small P side per chunk; P then requantizes to 8-bit fixed point per
+    (chunk, row) — max over the visible lane range, exact power-of-254 ...
+    rather: code = round(p3 * 127 / max) — and P.V runs int8xint8 too,
+    descaled by max/127.  P requantization adds ~0.4% relative error on the
+    attention weights — less than the fp6/fp8 attention-weight quantization
+    the reference's QKV configs apply (its fp8 has 19 dB SQNR; this is
+    ~42 dB) — and is opt-in via ``TORCHMX_ATTN_INT8_DOT``.
+
+    Accumulator lives in (d/32, rows, 32) chunk layout; the wrapper
+    un-chunks.  Decode-only (one q tile of rows = g).
+    """
+    kt = pl.program_id(2)
+    nc, _, rows = qd_ref.shape[2], qd_ref.shape[3], qd_ref.shape[4]
+    lt = kd_ref.shape[3]
+
+    @pl.when(kt == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ib = pl.program_id(0)
+    q_hi = qoff_ref[ib]
+    kv_len = kvlen_ref[ib]
+    work = (kt * lt <= q_hi) & (kt * lt < kv_len)
+
+    @pl.when(work)
+    def _():
+        q3 = qd_ref[0, 0]  # (nc, 32, rows) int8
+        k3 = kd_ref[0, 0].reshape(nc, BLOCK, lt)  # (d, lt) -> sublane chunks
+        dots = jax.lax.dot_general(
+            q3, k3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (nc, rows, lt) exact
+        eq = qs_ref[0, 0].astype(jnp.int32)  # (nc, rows)
+        ek = ks_ref[0, 0].astype(jnp.int32)  # (nc, lt)
+        e = jnp.clip(eq[:, :, None] + ek[:, None, :] - 127, 0, 254)
+        scale = jax.lax.bitcast_convert_type(e << 23, jnp.float32)
+        s = jnp.sum(dots.astype(jnp.float32) * scale, axis=0) * sm_scale
+
+        q_pos = q_hi + jnp.zeros((rows, lt), jnp.int32)
+        kv_pos = kt * lt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 1)
+        valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (rows, lt); masked lanes exp(NEG_INF) = 0
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        ev = vs_ref[0, 0].astype(jnp.int32)  # (nc, lt)
+        vscale = jax.lax.bitcast_convert_type(ev << 23, jnp.float32)
+        p3 = p[None, :, :] * vscale[:, None, :]  # (nc, rows, lt)
+        mx = jnp.max(p3, axis=2, keepdims=True)  # full-lane reduce
+        mx = jnp.where(mx == 0.0, 1.0, mx)
+        pq = jnp.round(p3 * (127.0 / mx)).astype(jnp.int8)
+        v3 = vd_ref[0, 0].reshape(nc, BLOCK, lt)
+        pv = jax.lax.dot_general(
+            pq, v3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (nc, rows, 32)
+        acc_ref[:] = acc_ref[:] * alpha[None] + pv.astype(jnp.float32) * (
+            mx * (1.0 / 127.0)
+        )
+        m_ref[:, :1] = m_new
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l[None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "lt"))
+def _mx_cached_attention_int8dot(
+    q3, qs3, k_data, k_scale, v_data, v_scale, q_off, kv_len, sm_scale, lt
+):
+    b, hkv, nc, blk, rows = q3.shape
+    L = k_data.shape[3]
+    d = nc * blk
+    grid = (b, hkv, L // lt)
+    nb = d // BLOCK
+    kernel = functools.partial(_attn_kernel_int8dot, sm_scale=sm_scale)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nc, blk, rows), lambda ib, ih, kt: (ib, ih, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nc, rows), lambda ib, ih, kt: (ib, ih, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, lt), lambda ib, ih, kt: (ib, ih, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nb, lt), lambda ib, ih, kt: (ib, ih, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, lt), lambda ib, ih, kt: (ib, ih, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nb, lt), lambda ib, ih, kt: (ib, ih, 0, kt), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, nc, rows, blk), lambda ib, ih, kt: (ib, ih, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, nc, rows, blk), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((nc, rows, blk), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(q_off, kv_len, q3, qs3, k_data, k_scale, v_data, v_scale)
+
+
+def use_int8dot(cache, sq: int, d: int) -> bool:
+    """True when the all-int8 MXU-dot decode kernel serves this shape: opt-in
+    flag, int8 d-major cache, single query position, lane-multiple head_dim."""
+    return (
+        env.TORCHMX_ATTN_INT8_DOT == "1"
+        and getattr(cache, "layout", "seq") == "dmajor"
+        and cache.elem_dtype_name == "int8"
+        and sq == 1
+        and d % 128 == 0
+    )
+
+
+def _int8dot_attention(q, cache, q_off, kv_len, sm_scale, lt):
+    from ..mx_array import quantize_mx
+
+    b, hq, sq, d = q.shape
+    hkv = cache.k_data.shape[1]
+    g = hq // hkv
+    nc = d // BLOCK
+    # Quantize q to MXINT8 per 32-block of head_dim (38 dB — above the fp8
+    # the reference's QKV configs apply to q), then chunk for the kernel.
+    qs, qd = quantize_mx(
+        q.astype(jnp.bfloat16).reshape(b, hkv, g, d), "int8", BLOCK
+    )  # (b, hkv, g, nc) u8, (b, hkv, g, d) i8
+    q3 = qd.transpose(0, 1, 3, 2).reshape(b, hkv, nc, BLOCK, g)
+    qs3 = qs.transpose(0, 1, 3, 2)  # (b, hkv, nc, g)
+    q_off = jnp.broadcast_to(jnp.asarray(q_off, jnp.int32), (b,))
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+    out = _mx_cached_attention_int8dot(
+        q3, qs3, cache.k_data, cache.k_scale, cache.v_data, cache.v_scale,
+        q_off, kv_len, float(sm_scale), lt,
+    )  # (b, hkv, nc, g, 32)
+    return (
+        out.transpose(0, 1, 3, 2, 4).reshape(b, hkv, g, d).reshape(b, hq, sq, d)
+    )
+
+
 def bf16_cached_attention(q, k, v, q_off, kv_len, sm_scale) -> Optional[jax.Array]:
     """Blockwise online-softmax attention over a BF16 KV cache — the same
     fused kernel with the MX decode removed.  The honest iso-kernel baseline
@@ -374,7 +855,11 @@ def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Arra
         return None
     elem = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[cache.elem_dtype_name]
     b, hq, sq, d = q.shape
-    _, hkv, L, dp = cache.k_data.shape
+    layout = getattr(cache, "layout", "seq")
+    if layout == "dmajor":
+        _, hkv, dp, L = cache.k_data.shape
+    else:
+        _, hkv, L, dp = cache.k_data.shape
     want_dp = d // 2 if elem == dtypes.float4_e2m1 else d  # fp4: d-halves bytes
     if dp != want_dp:
         return None
@@ -383,6 +868,38 @@ def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Arra
         return None
     lt, sqt = plan
     g = hq // hkv
+
+    if layout == "dmajor":
+        if use_int8dot(cache, sq, d):
+            return _int8dot_attention(q, cache, q_off, kv_len, sm_scale, lt)
+        q4 = (
+            q.astype(jnp.bfloat16)
+            .reshape(b, hkv, g, sq, d)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(b, hkv, sq * g, d)
+        )
+        q_off = jnp.broadcast_to(jnp.asarray(q_off, jnp.int32), (b,))
+        kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+        out = _mx_cached_attention_dmajor(
+            q4,
+            cache.k_data,
+            cache.k_scale,
+            cache.v_data,
+            cache.v_scale,
+            q_off,
+            kv_len,
+            cache.elem_dtype_name,
+            float(sm_scale),
+            lt,
+            g,
+            sqt,
+        )
+        return (
+            out.reshape(b, hkv, sq, g, d).transpose(0, 1, 3, 2, 4).reshape(b, hq, sq, d)
+        )
+
+    if use_chunkdot(cache.elem_dtype_name, sq, d):
+        return _chunkdot_attention(q, cache, q_off, kv_len, sm_scale, lt)
 
     # (b, hq, sq, d) -> (b, hkv, sq*g, d), rows ordered (q position, head).
     q4 = (
