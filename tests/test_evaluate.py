@@ -60,6 +60,26 @@ def test_perplexity_finite_and_batched():
     assert 10 < ppl < 400
 
 
+def test_perplexity_decode_mode_matches_prefill():
+    """decode=True scores teacher-forced sq=1 steps through the cache (the
+    serving decode path, incl. decode-specialized kernels); same likelihoods
+    as the single prefill forward up to bf16 step-order noise.  Regression:
+    the decode scan must pass explicit position_ids — without them RoPE sits
+    at position 0 every step and PPL explodes 20x."""
+    from torchmx_tpu.config import MXConfig
+
+    model = tiny_model(seed=3)
+    stream = np.random.RandomState(3).randint(0, 64, (256,))
+    base = perplexity(model, stream, seq_len=32, batch_size=4)
+    dec = perplexity(model, stream, seq_len=32, batch_size=4, decode=True)
+    assert abs(dec - base) / base < 5e-2
+    dec_kv = perplexity(
+        model, stream, seq_len=32, batch_size=4,
+        kv_cache_config=MXConfig("int8"), decode=True,
+    )
+    assert np.isfinite(dec_kv) and abs(dec_kv - base) / base < 0.5
+
+
 def test_perplexity_through_mx_kv_cache():
     """kv_cache_config scores the SAME chunks through an MX cache: close to
     the uncached PPL (quantization noise only), never identical-by-skipping."""

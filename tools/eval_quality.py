@@ -151,6 +151,41 @@ def main():
                 f"{acc*100:.1f} ± {ci*100:.1f} % | {(acc-base_acc)*100:+.1f} |"
             )
 
+    # Decode-path rows: the SAME chunk set scored teacher-forced one token at
+    # a time (sq=1 scan), so the decode-specialized kernels (chunk-dot /
+    # int8-dot) actually run.  Isolates decode-kernel numerics at a fixed
+    # quantization config (MXFP6/FP8 + int8 KV).
+    from torchmx_tpu import env_variables as envmod
+    from torchmx_tpu.models import evaluate as ev
+
+    print()
+    print("| decode-path config (MXFP6/FP8 + int8 KV) | val PPL | Δ vs exact decode |")
+    print("|---|---|---|")
+    rows = [
+        ("seq layout (exact decode)", "seq", "0"),
+        ("dmajor layout (exact decode)", "dmajor", "0"),
+        ("dmajor + all-int8 MXU dot", "dmajor", "1"),
+    ]
+    base_dec = None
+    for name, layout, int8dot in rows:
+        envmod.TORCHMX_KV_LAYOUT = layout
+        envmod.TORCHMX_ATTN_INT8_DOT = int8dot
+        try:
+            model = fresh_model()
+            quantize_llm_(model, QAttentionConfig(projection_config=fp6w_fp8a), fp6w_fp8a)
+            ppl = ev.perplexity(
+                model, val, seq_len=SEQ, batch_size=8,
+                kv_cache_config=MXConfig("int8"), decode=True,
+            )
+        finally:
+            envmod.TORCHMX_KV_LAYOUT = "seq"
+            envmod.TORCHMX_ATTN_INT8_DOT = "0"
+        if base_dec is None:
+            base_dec = ppl
+            print(f"| {name} | {ppl:.3f} | — |")
+        else:
+            print(f"| {name} | {ppl:.3f} | {ppl-base_dec:+.3f} |")
+
 
 if __name__ == "__main__":
     main()

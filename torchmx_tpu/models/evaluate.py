@@ -23,7 +23,7 @@ from flax import nnx
 _LOGPROB_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
 
 
-def _make_token_logprobs(model, kv_cache_config=None):
+def _make_token_logprobs(model, kv_cache_config=None, decode: bool = False):
     """Jitted per-position log P(token[t] | tokens[<t]) for (b, s) inputs.
 
     Position 0 has no prediction; returns ``fn(ids) -> (b, s-1)`` fp32
@@ -32,21 +32,43 @@ def _make_token_logprobs(model, kv_cache_config=None):
     updates (checkpoint restore, training) are reflected without
     recompiling.  With ``kv_cache_config`` the forward WRITES and attends
     THROUGH an MX-quantized KV cache (the fused kernel path on TPU), so the
-    reported likelihoods include cache-quantization error."""
+    reported likelihoods include cache-quantization error.
+
+    ``decode=True`` scores teacher-forced **one token at a time** through the
+    cache (a ``lax.scan`` over sq=1 steps) — the exact serving decode path,
+    including decode-specialized kernels (chunk-dot / int8-dot) that only
+    engage at sq=1.  Slower than the single prefill forward; use it to
+    isolate decode-kernel numerics."""
     global _LOGPROB_CACHE
     import weakref
 
     if _LOGPROB_CACHE is None:
         _LOGPROB_CACHE = weakref.WeakKeyDictionary()
     graphdef, _ = nnx.split(model)
-    key = (graphdef, kv_cache_config)
+    key = (graphdef, kv_cache_config, decode)
     entry = _LOGPROB_CACHE.get(model)
     if entry is None or entry[0] != key:  # invalidate on surgery/config
 
         @jax.jit
         def f(state, input_ids):
             m = nnx.merge(graphdef, state)
-            if kv_cache_config is not None:
+            if decode:
+                b, s = input_ids.shape
+                caches = m.init_cache(b, s, kv_cache_config)
+
+                def step(caches, t):
+                    tok = jax.lax.dynamic_slice_in_dim(input_ids, t, 1, axis=1)
+                    logits, caches = m(
+                        tok,
+                        position_ids=jnp.full((b, 1), t, jnp.int32),
+                        caches=caches,
+                        cache_position=t,
+                    )
+                    return caches, logits[:, 0]
+
+                _, logits = jax.lax.scan(step, caches, jnp.arange(s))
+                logits = logits.transpose(1, 0, 2)  # (b, s, vocab)
+            elif kv_cache_config is not None:
                 caches = m.init_cache(
                     input_ids.shape[0], input_ids.shape[1], kv_cache_config
                 )
@@ -86,6 +108,7 @@ def perplexity(
     seq_len: int = 512,
     batch_size: int = 8,
     kv_cache_config=None,
+    decode: bool = False,
 ) -> float:
     """Non-overlapping chunked perplexity over a 1-D token stream.
 
@@ -99,7 +122,7 @@ def perplexity(
     """
     n = (len(token_ids) // seq_len) * seq_len
     chunks = np.asarray(token_ids[:n], np.int32).reshape(-1, seq_len)
-    logprobs = _make_token_logprobs(model, kv_cache_config)
+    logprobs = _make_token_logprobs(model, kv_cache_config, decode)
     total, count = 0.0, 0
     for i in range(0, len(chunks), batch_size):
         batch = chunks[i : i + batch_size]
