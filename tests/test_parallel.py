@@ -568,7 +568,7 @@ def assert_streams_equal_outside_ties(got, ref, margins, min_compared=0.6):
     )
 
 
-def trained_tiny_quantized(elem="float8_e4m3"):
+def trained_tiny_quantized(elem="float8_e4m3", quantize=True):
     """The committed trained 6M checkpoint (artifacts/tiny_lm), MX-quantized.
 
     Token-stream equality gates need CONFIDENT logit margins: a random-init
@@ -576,7 +576,11 @@ def trained_tiny_quantized(elem="float8_e4m3"):
     (microbatch boundaries, scan fusion) legally introduces, making "streams
     equal" a coin flip rather than a correctness statement.  The trained LM
     predicts repo text with decisive margins, so stream equality is a real
-    schedule-correctness gate."""
+    schedule-correctness gate.
+
+    ``quantize=False`` returns the bf16 checkpoint unmodified — for gates
+    where per-layer fake-quantization would amplify legal cross-compilation
+    drift into quantization-bin flips (see the PP×TP decode test)."""
     import pathlib
     import sys as _sys
 
@@ -589,6 +593,9 @@ def trained_tiny_quantized(elem="float8_e4m3"):
 
     model = LlamaForCausalLM(CONFIG, rngs=nnx.Rngs(0))
     model = ckpt.load_model(str(root / "artifacts" / "tiny_lm"), model)
+    tokens = load_corpus()
+    if not quantize:
+        return model, CONFIG, tokens
     # int8 activations: per-step activation fake-quantization AMPLIFIES
     # cross-compilation ulp drift to a full quantization step (fp8: ~6% of
     # the value); the int8 grid keeps that amplification ~8x smaller so the
@@ -597,7 +604,6 @@ def trained_tiny_quantized(elem="float8_e4m3"):
         weights_config=MXConfig(elem), activations_config=MXConfig("int8")
     )
     quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
-    tokens = load_corpus()
     return model, CONFIG, tokens
 
 
@@ -682,6 +688,112 @@ def test_pipeline_decode_composes_with_dp():
                 a, NamedSharding(mesh, P(MODEL_AXIS, None, DATA_AXIS))
             ),
             caches,
+        )
+        fwd_j = jax.jit(fwd, donate_argnums=(1,))
+        logits, caches = fwd_j(
+            params, caches, prompt, jnp.arange(s)[None, :], jnp.zeros((b,), jnp.int32)
+        )
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        stream = [np.asarray(tok)]
+        for i in range(new_tokens - 1):
+            pos = jnp.full((b,), s + i, jnp.int32)
+            logits, caches = fwd_j(params, caches, tok[:, None], pos[:, None], pos)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            stream.append(np.asarray(tok))
+    got = np.stack(stream, axis=1)
+    assert_streams_equal_outside_ties(got, ref, margins)
+
+
+def _pp_tp_mesh():
+    """(pipe=2, model=4): PP stages rotate manually over ``pipe`` while the
+    Megatron TP rules (which name the ``model`` axis) shard the within-stage
+    math — GSPMD inserts the TP collectives because ``model`` is left as a
+    shard_map auto axis."""
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    return jax.sharding.Mesh(devs, ("pipe", MODEL_AXIS))
+
+
+def test_pipeline_model_composes_with_tp():
+    """PP×TP: stage rotation on the manual ``pipe`` axis with within-stage
+    math GSPMD-sharded over ``model`` must match the sequential forward —
+    greedy tokens equal at confident positions."""
+    from torchmx_tpu.parallel.pipeline import pipeline_model, shard_staged_params
+
+    model, cfg, corpus = trained_tiny_quantized()
+    ids = jnp.asarray(
+        np.stack([corpus[i * 773 : i * 773 + 16] for i in range(8)]), jnp.int32
+    )
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def seq(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref = np.asarray(seq(state, ids), np.float32)
+
+    mesh = _pp_tp_mesh()
+    fwd, params = pipeline_model(
+        model, mesh, n_microbatches=4, axis="pipe", tp_axis=MODEL_AXIS
+    )
+    with mesh:
+        params["staged"] = shard_staged_params(
+            params["staged"], mesh, "pipe", MODEL_AXIS
+        )
+        repl = NamedSharding(mesh, P())
+        for k in ("embed", "norm", "head", "inv_freq"):
+            if params[k] is not None:
+                params[k] = jax.tree.map(lambda a: jax.device_put(a, repl), params[k])
+        got = np.asarray(jax.jit(fwd)(params, ids), np.float32)
+    # The gate has teeth only if TP sharding actually landed: at least one
+    # staged 2-D weight must carry the model axis in its spec.
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree_util.tree_leaves(params["staged"])
+        if hasattr(leaf, "sharding")
+    ]
+    assert any(MODEL_AXIS in [ax for ax in sp if ax] for sp in specs), specs
+    _assert_greedy_tokens_match(got, ref)
+
+
+def test_pipeline_decode_composes_with_tp():
+    """PP×TP cached decode: token steps through the staged pipeline with
+    TP-sharded stage weights must reproduce the sequential greedy stream.
+
+    Uses the UNQUANTIZED trained checkpoint: the schedule/sharding under
+    test is identical either way, but per-layer fake-quantization amplifies
+    the legal cross-compilation ulp drift of the partial-auto shard_map body
+    into quantization-bin flips (measured: logit drift 0.047 unquantized vs
+    1.66 MX-quantized on this stack), which would turn the exact stream gate
+    into a statistical one.  MX cache formats under PP are covered by the
+    manual-axes decode tests above."""
+    from torchmx_tpu.parallel.pipeline import (
+        pipeline_decode_model,
+        shard_staged_params,
+    )
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    b, s, new_tokens, max_len = 8, 32, 8, 64
+    prompt = jnp.asarray(
+        np.stack([corpus[i * 997 : i * 997 + s] for i in range(b)]), jnp.int32
+    )
+    ref, margins = _greedy_stream_sequential(model, prompt, new_tokens, None, max_len)
+
+    mesh = _pp_tp_mesh()
+    fwd, params, init_caches = pipeline_decode_model(
+        model, mesh, n_microbatches=2, axis="pipe", tp_axis=MODEL_AXIS
+    )
+    with mesh:
+        params["staged"] = shard_staged_params(
+            params["staged"], mesh, "pipe", MODEL_AXIS
+        )
+        repl = NamedSharding(mesh, P())
+        for k in ("embed", "norm", "head", "inv_freq"):
+            if params[k] is not None:
+                params[k] = jax.tree.map(lambda a: jax.device_put(a, repl), params[k])
+        caches = init_caches(b, max_len, None)
+        caches = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P("pipe"))), caches
         )
         fwd_j = jax.jit(fwd, donate_argnums=(1,))
         logits, caches = fwd_j(

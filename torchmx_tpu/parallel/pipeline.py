@@ -26,6 +26,48 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .mesh import MODEL_AXIS
 
 
+def _manual_axes(mesh: Mesh, axis: str, data_axis, tp_axis):
+    """shard_map ``axis_names`` for PP(×DP)×TP composition: the pipeline
+    (and DP) axes are MANUAL (explicit ppermute schedule); with ``tp_axis``
+    set, that axis is left out so GSPMD auto-shards the within-stage math
+    over it (Megatron TP collectives inserted by the compiler — the same
+    mechanism as the plain jit TP path).  Without ``tp_axis`` every mesh
+    axis is manual (the historical behavior)."""
+    if tp_axis is None:
+        return frozenset()
+    manual = {a for a in (axis, data_axis) if a is not None}
+    assert tp_axis not in manual and tp_axis in mesh.shape, (tp_axis, mesh)
+    return frozenset(manual)
+
+
+def shard_staged_params(staged, mesh: Mesh, axis: str, tp_axis: str):
+    """Place stage-stacked decoder params with composed PP×TP shardings.
+
+    Leaves are ``(n_stages, layers_per_stage, *param_dims)``: dim 0 shards
+    over the pipeline ``axis``; the param dims reuse the Megatron rules
+    (``mesh.spec_for_path`` — MXArray payload+scale congruent, K-major
+    transpose, divisibility guard) over ``tp_axis`` (= the ``model`` axis
+    the rules name).
+    """
+    from jax.sharding import NamedSharding
+
+    from .mesh import MODEL_AXIS as _M, _drop_indivisible, _path_str, spec_for_path
+
+    assert tp_axis == _M, f"TP rules name the {_M!r} axis; got {tp_axis!r}"
+
+    def place(path, leaf):
+        ps = _path_str(path)
+        is_mx = ps.endswith(".data") or ps.endswith(".scale_e8m0") or (
+            ".scale_e8m0" in ps or ".data" in ps
+        )
+        base = spec_for_path(ps, leaf.ndim - 2, is_mx=is_mx)
+        full = P(axis, None, *base)
+        full = _drop_indivisible(full, (leaf.shape,), mesh)
+        return jax.device_put(leaf, NamedSharding(mesh, full))
+
+    return jax.tree_util.tree_map_with_path(place, staged)
+
+
 def pipeline_apply(
     stage_fn: Callable,
     stacked_params,
@@ -35,6 +77,7 @@ def pipeline_apply(
     axis: str = MODEL_AXIS,
     consts=(),
     data_axis: str = None,
+    tp_axis: str = None,
 ):
     """Apply ``n_stages`` sequential stages over ``axis`` with microbatching.
 
@@ -50,6 +93,10 @@ def pipeline_apply(
         data_axis: optional second mesh axis for DP composition: microbatch
             rows shard over it (batch must then be divisible by
             ``n_microbatches * mesh.shape[data_axis]``).
+        tp_axis: optional third mesh axis for TP composition: the pipeline
+            schedule stays manual while GSPMD auto-shards the within-stage
+            math over this axis (weights pre-sharded via
+            :func:`shard_staged_params`).
 
     Returns ``stage_{S-1}(... stage_0(x))`` computed on the pipeline.
     """
@@ -104,13 +151,15 @@ def pipeline_apply(
         mesh=mesh,
         in_specs=(param_specs, xs_spec) + const_specs,
         out_specs=out_spec,
+        axis_names=_manual_axes(mesh, axis, data_axis, tp_axis),
     )(stacked_params, xs, *consts)
     # Only the final stage's buffer holds the pipeline output.
     return out[-1].reshape(b, *x.shape[1:])
 
 
 def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
-                          axis: str = MODEL_AXIS, data_axis: str = None):
+                          axis: str = MODEL_AXIS, data_axis: str = None,
+                          tp_axis: str = None):
     """Cached decode (and cached prefill) through the staged pipeline.
 
     Round-3 extension of :func:`pipeline_model`, which covers only
@@ -281,6 +330,7 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
                 mb_spec,
             ),
             out_specs=(P(axis, None, row), jax.tree.map(lambda _: cache_specs_leaf, caches)),
+            axis_names=_manual_axes(mesh, axis, data_axis, tp_axis),
         )(params["staged"], caches, xs, cosr, sinr, cpr)
         hidden = nnx.merge(norm_gd, params["norm"])(buf[-1].reshape(b, s, -1))
         if head_state is None:
@@ -293,7 +343,7 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
 
 
 def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_AXIS,
-                   data_axis: str = None):
+                   data_axis: str = None, tp_axis: str = None):
     """Stage a ``LlamaForCausalLM``'s decoder layers over ``axis`` (GPipe).
 
     The model-level integration of :func:`pipeline_apply` (the reference
@@ -361,6 +411,7 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
         x = pipeline_apply(
             stage_fn, params["staged"], x, mesh, n_microbatches,
             axis=axis, consts=(cos, sin, mask), data_axis=data_axis,
+            tp_axis=tp_axis,
         )
         hidden = nnx.merge(norm_gd, params["norm"])(x)
         if head_state is None:
