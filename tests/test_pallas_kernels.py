@@ -478,6 +478,38 @@ def test_x_cache_path_bit_identical(ename, pack):
     )
 
 
+@pytest.mark.parametrize("ename,pack", [
+    ("float8_e4m3", "pair"),
+    ("float4_e2m1", "halves"),
+])
+def test_pipelined_fq_cache_bit_identical(ename, pack):
+    """The software-pipelined j==0 fq fill (fq tile k+1 while dotting cached
+    tile k — TORCHMX_FQ_PIPELINE) must be bit-identical to the serial fill:
+    same fq, same accumulation order, only the schedule differs."""
+    M, K, N = 2048, 1024, 4096
+    plan_c = pm.plan_matmul_cached(M, N, K, ename, pack)
+    assert plan_c is not None
+    bn, bk = plan_c
+    w = (jax.random.normal(jax.random.PRNGKey(40), (N, K)) * 0.1).astype(jnp.bfloat16)
+    w_km = MXArray.to_mx(w, ename, 32).T
+    if pack == "halves":
+        w_km = w_km.to_fp4_halves()
+    x = rand_bf16(41, (M, K), spread=1.0)
+    run = {
+        "pair": lambda pipe: pm._pallas_matmul_1byte(
+            x, w_km.data, w_km.scale_e8m0, ename, bn, bk, jnp.bfloat16,
+            "float8_e4m3", True, pipe,
+        ),
+        "halves": lambda pipe: pm._pallas_matmul_fp4_halves(
+            x, w_km.data, w_km.scale_e8m0, bn, bk, jnp.bfloat16,
+            "float8_e4m3", True, pipe,
+        ),
+    }[pack]
+    np.testing.assert_array_equal(
+        np.asarray(run(True), np.float32), np.asarray(run(False), np.float32)
+    )
+
+
 def test_shared_activation_quantize_bit_identical():
     """The MLP/attention shared-activation path (quantize x once, feed
     gate+up / q+k+v) must be bit-identical to per-linear dynamic

@@ -59,6 +59,15 @@ TORCHMX_ATTN_INT8_DOT = os.environ.get("TORCHMX_ATTN_INT8_DOT", "0")
 # explicit ``layout=``.
 TORCHMX_KV_LAYOUT = os.environ.get("TORCHMX_KV_LAYOUT", "seq")
 
+# "1" (default): in the x-cache matmul kernels with fused activation
+# quantization, software-pipeline the j==0 sweep — fake-quantize x tile k+1
+# into the VMEM cache while the MXU dots cached tile k, removing the
+# same-step fq->dot dependence so Mosaic can overlap the fq VPU work with
+# the dots (the serial form pays the full fq time on top of the matmul).
+# Bit-identical results (same fq, same accumulation order); "0" keeps the
+# serial j==0 schedule.
+TORCHMX_FQ_PIPELINE = os.environ.get("TORCHMX_FQ_PIPELINE", "1")
+
 # "1": MXInferenceLinear re-codes eligible fp4 / fp6_e2m3 weights into the
 # EXACT int8 domain (``MXArray.to_int8_domain``: same values, one int8 code
 # per element) so decode-size matmuls ride the native int8-MXU-dot kernel

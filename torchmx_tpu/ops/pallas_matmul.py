@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import dtypes
+from .. import env_variables as env
 from ..mx_array import MXArray
 
 BLOCK = 32  # OCP MX block size; kernels assume block_size == 32
@@ -308,6 +309,42 @@ def _cache_x_tiles(k, act_fq: Optional[str], *pairs):
             xs_ref[k] = t
 
 
+def _cache_x_tiles_pipelined(k, nk, act_fq, *triples):
+    """Software-pipelined j == 0 fq+store: quantize tile ``k+1`` while the
+    MXU dots cached tile ``k``.
+
+    :func:`_cache_x_tiles` creates a same-step dependence fq(k) → dot(k), so
+    Mosaic cannot overlap the fq VPU work with the MXU (measured: the fused
+    fq costs its full standalone time on top of the matmul).  Here each
+    triple is ``(x0_ref, xn_ref, xs_ref)`` where ``xn_ref``'s index map
+    fetches x tile ``min(k+1, nk-1)`` (:func:`_pin_pipelined`) and
+    ``x0_ref`` is pinned to tile 0: step k quantizes tile k+1 into
+    ``xs_ref[k+1]`` — independent of the dot on ``xs_ref[k]`` written last
+    step — and the k == 0 prologue fills tile 0 (the only serial fq left).
+    The last step re-quantizes tile nk-1 with identical bits (harmless; it
+    keeps the dot outside any ``pl.when``, which is catastrophic for
+    scheduling).  Accumulation order is unchanged → bit-identical output.
+    """
+    j = pl.program_id(0)
+
+    @pl.when((j == 0) & (k == 0))
+    def _():
+        for x0_ref, _xn_ref, xs_ref in triples:
+            t = x0_ref[:]
+            if act_fq is not None:
+                t = _fq_xT_tile(t.T, act_fq).T
+            xs_ref[0] = t
+
+    @pl.when(j == 0)
+    def _():
+        nxt = jnp.minimum(k + 1, nk - 1)
+        for _x0_ref, xn_ref, xs_ref in triples:
+            t = xn_ref[:]
+            if act_fq is not None:
+                t = _fq_xT_tile(t.T, act_fq).T
+            xs_ref[nxt] = t
+
+
 # ---------------------------------------------------------------------------
 # Fused kernels (grid (j, k), k innermost; fp32 accumulator scratch)
 # ---------------------------------------------------------------------------
@@ -326,29 +363,37 @@ def _dot_f32acc(a, b, dn=None):
 
 def _linear_kernel_1byte(
     x_ref,
-    w_ref,
-    s_ref,
-    o_ref,
-    acc_ref,
-    *scratch,
+    *rest,
     elem_name: str,
     act_fq: Optional[str],
     x_cache: bool = False,
+    pipe_fq: bool = False,
 ):
     """One-byte-per-code formats (fp8/fp6/int8), K-major weights.
 
     With ``act_fq`` (and no ``x_cache``), ``x_ref`` holds a TRANSPOSED
     (bk, M) tile: the fq runs in the cheap sublane layout and the MXU
     contracts the transposed operand directly.  With ``x_cache`` x tiles
-    live in a VMEM scratch after the first sweep (see :func:`_cached_x`).
+    live in a VMEM scratch after the first sweep (see :func:`_cache_x_tiles`);
+    with ``pipe_fq`` the j == 0 fill runs one tile ahead of the dots
+    (:func:`_cache_x_tiles_pipelined`; extra input: the pinned tile-0 ref).
     """
+    if pipe_fq:
+        x0_ref, w_ref, s_ref, o_ref, acc_ref, *scratch = rest
+    else:
+        x0_ref = None
+        w_ref, s_ref, o_ref, acc_ref, *scratch = rest
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if x_cache:
+    if pipe_fq:
+        _cache_x_tiles_pipelined(
+            k, pl.num_programs(1), act_fq, (x0_ref, x_ref, scratch[0])
+        )
+    elif x_cache:
         _cache_x_tiles(k, act_fq, (x_ref, scratch[0]))
     codes = w_ref[:].astype(jnp.int32)
     se = _expand_scale(s_ref[:].astype(jnp.int32), BLOCK)
@@ -404,14 +449,10 @@ def _linear_kernel_fp4(
 def _linear_kernel_fp4_halves(
     xa_ref,
     xb_ref,
-    w_ref,
-    sa_ref,
-    sb_ref,
-    o_ref,
-    acc_ref,
-    *scratch,
+    *rest,
     act_fq: Optional[str],
     x_cache: bool = False,
+    pipe_fq: bool = False,
 ):
     """fp4 "halves" packing: byte p holds elements (p, p + K/2).
 
@@ -421,14 +462,24 @@ def _linear_kernel_fp4_halves(
     (no XLA slicing, no strided loads) — ~8% faster than the pair layout.
     With ``act_fq`` the x half-tiles arrive transposed ((bkp, M)); halves are
     contiguous K ranges, so each fq's its own blocks (see
-    ``_linear_kernel_1byte``)."""
+    ``_linear_kernel_1byte``).  ``pipe_fq``: pipelined j == 0 fill, extra
+    pinned tile-0 refs (:func:`_cache_x_tiles_pipelined`)."""
+    if pipe_fq:
+        xa0_ref, xb0_ref, w_ref, sa_ref, sb_ref, o_ref, acc_ref, *scratch = rest
+    else:
+        w_ref, sa_ref, sb_ref, o_ref, acc_ref, *scratch = rest
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if x_cache:
+    if pipe_fq:
+        _cache_x_tiles_pipelined(
+            k, pl.num_programs(1), act_fq,
+            (xa0_ref, xa_ref, scratch[0]), (xb0_ref, xb_ref, scratch[1]),
+        )
+    elif x_cache:
         _cache_x_tiles(k, act_fq, (xa_ref, scratch[0]), (xb_ref, scratch[1]))
     b = w_ref[:].astype(jnp.int32)
     w_hi, w_lo = decode_fp4_swar_planes(
@@ -728,40 +779,69 @@ def _pin_after_first_sweep(nk: int, offset: int = 0):
     return lambda j, k: (0, jnp.where(j == 0, k, nk - 1) + offset)
 
 
+def _pin_pipelined(nk: int, offset: int = 0):
+    """Index map for the pipelined x-cache fill: the j == 0 sweep streams
+    tile ``min(k+1, nk-1)`` (one tile AHEAD of the dot, see
+    :func:`_cache_x_tiles_pipelined`); later sweeps stay pinned at the last
+    streamed index so Pallas never re-DMAs."""
+    return lambda j, k: (
+        0,
+        jnp.where(j == 0, jnp.minimum(k + 1, nk - 1), nk - 1) + offset,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("elem_name", "bn", "bk", "out_dtype", "act_fq", "x_cache")
+    jax.jit,
+    static_argnames=(
+        "elem_name", "bn", "bk", "out_dtype", "act_fq", "x_cache", "pipe_fq",
+    ),
 )
 def _pallas_matmul_1byte(
-    x, w_codes, w_scale, elem_name, bn, bk, out_dtype, act_fq=None, x_cache=False
+    x, w_codes, w_scale, elem_name, bn, bk, out_dtype, act_fq=None, x_cache=False,
+    pipe_fq=False,
 ):
     M, K = x.shape
     N = w_codes.shape[1]
     grid = (N // bn, K // bk)
     kernel = functools.partial(
-        _linear_kernel_1byte, elem_name=elem_name, act_fq=act_fq, x_cache=x_cache
+        _linear_kernel_1byte, elem_name=elem_name, act_fq=act_fq, x_cache=x_cache,
+        pipe_fq=pipe_fq,
     )
     scratch = [pltpu.VMEM((M, bn), jnp.float32)]
+    x_args = ()
     # With fused act-fq the kernel wants x transposed (MX blocks on
     # sublanes): one XLA transpose outside replaces the separate
     # fake-quantize pass's full HBM round trip.
     if x_cache:
-        x_spec = pl.BlockSpec(
-            (M, bk), _pin_after_first_sweep(K // bk), memory_space=pltpu.VMEM
-        )
+        if pipe_fq:
+            x_spec = pl.BlockSpec(
+                (M, bk), _pin_pipelined(K // bk), memory_space=pltpu.VMEM
+            )
+            x0_spec = pl.BlockSpec(
+                (M, bk), lambda j, k: (0, 0), memory_space=pltpu.VMEM
+            )
+            x_args = (x,)
+        else:
+            x_spec = pl.BlockSpec(
+                (M, bk), _pin_after_first_sweep(K // bk), memory_space=pltpu.VMEM
+            )
         scratch.append(pltpu.VMEM((K // bk, M, bk), jnp.bfloat16))
     elif act_fq is None:
         x_spec = pl.BlockSpec((M, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM)
     else:
         x = x.T  # (K, M)
         x_spec = pl.BlockSpec((bk, M), lambda j, k: (k, 0), memory_space=pltpu.VMEM)
+    in_specs = [x_spec]
+    if pipe_fq:
+        in_specs.append(x0_spec)
+    in_specs += [
+        pl.BlockSpec((bk, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // BLOCK, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+    ]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((bk, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // BLOCK, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=scratch,
@@ -775,7 +855,7 @@ def _pallas_matmul_1byte(
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x, w_codes, w_scale)
+    )(x, *x_args, w_codes, w_scale)
 
 
 @functools.partial(jax.jit, static_argnames=("bn", "bk", "out_dtype", "act_fq"))
@@ -818,10 +898,10 @@ def _pallas_matmul_fp4(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bn", "bk", "out_dtype", "act_fq", "x_cache")
+    jax.jit, static_argnames=("bn", "bk", "out_dtype", "act_fq", "x_cache", "pipe_fq")
 )
 def _pallas_matmul_fp4_halves(
-    x, w_data, w_scale, bn, bk, out_dtype, act_fq=None, x_cache=False
+    x, w_data, w_scale, bn, bk, out_dtype, act_fq=None, x_cache=False, pipe_fq=False
 ):
     M, K = x.shape
     N = w_data.shape[1]
@@ -829,13 +909,19 @@ def _pallas_matmul_fp4_halves(
     nko = (K // 2) // bkp  # lo-half offset, in bkp-sized column tiles of x
     grid = (N // bn, K // bk)
     scratch = [pltpu.VMEM((M, bn), jnp.float32)]
+    x_args = ()
     if x_cache:
-        xa_spec = pl.BlockSpec(
-            (M, bkp), _pin_after_first_sweep(K // bk), memory_space=pltpu.VMEM
-        )
-        xb_spec = pl.BlockSpec(
-            (M, bkp), _pin_after_first_sweep(K // bk, nko), memory_space=pltpu.VMEM
-        )
+        pin = _pin_pipelined if pipe_fq else _pin_after_first_sweep
+        xa_spec = pl.BlockSpec((M, bkp), pin(K // bk), memory_space=pltpu.VMEM)
+        xb_spec = pl.BlockSpec((M, bkp), pin(K // bk, nko), memory_space=pltpu.VMEM)
+        if pipe_fq:
+            xa0_spec = pl.BlockSpec(
+                (M, bkp), lambda j, k: (0, 0), memory_space=pltpu.VMEM
+            )
+            xb0_spec = pl.BlockSpec(
+                (M, bkp), lambda j, k: (0, nko), memory_space=pltpu.VMEM
+            )
+            x_args = (x, x)
         scratch += [pltpu.VMEM((K // bk, M, bkp), jnp.bfloat16)] * 2
     elif act_fq is None:
         xa_spec = pl.BlockSpec((M, bkp), lambda j, k: (0, k), memory_space=pltpu.VMEM)
@@ -848,18 +934,22 @@ def _pallas_matmul_fp4_halves(
         xb_spec = pl.BlockSpec(
             (bkp, M), lambda j, k: (k + nko, 0), memory_space=pltpu.VMEM
         )
+    in_specs = [xa_spec, xb_spec]
+    if pipe_fq:
+        in_specs += [xa0_spec, xb0_spec]
+    in_specs += [
+        pl.BlockSpec((bkp, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkp // BLOCK, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (bkp // BLOCK, bn), lambda j, k: (k + nko, j), memory_space=pltpu.VMEM
+        ),
+    ]
     return pl.pallas_call(
-        functools.partial(_linear_kernel_fp4_halves, act_fq=act_fq, x_cache=x_cache),
+        functools.partial(
+            _linear_kernel_fp4_halves, act_fq=act_fq, x_cache=x_cache, pipe_fq=pipe_fq
+        ),
         grid=grid,
-        in_specs=[
-            xa_spec,
-            xb_spec,
-            pl.BlockSpec((bkp, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bkp // BLOCK, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (bkp // BLOCK, bn), lambda j, k: (k + nko, j), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=scratch,
@@ -873,7 +963,7 @@ def _pallas_matmul_fp4_halves(
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x, x, w_data, w_scale, w_scale)
+    )(x, x, *x_args, w_data, w_scale, w_scale)
 
 
 # Conservative VMEM budget for one kernel invocation: fp32 accumulator +
@@ -891,6 +981,7 @@ def _pick_tiles(
     min_bk: int = 0,
     extra_bytes: int = 0,
     budget: int = 0,
+    x_bufs: int = 2,
 ):
     """Largest output-column tile that fits VMEM.
 
@@ -922,7 +1013,7 @@ def _pick_tiles(
         for bk in bks:
             if (bk // BLOCK) % 8 != 0 and bk != K:
                 continue
-            vmem = M * bn * 8 + 2 * (M * bk * 2) + 2 * int(bk * bn * w_bytes)
+            vmem = M * bn * 8 + x_bufs * (M * bk * 2) + 2 * int(bk * bn * w_bytes)
             if vmem + extra_bytes <= (budget or _VMEM_BUDGET):
                 return bn, bk
     return None
@@ -987,9 +1078,11 @@ def plan_matmul_cached(
         # even/odd K-planes; the halves layout is the production fp4 path).
         return None
     w_bytes, min_bk = _format_geometry(elem_name, fp4_pack)
+    # x_bufs=4: the pipelined-fq variant (default) holds the streaming tile
+    # AND the pinned tile-0 prologue ref, each double-buffered.
     plan = _pick_tiles(
         Mp, N, K, w_bytes, min_bk,
-        extra_bytes=Mp * K * 2, budget=_VMEM_CACHE_BUDGET,
+        extra_bytes=Mp * K * 2, budget=_VMEM_CACHE_BUDGET, x_bufs=4,
     )
     if plan is None or N // plan[0] <= 1:
         return None
@@ -1016,10 +1109,16 @@ def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]
         act_fq = None
     if pad_m:
         x_hp = jnp.pad(x_hp, ((0, pad_m), (0, 0)))
+    # Pipelined j==0 fq (overlap the activation quantize with the MXU dots);
+    # only meaningful when the kernel fq's into the x-cache.
+    pipe_fq = bool(
+        x_cache and act_fq is not None and env.TORCHMX_FQ_PIPELINE == "1"
+    )
     if w.elem_dtype == dtypes.float4_e2m1:
         if w.fp4_pack == "halves":
             out = _pallas_matmul_fp4_halves(
-                x_hp, w.data, w.scale_e8m0, bn, bk, out_dtype, act_fq, x_cache
+                x_hp, w.data, w.scale_e8m0, bn, bk, out_dtype, act_fq, x_cache,
+                pipe_fq,
             )
         else:
             out = _pallas_matmul_fp4(
@@ -1033,7 +1132,7 @@ def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]
     else:
         out = _pallas_matmul_1byte(
             x_hp, w.data, w.scale_e8m0, w.elem_dtype.name, bn, bk, out_dtype, act_fq,
-            x_cache,
+            x_cache, pipe_fq,
         )
     return out[:M] if pad_m else out
 

@@ -14,6 +14,7 @@ from .pipeline import (  # noqa: F401
     pipeline_apply,
     pipeline_decode_model,
     pipeline_model,
+    shard_staged_params,
 )
 from .mesh import (  # noqa: F401
     DATA_AXIS,
