@@ -481,6 +481,7 @@ def test_x_cache_path_bit_identical(ename, pack):
 @pytest.mark.parametrize("ename,pack", [
     ("float8_e4m3", "pair"),
     ("float4_e2m1", "halves"),
+    ("float6_e3m2", "quarters"),
 ])
 def test_pipelined_fq_cache_bit_identical(ename, pack):
     """The software-pipelined j==0 fq fill (fq tile k+1 while dotting cached
@@ -494,6 +495,8 @@ def test_pipelined_fq_cache_bit_identical(ename, pack):
     w_km = MXArray.to_mx(w, ename, 32).T
     if pack == "halves":
         w_km = w_km.to_fp4_halves()
+    elif pack == "quarters":
+        w_km = w_km.to_fp6_quarters()
     x = rand_bf16(41, (M, K), spread=1.0)
     run = {
         "pair": lambda pipe: pm._pallas_matmul_1byte(
@@ -502,6 +505,10 @@ def test_pipelined_fq_cache_bit_identical(ename, pack):
         ),
         "halves": lambda pipe: pm._pallas_matmul_fp4_halves(
             x, w_km.data, w_km.scale_e8m0, bn, bk, jnp.bfloat16,
+            "float8_e4m3", True, pipe,
+        ),
+        "quarters": lambda pipe: pm._pallas_matmul_fp6q(
+            x, w_km.data, w_km.scale_e8m0, ename, bn, bk, jnp.bfloat16,
             "float8_e4m3", True, pipe,
         ),
     }[pack]

@@ -504,9 +504,9 @@ def _linear_kernel_fp4_halves(
 
 
 def _linear_kernel_fp6q(
-    xa_ref, xb_ref, xc_ref, xd_ref, p0_ref, p1_ref, p2_ref,
-    s0_ref, s1_ref, s2_ref, s3_ref, o_ref, acc_ref,
-    *scratch, elem_name: str, act_fq: Optional[str], x_cache: bool = False
+    xa_ref, xb_ref, xc_ref, xd_ref, *rest,
+    elem_name: str, act_fq: Optional[str], x_cache: bool = False,
+    pipe_fq: bool = False,
 ):
     """fp6 "quarters" packing: 4 elements per 3 HBM bytes, planar.
 
@@ -515,8 +515,15 @@ def _linear_kernel_fp6q(
     interleave — then concatenate on sublanes into one (bk, bn) operand for
     a single full-K tile dot.  25% less weight HBM than the 1-byte fp6
     layout, which is what makes MXFP6 cheaper than MXFP8 at decode (the
-    kernel is weight-bandwidth-bound there).
+    kernel is weight-bandwidth-bound there).  ``pipe_fq``: pipelined j == 0
+    fill, extra pinned tile-0 refs (:func:`_cache_x_tiles_pipelined`).
     """
+    if pipe_fq:
+        (xa0_ref, xb0_ref, xc0_ref, xd0_ref, p0_ref, p1_ref, p2_ref,
+         s0_ref, s1_ref, s2_ref, s3_ref, o_ref, acc_ref, *scratch) = rest
+    else:
+        (p0_ref, p1_ref, p2_ref,
+         s0_ref, s1_ref, s2_ref, s3_ref, o_ref, acc_ref, *scratch) = rest
     elem = dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name]
     k = pl.program_id(1)
 
@@ -524,7 +531,13 @@ def _linear_kernel_fp6q(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if x_cache:
+    if pipe_fq:
+        _cache_x_tiles_pipelined(
+            k, pl.num_programs(1), act_fq,
+            (xa0_ref, xa_ref, scratch[0]), (xb0_ref, xb_ref, scratch[1]),
+            (xc0_ref, xc_ref, scratch[2]), (xd0_ref, xd_ref, scratch[3]),
+        )
+    elif x_cache:
         _cache_x_tiles(
             k, act_fq, *zip((xa_ref, xb_ref, xc_ref, xd_ref), scratch)
         )
@@ -563,10 +576,14 @@ def _linear_kernel_fp6q(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("elem_name", "bn", "bk", "out_dtype", "act_fq", "x_cache")
+    jax.jit,
+    static_argnames=(
+        "elem_name", "bn", "bk", "out_dtype", "act_fq", "x_cache", "pipe_fq",
+    ),
 )
 def _pallas_matmul_fp6q(
-    x, w_data, w_scale, elem_name, bn, bk, out_dtype, act_fq=None, x_cache=False
+    x, w_data, w_scale, elem_name, bn, bk, out_dtype, act_fq=None, x_cache=False,
+    pipe_fq=False,
 ):
     M, K = x.shape
     N = w_data.shape[1]
@@ -575,9 +592,16 @@ def _pallas_matmul_fp6q(
     grid = (N // bn, K // bk)
     scratch = [pltpu.VMEM((M, bn), jnp.float32)]
     if x_cache:
+        pin = _pin_pipelined if pipe_fq else _pin_after_first_sweep
+
         def xq_spec(qi):
             return pl.BlockSpec(
-                (M, bkq), _pin_after_first_sweep(nq, qi * nq), memory_space=pltpu.VMEM
+                (M, bkq), pin(nq, qi * nq), memory_space=pltpu.VMEM
+            )
+
+        def xq0_spec(qi):
+            return pl.BlockSpec(
+                (M, bkq), lambda j, k, qi=qi: (0, qi * nq), memory_space=pltpu.VMEM
             )
 
         scratch += [pltpu.VMEM((K // bk, M, bkq), jnp.bfloat16)] * 4
@@ -606,12 +630,15 @@ def _pallas_matmul_fp6q(
         )
 
     kernel = functools.partial(
-        _linear_kernel_fp6q, elem_name=elem_name, act_fq=act_fq, x_cache=x_cache
+        _linear_kernel_fp6q, elem_name=elem_name, act_fq=act_fq, x_cache=x_cache,
+        pipe_fq=pipe_fq,
     )
+    x_args = (x, x, x, x) if pipe_fq else ()
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[xq_spec(i) for i in range(4)]
+        + ([xq0_spec(i) for i in range(4)] if pipe_fq else [])
         + [plane_spec(i) for i in range(3)]
         + [scale_spec(i) for i in range(4)],
         out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
@@ -627,7 +654,7 @@ def _pallas_matmul_fp6q(
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x, x, x, x, w_data, w_data, w_data, w_scale, w_scale, w_scale, w_scale)
+    )(x, x, x, x, *x_args, w_data, w_data, w_data, w_scale, w_scale, w_scale, w_scale)
 
 
 # ---------------------------------------------------------------------------
@@ -1127,7 +1154,7 @@ def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]
     elif w.fp4_pack == "quarters":
         out = _pallas_matmul_fp6q(
             x_hp, w.data, w.scale_e8m0, w.elem_dtype.name, bn, bk, out_dtype, act_fq,
-            x_cache,
+            x_cache, pipe_fq,
         )
     else:
         out = _pallas_matmul_1byte(
