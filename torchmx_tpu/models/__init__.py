@@ -15,6 +15,7 @@ from .llama import (  # noqa: F401
 from . import evaluate, serve  # noqa: F401
 from .generate import generate  # noqa: F401
 from .serve import DecodeEngine  # noqa: F401
+from .speculate import generate_speculative  # noqa: F401
 from .qwen2 import (  # noqa: F401
     Qwen2Attention,
     Qwen2Config,
