@@ -70,6 +70,115 @@ def test_speculative_quantized_with_mx_cache():
     assert stats["tokens"] == got.size
 
 
+def _engine_collect(engine, slot, n):
+    toks, steps = [], 0
+    while len(toks) < n and engine.is_active(slot):
+        out = engine.step()
+        if slot in out:
+            toks.append(out[slot])
+        steps += 1
+        assert steps < 20 * n
+    return toks, steps
+
+
+def test_engine_speculative_matches_plain_stream():
+    """DecodeEngine with speculation: emitted streams equal plain greedy
+    generate() on the unquantized trained checkpoint, and the engine runs
+    FEWER forwards than tokens (queued tokens pop without a dispatch)."""
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    prompt = [int(t) for t in corpus[3000:3024]]
+    n = 24
+    ref = np.asarray(
+        generate(model, jnp.asarray([prompt], jnp.int32), max_new_tokens=n)
+    )[0].tolist()
+
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    engine = DecodeEngine(model, max_batch=2, max_len=128,
+                          speculative_draft_len=7)
+    slot = engine.add(prompt)
+    got, steps = _engine_collect(engine, slot, n)
+    assert got == ref
+    # Acceptance on repo text must make some steps dispatch-free.
+    assert engine._step_count < steps + 2, (engine._step_count, steps)
+    assert engine._step_count < n, (engine._step_count, n)
+
+
+def test_engine_speculative_staggered_and_eos():
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    p1 = [int(t) for t in corpus[4000:4016]]
+    p2 = [int(t) for t in corpus[5000:5020]]
+    r1 = np.asarray(
+        generate(model, jnp.asarray([p1], jnp.int32), max_new_tokens=12)
+    )[0].tolist()
+    r2 = np.asarray(
+        generate(model, jnp.asarray([p2], jnp.int32), max_new_tokens=8)
+    )[0].tolist()
+
+    engine = DecodeEngine(model, max_batch=2, max_len=128,
+                          speculative_draft_len=5)
+    s1 = engine.add(p1)
+    got1 = []
+    for _ in range(4):  # s1 decodes alone first
+        out = engine.step()
+        if s1 in out:
+            got1.append(out[s1])
+    s2 = engine.add(p2)
+    got2 = []
+    while len(got1) < 12 or len(got2) < 8:
+        out = engine.step()
+        if s1 in out and len(got1) < 12:
+            got1.append(out[s1])
+        if s2 in out and len(got2) < 8:
+            got2.append(out[s2])
+    assert got1 == r1 and got2 == r2
+
+    # EOS: declare the 3rd greedy token EOS — the engine must emit exactly
+    # the first two and auto-release without emitting the EOS (even when the
+    # EOS was accepted mid-draft).
+    eng2 = DecodeEngine(model, max_batch=1, max_len=128,
+                        speculative_draft_len=5, eos_token_id=r1[2])
+    # r1 must not repeat the EOS earlier.
+    if r1[2] not in r1[:2]:
+        slot = eng2.add(p1)
+        emitted = []
+        steps = 0
+        while eng2.is_active(slot):
+            out = eng2.step()
+            emitted += [out[slot]] if slot in out else []
+            steps += 1
+            assert steps < 64
+        assert emitted == r1[:2]
+        assert eng2.finished_reason[slot] == "eos"
+
+
+def test_engine_speculative_cache_full_drains():
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    prompt = [int(t) for t in corpus[6000:6008]]
+    engine = DecodeEngine(model, max_batch=1, max_len=32,
+                          speculative_draft_len=5)
+    slot = engine.add(prompt)
+    ref = np.asarray(
+        generate(model, jnp.asarray([prompt], jnp.int32), max_new_tokens=30)
+    )[0].tolist()
+    emitted = []
+    steps = 0
+    while engine.is_active(slot):
+        out = engine.step()
+        emitted += [out[slot]] if slot in out else []
+        steps += 1
+        assert steps < 128
+    assert engine.finished_reason[slot] == "cache_full"
+    # Every emitted token is the true greedy continuation (a prefix of ref);
+    # capacity loss vs the plain engine is at most draft_len + 1 tokens.
+    assert emitted == ref[: len(emitted)]
+    assert len(emitted) >= 32 - len(prompt) + 1 - 6
+
+
 def test_speculative_single_row_and_draft_params():
     model, cfg, corpus = trained_tiny_quantized(quantize=False)
     prompt = jnp.asarray(corpus[None, 500:532], jnp.int32)

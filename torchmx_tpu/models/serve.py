@@ -66,6 +66,16 @@ class DecodeEngine:
         top_k: with sampling, restrict to the k highest-probability tokens
             (0 = no restriction).
         seed: PRNG seed for sampling.
+        speculative_draft_len: enable prompt-lookup SPECULATION (greedy
+            only): each forward verifies this many drafted tokens per slot
+            in one (K+1)-token step, accepted tokens queue per slot, and
+            ``step()`` pops one per call — steps whose slots all hold queued
+            tokens skip the forward entirely, so the average weight sweeps
+            per emitted token drop to ``1/(1 + mean accepted)``.  Emitted
+            streams are exact greedy (every token is the verify pass's own
+            argmax).  Costs ``K+1`` tokens of per-slot cache headroom (a
+            slot drains once ``pos + K + 1`` would exceed ``max_len``).
+        speculative_ngram: longest n-gram suffix tried by the draft lookup.
     """
 
     def __init__(
@@ -83,6 +93,8 @@ class DecodeEngine:
         seed: int = 0,
         mesh=None,
         batch_axis: str = "data",
+        speculative_draft_len: Optional[int] = None,
+        speculative_ngram: int = 3,
     ):
         self.model = model
         self.max_batch = max_batch
@@ -122,6 +134,20 @@ class DecodeEngine:
         # Slot's cache is full but its final computed token is still
         # unemitted: one more step() emits it, then the slot evicts.
         self._draining = np.zeros((max_batch,), bool)
+        self.speculative_draft_len = speculative_draft_len
+        self.speculative_ngram = int(speculative_ngram)
+        if speculative_draft_len is not None:
+            assert speculative_draft_len >= 1
+            assert self.temperature == 0.0, (
+                "speculation is greedy-only (sampling acceptance would need "
+                "rejection sampling)"
+            )
+            # Per-slot token history (prompt + emitted + pending) feeding the
+            # prompt-lookup drafts, accepted-token queues, and deferred
+            # evictions (emit the queue first, then evict).
+            self._history: List[list] = [[] for _ in range(max_batch)]
+            self._queue: List[list] = [[] for _ in range(max_batch)]
+            self._evict_after_queue: Dict[int, str] = {}
         self._slot_cache_template = model.init_cache(1, max_len, kv_cache_config)
         # Cache-leaf axis holding the request slot: 0 for per-layer cache
         # lists, 1 for stacked (layer-leading) caches (ScanLlamaForCausalLM).
@@ -223,10 +249,28 @@ class DecodeEngine:
             )[:, 0, :]
             return _select_token(last, key, temp, topk), new_caches
 
+        def verify_step(state, caches, tokens, pos):
+            """Speculative verify: tokens (B, K+1) = [pending token, drafts]
+            at per-row positions pos..pos+K; returns the greedy prediction
+            after every input token (B, K+1).  Stale rows a rejection leaves
+            behind are invisible (per-row kv_len masking) and get rewritten
+            by the slot's next verify."""
+            m = nnx.merge(graphdef, state)
+            s = tokens.shape[1]
+            logits, new_caches = m(
+                tokens,
+                attention_mask=None,
+                position_ids=pos[:, None] + jnp.arange(s)[None, :],
+                caches=caches,
+                cache_position=pos,
+            )
+            return jnp.argmax(logits, -1).astype(jnp.int32), new_caches
+
         self._prefill_one = jax.jit(prefill_one)
         self._prefill_chunk_fn = jax.jit(prefill_chunk_fn, donate_argnums=(1,))
         self._scatter_slot = jax.jit(scatter_slot, donate_argnums=(0,))
         self._decode_step = jax.jit(decode_step, donate_argnums=(1,))
+        self._verify_step = jax.jit(verify_step, donate_argnums=(1,))
 
     # -- request lifecycle -----------------------------------------------------
 
@@ -294,6 +338,10 @@ class DecodeEngine:
         self.pos[slot] = n
         self.active[slot] = True
         self.finished_reason.pop(slot, None)
+        if self.speculative_draft_len is not None:
+            self._history[slot] = list(int(t) for t in prompt_ids)
+            self._queue[slot] = []
+            self._evict_after_queue.pop(slot, None)
         if int(token[0]) in self.eos_token_ids:
             # The prompt's very first continuation is EOS: nothing to emit.
             self._evict(slot, "eos")
@@ -316,6 +364,8 @@ class DecodeEngine:
         )
         if not decoding.any():
             return {}
+        if self.speculative_draft_len is not None:
+            return self._step_speculative(decoding)
         nxt, self._caches = self._decode_step(
             self._state,
             self._caches,
@@ -348,6 +398,77 @@ class DecodeEngine:
                 self._draining[i] = True
         return out
 
+    def _step_speculative(self, decoding: np.ndarray) -> Dict[int, int]:
+        """Speculative step: verify drafted tokens for every slot that can
+        still take a (K+1)-token write, queue the accepted tokens, pop one
+        per slot.  Steps where every slot holds queued tokens skip the
+        forward entirely — that skip is the speedup."""
+        from .speculate import _draft
+
+        K = self.speculative_draft_len
+        B = self.max_batch
+        headroom = self.pos + K + 1 <= self.max_len
+        participate = [
+            i for i in range(B)
+            if decoding[i] and headroom[i] and i not in self._evict_after_queue
+        ]
+        if any(not self._queue[i] for i in participate):
+            tokens = np.zeros((B, K + 1), np.int32)
+            for i in participate:
+                hist = self._history[i] + [int(self._next_token[i])]
+                tokens[i, 0] = self._next_token[i]
+                tokens[i, 1:] = _draft(hist, self.speculative_ngram, K)
+            preds, self._caches = self._verify_step(
+                self._state,
+                self._caches,
+                jnp.asarray(tokens),
+                jnp.asarray(self.pos),
+            )
+            preds = np.asarray(preds)
+            for i in participate:
+                a = 0
+                while a < K and tokens[i, a + 1] == preds[i, a]:
+                    a += 1
+                # Emittable now: the pending token (its K/V row was written
+                # by this verify) plus the matched drafts; the bonus
+                # prediction becomes the new pending token.
+                emit = [int(tokens[i, 0])] + [int(t) for t in preds[i, :a]]
+                self.pos[i] += a + 1
+                bonus = int(preds[i, a])
+                # EOS inside the accepted run: emit up to (not including) it,
+                # then evict once the queue drains (EOS itself never emits).
+                cut = next(
+                    (j for j, t in enumerate(emit[1:], 1)
+                     if t in self.eos_token_ids),
+                    None,
+                )
+                if cut is not None:
+                    emit = emit[:cut]
+                    self._evict_after_queue[i] = "eos"
+                elif bonus in self.eos_token_ids:
+                    self._evict_after_queue[i] = "eos"
+                else:
+                    self._next_token[i] = bonus
+                self._history[i].extend(emit)
+                self._queue[i].extend(emit)
+        out: Dict[int, int] = {}
+        for i in range(B):
+            if not decoding[i]:
+                continue
+            if self._queue[i]:
+                out[i] = self._queue[i].pop(0)
+                if not self._queue[i] and i in self._evict_after_queue:
+                    self._evict(i, self._evict_after_queue[i])
+            elif i in self._evict_after_queue:
+                self._evict(i, self._evict_after_queue[i])
+            elif not headroom[i]:
+                # No room for another (K+1)-token verify: emit the valid
+                # pending token and retire the slot (costs up to K+1 tokens
+                # of cache capacity vs the non-speculative engine).
+                out[i] = int(self._next_token[i])
+                self._evict(i, "cache_full")
+        return out
+
     def _advance_pending_chunk(self) -> None:
         """Run ONE chunk of the oldest pending admission (bounded stall)."""
         slot = next(iter(self._pending))
@@ -372,6 +493,10 @@ class DecodeEngine:
             self._caches = self._scatter_slot(self._caches, p["caches"], slot)
             self._next_token[slot] = int(token[0])
             self.pos[slot] = n
+            if self.speculative_draft_len is not None:
+                self._history[slot] = [int(t) for t in p["ids"]]
+                self._queue[slot] = []
+                self._evict_after_queue.pop(slot, None)
             if int(token[0]) in self.eos_token_ids:
                 self._evict(slot, "eos")
 
@@ -380,6 +505,10 @@ class DecodeEngine:
         self.pos[slot] = 0
         self._draining[slot] = False
         self._pending.pop(slot, None)
+        if self.speculative_draft_len is not None:
+            self._queue[slot] = []
+            self._history[slot] = []
+            self._evict_after_queue.pop(slot, None)
 
     def _evict(self, slot: int, reason: str) -> None:
         self._deactivate(slot)
