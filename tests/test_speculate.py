@@ -41,10 +41,37 @@ def test_speculative_matches_plain_greedy_unquantized():
         model, prompt, max_new_tokens=24, return_stats=True
     )
     np.testing.assert_array_equal(np.asarray(got), ref)
-    # Repo text is repetitive: prompt lookup must actually accept drafts
-    # (otherwise the test regresses to 1 token/step and proves nothing).
+    assert stats["tokens"] == 4 * 24, stats
+
+
+def test_speculative_acceptance_on_repetitive_text():
+    """The acceptance gate: on a longer generation over repo text the
+    prompt-lookup drafts must actually land (mean accepted well above zero,
+    i.e. measurably fewer verify steps than tokens) — otherwise speculation
+    degrades to 1 token/forward and the speedup claim is empty."""
+    from tests.test_parallel import (
+        _greedy_stream_sequential,
+        assert_streams_equal_outside_ties,
+    )
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    prompt = jnp.asarray(np.asarray(corpus[4985 : 4985 + 64])[None], jnp.int32)
+    n = 128
+    ref, margins = _greedy_stream_sequential(model, prompt, n, None, 64 + n + 16)
+    got, stats = generate_speculative(
+        model, prompt, max_new_tokens=n, return_stats=True
+    )
+    # 128 tokens give legal sq=1-vs-sq=8 compilation drift a chance to flip
+    # a near-tie argmax, after which the streams legitimately diverge — the
+    # tie-aware gate requires any divergence to sit at a sub-tie margin but
+    # does not bound where it happens (exactness at short horizons is pinned
+    # by the tests above; this test's subject is ACCEPTANCE).
+    assert_streams_equal_outside_ties(np.asarray(got), ref, margins,
+                                      min_compared=0.0)
+    # Measured 0.55 accepted drafts/step on this stretch; gate at 0.3 to
+    # absorb checkpoint retrains.
     assert stats["mean_accepted"] > 0.3, stats
-    assert stats["steps"] < 4 * 24, stats
+    assert stats["steps"] < 0.85 * n, stats
 
 
 def test_speculative_quantized_with_mx_cache():
@@ -99,9 +126,10 @@ def test_engine_speculative_matches_plain_stream():
     slot = engine.add(prompt)
     got, steps = _engine_collect(engine, slot, n)
     assert got == ref
-    # Acceptance on repo text must make some steps dispatch-free.
-    assert engine._step_count < steps + 2, (engine._step_count, steps)
-    assert engine._step_count < n, (engine._step_count, n)
+    # Acceptance on repo text must make some steps dispatch-free: the engine
+    # counts its verify forwards, and there must be meaningfully fewer than
+    # tokens emitted (every verify emits at least one accepted token).
+    assert 0 < engine.spec_verify_count < n, (engine.spec_verify_count, n)
 
 
 def test_engine_speculative_staggered_and_eos():

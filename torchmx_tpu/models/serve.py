@@ -127,6 +127,17 @@ class DecodeEngine:
         #: why a slot auto-released: "eos" or "cache_full"; cleared by add().
         self.finished_reason: Dict[int, str] = {}
         self._next_token = np.zeros((max_batch,), np.int32)
+        if prefill_chunk is not None and max_len % prefill_chunk != 0:
+            # Chunk writes are (1, prefill_chunk)-wide dynamic_update_slices
+            # at offsets that are chunk multiples; a final padded chunk whose
+            # window would cross max_len gets its start CLAMPED by XLA,
+            # relocating pad K/V over valid earlier positions — silent
+            # corruption.  Divisibility keeps every window in bounds.
+            raise ValueError(
+                f"prefill_chunk {prefill_chunk} must divide max_len "
+                f"{max_len} (pad rows of the last chunk would otherwise "
+                f"clamp-relocate over valid cache positions)"
+            )
         self.prefill_chunk = prefill_chunk
         self._kv_cache_config = kv_cache_config
         # Chunked admissions in flight: slot -> {"ids", "done", "caches"}.
@@ -148,6 +159,9 @@ class DecodeEngine:
             self._history: List[list] = [[] for _ in range(max_batch)]
             self._queue: List[list] = [[] for _ in range(max_batch)]
             self._evict_after_queue: Dict[int, str] = {}
+            #: verify forwards dispatched; the speedup claim is
+            #: spec_verify_count << tokens emitted (tested).
+            self.spec_verify_count = 0
         self._slot_cache_template = model.init_cache(1, max_len, kv_cache_config)
         # Cache-leaf axis holding the request slot: 0 for per-layer cache
         # lists, 1 for stacked (layer-leading) caches (ScanLlamaForCausalLM).
@@ -403,7 +417,7 @@ class DecodeEngine:
         still take a (K+1)-token write, queue the accepted tokens, pop one
         per slot.  Steps where every slot holds queued tokens skip the
         forward entirely — that skip is the speedup."""
-        from .speculate import _draft
+        from .speculate import _accept_prefix, _draft
 
         K = self.speculative_draft_len
         B = self.max_batch
@@ -425,10 +439,9 @@ class DecodeEngine:
                 jnp.asarray(self.pos),
             )
             preds = np.asarray(preds)
+            self.spec_verify_count += 1
             for i in participate:
-                a = 0
-                while a < K and tokens[i, a + 1] == preds[i, a]:
-                    a += 1
+                a = _accept_prefix(tokens[i, 1:], preds[i], K)
                 # Emittable now: the pending token (its K/V row was written
                 # by this verify) plus the matched drafts; the bonus
                 # prediction becomes the new pending token.

@@ -81,6 +81,17 @@ def _session(model):
     return built
 
 
+def _accept_prefix(drafts_row, preds_row, k: int) -> int:
+    """Number of drafted tokens accepted: the longest prefix where each
+    draft equals the model's greedy prediction after the previous token.
+    Shared by :func:`generate_speculative` and the engine's speculative
+    step so the acceptance rule cannot drift between them."""
+    a = 0
+    while a < k and int(drafts_row[a]) == int(preds_row[a]):
+        a += 1
+    return a
+
+
 def _draft(row: list, ngram: int, k: int) -> list:
     """Prompt-lookup draft: find the most recent earlier occurrence of the
     last ``ngram`` tokens and return the ``k`` tokens that followed it
@@ -121,9 +132,12 @@ def generate_speculative(
     _, state = nnx.split(model)
     b, s = input_ids.shape
     K = draft_len
-    # Verify steps advance up to K+1 positions past pos; pos can reach
-    # s + max_new_tokens - 1 before the loop exits.
-    max_len = s + max_new_tokens + K + 1
+    # Cache headroom: a row's pos can overshoot its quota by up to K in its
+    # final accepting step (reaching s + max_new_tokens + K - 1), and a
+    # FINISHED row keeps riding later verify batches, writing (harmlessly
+    # masked) rows up to that frozen pos + K — so allocate 2K of slack to
+    # keep every write in bounds rather than relying on scatter clamping.
+    max_len = s + max_new_tokens + 2 * K + 1
     if kv_cache_config is not None:
         max_len = (max_len + 127) // 128 * 128
     caches = model.init_cache(b, max_len, kv_cache_config)
@@ -162,9 +176,7 @@ def generate_speculative(
             # Accept drafted tokens while they equal the model's own greedy
             # prediction; the first non-matching position still yields one
             # guaranteed token (the model's prediction itself).
-            a = 0
-            while a < K and drafts[i, a] == preds[i, a]:
-                a += 1
+            a = _accept_prefix(drafts[i], preds[i], K)
             new = [int(t) for t in preds[i, : a + 1]]
             out[i].extend(new)
             rows[i].extend(new)
@@ -176,10 +188,13 @@ def generate_speculative(
     )
     if return_stats:
         total = int(sum(min(len(o), max_new_tokens) for o in out))
+        # Each verify step emits (accepted + 1) tokens per row; the prefill
+        # emits 1.  mean_accepted counts DRAFTS only, so the weight-sweep
+        # ratio vs plain decode is exactly 1 / (1 + mean_accepted).
         stats = {
             "steps": steps,
             "tokens": total,
-            "mean_accepted": (total - b) / max(steps, 1) / b,
+            "mean_accepted": (total - b) / max(steps, 1) / b - 1.0,
         }
         return result, stats
     return result

@@ -45,9 +45,12 @@ def shard_staged_params(staged, mesh: Mesh, axis: str, tp_axis: str):
 
     Leaves are ``(n_stages, layers_per_stage, *param_dims)``: dim 0 shards
     over the pipeline ``axis``; the param dims reuse the Megatron rules
-    (``mesh.spec_for_path`` — MXArray payload+scale congruent, K-major
-    transpose, divisibility guard) over ``tp_axis`` (= the ``model`` axis
-    the rules name).
+    (``mesh.spec_for_path`` — K-major transpose, divisibility guard) over
+    ``tp_axis`` (= the ``model`` axis the rules name).  MXArray payload and
+    scale leaves are placed AS A UNIT: the divisibility guard sees both
+    shapes, so a dim whose scale rows do not divide the axis replicates on
+    both (the same joint rule ``shard_model`` enforces) — incongruent
+    payload/scale placements would otherwise make GSPMD insert reshards.
     """
     from jax.sharding import NamedSharding
 
@@ -55,14 +58,33 @@ def shard_staged_params(staged, mesh: Mesh, axis: str, tp_axis: str):
 
     assert tp_axis == _M, f"TP rules name the {_M!r} axis; got {tp_axis!r}"
 
+    def _mx_field(ps: str):
+        """('parent', field) for an MXArray payload/scale leaf, else None."""
+        for field in ("data", "scale_e8m0"):
+            if ps.endswith("." + field):
+                return ps[: -len(field) - 1], field
+        return None
+
+    # First pass: collect MXArray units (payload+scale shapes per parent).
+    units = {}
+
+    def collect(path, leaf):
+        mf = _mx_field(_path_str(path))
+        if mf is not None:
+            units.setdefault(mf[0], {})[mf[1]] = leaf.shape
+
+    jax.tree_util.tree_map_with_path(collect, staged)
+
     def place(path, leaf):
         ps = _path_str(path)
-        is_mx = ps.endswith(".data") or ps.endswith(".scale_e8m0") or (
-            ".scale_e8m0" in ps or ".data" in ps
-        )
-        base = spec_for_path(ps, leaf.ndim - 2, is_mx=is_mx)
+        mf = _mx_field(ps)
+        base = spec_for_path(ps, leaf.ndim - 2, is_mx=mf is not None)
         full = P(axis, None, *base)
-        full = _drop_indivisible(full, (leaf.shape,), mesh)
+        if mf is not None and len(units.get(mf[0], {})) == 2:
+            shapes = tuple(units[mf[0]].values())
+        else:
+            shapes = (leaf.shape,)
+        full = _drop_indivisible(full, shapes, mesh)
         return jax.device_put(leaf, NamedSharding(mesh, full))
 
     return jax.tree_util.tree_map_with_path(place, staged)
