@@ -264,21 +264,9 @@ class DecodeEngine:
             return _select_token(last, key, temp, topk), new_caches
 
         def verify_step(state, caches, tokens, pos):
-            """Speculative verify: tokens (B, K+1) = [pending token, drafts]
-            at per-row positions pos..pos+K; returns the greedy prediction
-            after every input token (B, K+1).  Stale rows a rejection leaves
-            behind are invisible (per-row kv_len masking) and get rewritten
-            by the slot's next verify."""
-            m = nnx.merge(graphdef, state)
-            s = tokens.shape[1]
-            logits, new_caches = m(
-                tokens,
-                attention_mask=None,
-                position_ids=pos[:, None] + jnp.arange(s)[None, :],
-                caches=caches,
-                cache_position=pos,
-            )
-            return jnp.argmax(logits, -1).astype(jnp.int32), new_caches
+            from .speculate import verify_forward
+
+            return verify_forward(graphdef, state, caches, tokens, pos)
 
         self._prefill_one = jax.jit(prefill_one)
         self._prefill_chunk_fn = jax.jit(prefill_chunk_fn, donate_argnums=(1,))

@@ -61,24 +61,33 @@ def _session(model):
 
     @functools.partial(jax.jit, static_argnames="max_len")
     def verify(state, tokens, pos, caches, max_len):
-        """tokens (b, K+1) = [last accepted, draft_0..draft_{K-1}] at
-        positions pos..pos+K (per-row ``pos``).  Returns the greedy
-        prediction AFTER each input token: (b, K+1) int32."""
-        m = nnx.merge(graphdef, state)
-        b, s = tokens.shape
-        position_ids = pos[:, None] + jnp.arange(s)[None, :]
-        logits, new_caches = m(
-            tokens,
-            attention_mask=None,
-            position_ids=position_ids,
-            caches=caches,
-            cache_position=pos,
-        )
-        return jnp.argmax(logits, -1).astype(jnp.int32), new_caches
+        return verify_forward(graphdef, state, caches, tokens, pos)
 
     built = (prefill, verify)
     _SESSIONS[model] = (graphdef, built)
     return built
+
+
+def verify_forward(graphdef, state, caches, tokens, pos):
+    """The speculative verify forward, shared by :func:`generate_speculative`
+    and ``DecodeEngine``'s speculative step (each wraps it in its own jit /
+    donation policy).
+
+    ``tokens`` (b, K+1) = [pending token, draft_0..draft_{K-1}] at per-row
+    positions ``pos..pos+K``; returns the greedy prediction AFTER each input
+    token ((b, K+1) int32) and the updated caches.  Rows a rejection leaves
+    stale are invisible (per-row ``kv_len`` masking) and get rewritten by
+    the row's next verify."""
+    m = nnx.merge(graphdef, state)
+    s = tokens.shape[1]
+    logits, new_caches = m(
+        tokens,
+        attention_mask=None,
+        position_ids=pos[:, None] + jnp.arange(s)[None, :],
+        caches=caches,
+        cache_position=pos,
+    )
+    return jnp.argmax(logits, -1).astype(jnp.int32), new_caches
 
 
 def _accept_prefix(drafts_row, preds_row, k: int) -> int:
