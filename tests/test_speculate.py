@@ -207,6 +207,35 @@ def test_engine_speculative_cache_full_drains():
     assert len(emitted) >= 32 - len(prompt) + 1 - 6
 
 
+def test_engine_speculative_composes_with_tp():
+    """Speculation rides a TP-sharded engine unchanged: the verify step is
+    an ordinary cached forward, so GSPMD shards it like any decode step.
+    Streams must equal the unsharded speculative engine's exactly (same
+    executable class on the CPU mesh; TP is bit-exact here, see
+    test_tp_sharded_decode_engine...)."""
+    from torchmx_tpu.models.serve import DecodeEngine
+    from torchmx_tpu.parallel import create_mesh, shard_model
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    prompt = [int(t) for t in corpus[3000:3024]]
+    n = 16
+
+    ref_engine = DecodeEngine(model, max_batch=2, max_len=128,
+                              speculative_draft_len=5)
+    slot = ref_engine.add(prompt)
+    ref, _ = _engine_collect(ref_engine, slot, n)
+
+    tp_model, _, _ = trained_tiny_quantized(quantize=False)
+    mesh = create_mesh()  # pure TP over 8 devices
+    shard_model(tp_model, mesh)
+    with mesh:
+        engine = DecodeEngine(tp_model, max_batch=2, max_len=128,
+                              speculative_draft_len=5)
+        s1 = engine.add(prompt)
+        got, _ = _engine_collect(engine, s1, n)
+    assert got == ref
+
+
 def test_speculative_single_row_and_draft_params():
     model, cfg, corpus = trained_tiny_quantized(quantize=False)
     prompt = jnp.asarray(corpus[None, 500:532], jnp.int32)
