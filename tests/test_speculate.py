@@ -14,6 +14,30 @@ from torchmx_tpu.quant_api import quantize_llm_
 from tests.test_parallel import trained_tiny_quantized
 
 
+def test_lookup_index_matches_bruteforce():
+    """The incremental LookupIndex must draft exactly what the O(n)
+    brute-force scan drafts, over random sequences, incremental extension
+    patterns, and every (ngram, k) combination."""
+    from torchmx_tpu.models.speculate import LookupIndex
+
+    rng = np.random.RandomState(7)
+    for trial in range(30):
+        vocab = int(rng.choice([3, 5, 17]))  # small vocab -> frequent matches
+        row = rng.randint(0, vocab, size=rng.randint(2, 80)).tolist()
+        for g in (1, 2, 3, 5):
+            idx = LookupIndex(g)
+            # Extend in random-sized chunks (mirrors accept bursts).
+            i = 0
+            while i < len(row):
+                step = int(rng.randint(1, 6))
+                idx.extend(row[i : i + step])
+                i += step
+                for k in (1, 4):
+                    assert idx.draft(k) == _draft(idx.row, g, k), (
+                        g, k, idx.row,
+                    )
+
+
 def test_draft_lookup():
     # 3-gram (7, 8, 9) occurred earlier, followed by 4, 5: draft continues it.
     row = [1, 7, 8, 9, 4, 5, 6, 2, 7, 8, 9]

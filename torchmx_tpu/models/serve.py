@@ -153,10 +153,11 @@ class DecodeEngine:
                 "speculation is greedy-only (sampling acceptance would need "
                 "rejection sampling)"
             )
-            # Per-slot token history (prompt + emitted + pending) feeding the
-            # prompt-lookup drafts, accepted-token queues, and deferred
-            # evictions (emit the queue first, then evict).
-            self._history: List[list] = [[] for _ in range(max_batch)]
+            # Per-slot incremental lookup index over (prompt + emitted +
+            # pending) feeding the prompt-lookup drafts, accepted-token
+            # queues, and deferred evictions (emit the queue first, then
+            # evict).
+            self._history: List[Optional["object"]] = [None] * max_batch
             self._queue: List[list] = [[] for _ in range(max_batch)]
             self._evict_after_queue: Dict[int, str] = {}
             #: verify forwards dispatched; the speedup claim is
@@ -341,7 +342,12 @@ class DecodeEngine:
         self.active[slot] = True
         self.finished_reason.pop(slot, None)
         if self.speculative_draft_len is not None:
-            self._history[slot] = list(int(t) for t in prompt_ids)
+            from .speculate import LookupIndex
+
+            # History INCLUDES the pending token (drafts continue after it).
+            self._history[slot] = LookupIndex(
+                self.speculative_ngram, list(prompt_ids) + [int(token[0])]
+            )
             self._queue[slot] = []
             self._evict_after_queue.pop(slot, None)
         if int(token[0]) in self.eos_token_ids:
@@ -405,7 +411,7 @@ class DecodeEngine:
         still take a (K+1)-token write, queue the accepted tokens, pop one
         per slot.  Steps where every slot holds queued tokens skip the
         forward entirely — that skip is the speedup."""
-        from .speculate import _accept_prefix, _draft
+        from .speculate import _accept_prefix
 
         K = self.speculative_draft_len
         B = self.max_batch
@@ -417,9 +423,9 @@ class DecodeEngine:
         if any(not self._queue[i] for i in participate):
             tokens = np.zeros((B, K + 1), np.int32)
             for i in participate:
-                hist = self._history[i] + [int(self._next_token[i])]
+                # History already holds the pending token (= its last entry).
                 tokens[i, 0] = self._next_token[i]
-                tokens[i, 1:] = _draft(hist, self.speculative_ngram, K)
+                tokens[i, 1:] = self._history[i].draft(K)
             preds, self._caches = self._verify_step(
                 self._state,
                 self._caches,
@@ -450,7 +456,13 @@ class DecodeEngine:
                     self._evict_after_queue[i] = "eos"
                 else:
                     self._next_token[i] = bonus
-                self._history[i].extend(emit)
+                    # History holds the pending token already; append the
+                    # accepted drafts and the new pending bonus (evicting
+                    # slots never draft again, so their history can go
+                    # stale).
+                    self._history[i].extend(
+                        [int(t) for t in preds[i, : a + 1]]
+                    )
                 self._queue[i].extend(emit)
         out: Dict[int, int] = {}
         for i in range(B):
@@ -495,7 +507,12 @@ class DecodeEngine:
             self._next_token[slot] = int(token[0])
             self.pos[slot] = n
             if self.speculative_draft_len is not None:
-                self._history[slot] = [int(t) for t in p["ids"]]
+                from .speculate import LookupIndex
+
+                self._history[slot] = LookupIndex(
+                    self.speculative_ngram,
+                    [int(t) for t in p["ids"]] + [int(token[0])],
+                )
                 self._queue[slot] = []
                 self._evict_after_queue.pop(slot, None)
             if int(token[0]) in self.eos_token_ids:
@@ -508,7 +525,7 @@ class DecodeEngine:
         self._pending.pop(slot, None)
         if self.speculative_draft_len is not None:
             self._queue[slot] = []
-            self._history[slot] = []
+            self._history[slot] = None  # rebuilt by add()
             self._evict_after_queue.pop(slot, None)
 
     def _evict(self, slot: int, reason: str) -> None:

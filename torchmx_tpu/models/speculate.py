@@ -104,7 +104,11 @@ def _accept_prefix(drafts_row, preds_row, k: int) -> int:
 def _draft(row: list, ngram: int, k: int) -> list:
     """Prompt-lookup draft: find the most recent earlier occurrence of the
     last ``ngram`` tokens and return the ``k`` tokens that followed it
-    (falling back to shorter n-grams, then to repeating the last token)."""
+    (falling back to shorter n-grams, then to repeating the last token).
+
+    Brute-force reference (O(n) per call); production paths use the
+    incremental :class:`LookupIndex`, which is property-tested equivalent.
+    """
     n = len(row)
     for g in range(min(ngram, n - 1), 0, -1):
         key = row[n - g :]
@@ -112,10 +116,52 @@ def _draft(row: list, ngram: int, k: int) -> list:
         for s in range(n - g - 1, -1, -1):
             if row[s : s + g] == key:
                 cont = row[s + g : s + g + k]
-                if cont:
-                    return cont + [row[-1]] * (k - len(cont))
-                break
+                return cont + [row[-1]] * (k - len(cont))
     return [row[-1]] * k
+
+
+class LookupIndex:
+    """Incremental prompt-lookup state for one sequence: O(ngram) per
+    appended token, O(ngram) per draft — instead of rescanning the whole
+    history every step (which would make the host-side draft search the
+    serving bottleneck at long generations).
+
+    For each n-gram length the index keeps the TWO most recent end
+    positions of every gram; the draft query's own suffix is always the
+    most recent occurrence, so the previous one is the brute-force
+    "most recent earlier match".  Equivalent to :func:`_draft` (tested on
+    random sequences).
+    """
+
+    def __init__(self, ngram: int, tokens=()):  # noqa: D401
+        self.ngram = int(ngram)
+        self.row: list = []
+        self._idx = [None] + [dict() for _ in range(self.ngram)]
+        self.extend(tokens)
+
+    def extend(self, tokens) -> None:
+        row = self.row
+        for t in tokens:
+            row.append(int(t))
+            m = len(row)
+            for g in range(1, min(self.ngram, m) + 1):
+                key = tuple(row[m - g : m])
+                d = self._idx[g]
+                prev = d.get(key)
+                d[key] = (m, prev[0] if prev is not None else None)
+
+    def draft(self, k: int) -> list:
+        row = self.row
+        n = len(row)
+        for g in range(min(self.ngram, n - 1), 0, -1):
+            pair = self._idx[g].get(tuple(row[n - g :]))
+            if pair is None:
+                continue
+            v = pair[0] if pair[0] < n else pair[1]
+            if v is not None and v < n:
+                cont = row[v : v + k]
+                return cont + [row[-1]] * (k - len(cont))
+        return [row[-1]] * k
 
 
 def generate_speculative(
@@ -155,20 +201,20 @@ def generate_speculative(
     prefill, verify = _session(model)
     token, caches = prefill(state, input_ids, caches, prompt_len, max_len=max_len)
 
-    rows = [list(np.asarray(input_ids[i])) for i in range(b)]
+    rows = [LookupIndex(ngram, np.asarray(input_ids[i])) for i in range(b)]
     first = np.asarray(token)
     out = [[int(first[i])] for i in range(b)]
     for i in range(b):
-        rows[i].append(int(first[i]))
+        rows[i].extend([int(first[i])])
 
     pos = np.full((b,), s, np.int64)
     done = np.array([len(o) >= max_new_tokens for o in out])
     steps = 0
     while not done.all():
         drafts = np.stack(
-            [np.asarray(_draft(rows[i], ngram, K), np.int64) for i in range(b)]
+            [np.asarray(rows[i].draft(K), np.int64) for i in range(b)]
         )
-        last = np.asarray([rows[i][-1] for i in range(b)], np.int64)
+        last = np.asarray([rows[i].row[-1] for i in range(b)], np.int64)
         tokens_in = jnp.asarray(
             np.concatenate([last[:, None], drafts], axis=1), jnp.int32
         )
