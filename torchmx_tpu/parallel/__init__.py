@@ -10,6 +10,7 @@ move packed uint8 bytes — 4-8x cheaper than bf16.
 """
 
 from . import multihost  # noqa: F401
+from .context import ring_attention, ring_attention_mx  # noqa: F401
 from .pipeline import (  # noqa: F401
     pipeline_apply,
     pipeline_decode_model,
