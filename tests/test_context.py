@@ -53,6 +53,84 @@ def test_ring_attention_short_heads_tail():
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
 
+def test_context_parallel_model_forward_matches_plain():
+    """Full-model CP: a cacheless causal forward inside context_parallel()
+    (sequence sharded, ring attention, no dense mask) must match the plain
+    jit forward — greedy tokens equal at confident positions."""
+    from flax import nnx
+
+    from tests.test_parallel import (
+        _assert_greedy_tokens_match,
+        trained_tiny_quantized,
+    )
+    from torchmx_tpu.parallel import MODEL_AXIS
+    from torchmx_tpu.parallel.context import context_parallel
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    ids = jnp.asarray(
+        np.stack([corpus[i * 991 : i * 991 + 64] for i in range(2)]), jnp.int32
+    )
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def plain(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref = np.asarray(plain(state, ids), np.float32)
+
+    mesh = create_mesh()  # 8-way sequence sharding over the model axis
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    with mesh, context_parallel(mesh, MODEL_AXIS):
+
+        @jax.jit
+        def cp(state, ids):
+            logits, _ = nnx.merge(graphdef, state)(ids)
+            return logits
+
+        # Checkpoint-restored leaves are committed to one device; replicate
+        # them over the mesh explicitly (weights replicated, sequence sharded).
+        state_r = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), state
+        )
+        ids_sh = jax.device_put(ids, NamedSharding(mesh, P(None, MODEL_AXIS)))
+        got = np.asarray(cp(state_r, ids_sh), np.float32)
+    _assert_greedy_tokens_match(got, ref)
+
+
+def test_context_parallel_rejects_qkv_quant_configs():
+    from flax import nnx
+    import pytest as _pytest
+
+    from tests.test_parallel import trained_tiny_quantized
+    from torchmx_tpu.config import MXConfig, QAttentionConfig, QLinearConfig
+    from torchmx_tpu.parallel.context import context_parallel
+    from torchmx_tpu.quant_api import quantize_llm_
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float6_e3m2"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    quantize_llm_(
+        model,
+        QAttentionConfig(
+            projection_config=qlin,
+            query_config=MXConfig("float6_e3m2"),
+            key_config=MXConfig("float6_e3m2"),
+            value_config=MXConfig("float6_e3m2"),
+            attention_weights_config=MXConfig("float6_e3m2"),
+        ),
+        qlin,
+    )
+    ids = jnp.asarray(np.asarray(corpus[:64])[None], jnp.int32)
+    mesh = create_mesh()
+    with mesh, context_parallel(mesh):
+        with _pytest.raises(NotImplementedError, match="context-parallel"):
+            model(ids)
+
+
 @pytest.mark.parametrize("elem", ["float8_e4m3", "int8"])
 def test_ring_attention_mx_matches_dequantized_full(elem):
     """MX ring: packed K/V codes rotate the ring; result equals full causal

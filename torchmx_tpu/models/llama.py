@@ -425,6 +425,34 @@ class LlamaAttention(nnx.Module):
 
         q, k = apply_rotary_pos_emb(q, k, cos, sin)
 
+        if cache is None and attention_mask is None:
+            from ..parallel import context as _cpmod
+
+            cp = _cpmod.active_cp()
+            if cp is not None:
+                # Context-parallel prefill/scoring: the sequence is sharded
+                # over cp's mesh axis and ring attention masks causally from
+                # global offsets — no dense (L, L) mask anywhere.
+                if (
+                    getattr(self, "qconfig", None) is not None
+                    and self.qconfig.is_qkv_quantization_enabled
+                ):
+                    raise NotImplementedError(
+                        "context-parallel forwards with Q/K/V/attn-weights "
+                        "quantization configs are not supported (the ring "
+                        "has no attention-weights quantization point); run "
+                        "without context_parallel or drop the QKV configs"
+                    )
+                mesh, axis_name = cp
+                kf = repeat_kv(k, self.num_key_value_groups)
+                vf = repeat_kv(v, self.num_key_value_groups)
+                out = _cpmod.ring_attention(
+                    q.astype(jnp.bfloat16), kf, vf, mesh, axis=axis_name,
+                    sm_scale=1.0 / math.sqrt(self.head_dim),
+                )
+                out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, -1)
+                return self.o_proj(out), None
+
         new_cache = None
         if cache is not None:
             if (
@@ -578,7 +606,13 @@ class LlamaModel(nnx.Module):
             position_ids = jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(self.inv_freq.get_value(), position_ids, x.dtype)
         if attention_mask is None and caches is None:
-            attention_mask = make_causal_mask(s, s, dtype=jnp.float32)[None, None]
+            from ..parallel import context as _cpmod
+
+            if _cpmod.active_cp() is None:
+                attention_mask = make_causal_mask(s, s, dtype=jnp.float32)[None, None]
+            # else: context-parallel forward — ring attention masks causally
+            # in-device from global offsets; a dense (L, L) mask would defeat
+            # the sharding.
 
         new_caches = [] if caches is not None else None
         for i, layer in enumerate(self.layers):

@@ -10,7 +10,11 @@ move packed uint8 bytes — 4-8x cheaper than bf16.
 """
 
 from . import multihost  # noqa: F401
-from .context import ring_attention, ring_attention_mx  # noqa: F401
+from .context import (  # noqa: F401
+    context_parallel,
+    ring_attention,
+    ring_attention_mx,
+)
 from .pipeline import (  # noqa: F401
     pipeline_apply,
     pipeline_decode_model,

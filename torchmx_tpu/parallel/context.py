@@ -19,7 +19,7 @@ nothing and blocks on the diagonal mask per element.
 
 from __future__ import annotations
 
-import functools
+from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,32 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .mesh import MODEL_AXIS
 
 NEG_INF = -1e30
+
+_ACTIVE = None
+
+
+@contextmanager
+def context_parallel(mesh: Mesh, axis: str = MODEL_AXIS):
+    """Activate context parallelism for model forwards traced inside.
+
+    Within this context a cache-less ``attention_mask=None`` forward (the
+    standard causal prefill/scoring call) runs :func:`ring_attention`
+    instead of building the dense (L, L) mask — the sequence dim shards
+    over ``axis`` and no device materializes O(L²) anything.  Trace-time
+    (static) dispatch: jit the forward inside the context.
+    """
+    global _ACTIVE
+    old = _ACTIVE
+    _ACTIVE = (mesh, axis)
+    try:
+        yield
+    finally:
+        _ACTIVE = old
+
+
+def active_cp():
+    """The (mesh, axis) of the active :func:`context_parallel`, or None."""
+    return _ACTIVE
 
 
 def _block_attn(q, k, v, q_off, kv_off, sm_scale):
