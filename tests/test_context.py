@@ -131,7 +131,7 @@ def test_context_parallel_rejects_qkv_quant_configs():
             model(ids)
 
 
-@pytest.mark.parametrize("elem", ["float8_e4m3", "int8"])
+@pytest.mark.parametrize("elem", ["float8_e4m3", "int8", "float4_e2m1"])
 def test_ring_attention_mx_matches_dequantized_full(elem):
     """MX ring: packed K/V codes rotate the ring; result equals full causal
     attention over the DEQUANTIZED K/V (quantization error is in the data,
