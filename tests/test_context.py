@@ -99,6 +99,51 @@ def test_context_parallel_model_forward_matches_plain():
     _assert_greedy_tokens_match(got, ref)
 
 
+def test_context_parallel_composes_with_tp():
+    """CP×TP: sequence sharded over a dedicated ``seq`` axis (ring manual)
+    while the projections stay Megatron-TP-sharded over ``model`` (GSPMD
+    auto through the ring's partial-auto shard_map — head shards flow in
+    without an allgather).  Greedy tokens match the plain forward."""
+    from flax import nnx
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tests.test_parallel import (
+        _assert_greedy_tokens_match,
+        trained_tiny_quantized,
+    )
+    from torchmx_tpu.parallel import MODEL_AXIS, shard_model
+    from torchmx_tpu.parallel.context import context_parallel
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    ids = jnp.asarray(
+        np.stack([corpus[i * 883 : i * 883 + 64] for i in range(2)]), jnp.int32
+    )
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def plain(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref = np.asarray(plain(state, ids), np.float32)
+
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = jax.sharding.Mesh(devs, ("seq", MODEL_AXIS))  # CP=2 x TP=4
+    tp_model, _, _ = trained_tiny_quantized(quantize=False)
+    shard_model(tp_model, mesh)
+    tp_graphdef, tp_state = nnx.split(tp_model)
+    with mesh, context_parallel(mesh, "seq"):
+
+        @jax.jit
+        def cp(state, ids):
+            logits, _ = nnx.merge(tp_graphdef, state)(ids)
+            return logits
+
+        ids_sh = jax.device_put(ids, NamedSharding(mesh, P(None, "seq")))
+        got = np.asarray(cp(tp_state, ids_sh), np.float32)
+    _assert_greedy_tokens_match(got, ref)
+
+
 def test_context_parallel_rejects_qkv_quant_configs():
     from flax import nnx
     import pytest as _pytest

@@ -153,7 +153,8 @@ def ring_attention(
         return out.astype(jnp.bfloat16)
 
     return shard_map(
-        device_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        device_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        axis_names=frozenset({axis}),
     )(q, k, v)
 
 
@@ -225,4 +226,5 @@ def ring_attention_mx(
         mesh=mesh,
         in_specs=(spec,) * 5,
         out_specs=spec,
+        axis_names=frozenset({axis}),
     )(q, kd, ks, vd, vs)
