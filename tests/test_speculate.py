@@ -260,6 +260,22 @@ def test_engine_speculative_composes_with_tp():
     assert got == ref
 
 
+def test_speculative_on_scan_model():
+    """generate_speculative must serve ScanLlamaForCausalLM unchanged (the
+    8B serving path is scan-over-layers): same greedy stream as the layered
+    model's speculative run."""
+    from torchmx_tpu.models.scan import ScanLlamaForCausalLM
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    prompt = jnp.asarray(np.asarray(corpus[700:724])[None], jnp.int32)
+    ref = np.asarray(generate_speculative(model, prompt, max_new_tokens=16))
+    scan_model = ScanLlamaForCausalLM.from_model(model)
+    got = np.asarray(generate_speculative(scan_model, prompt, max_new_tokens=16))
+    # Scan vs unrolled is a recompilation of the same math; greedy streams
+    # agree exactly on the trained checkpoint's decisive margins here.
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_speculative_single_row_and_draft_params():
     model, cfg, corpus = trained_tiny_quantized(quantize=False)
     prompt = jnp.asarray(corpus[None, 500:532], jnp.int32)
