@@ -144,6 +144,41 @@ def test_context_parallel_composes_with_tp():
     _assert_greedy_tokens_match(got, ref)
 
 
+def test_context_parallel_perplexity_matches_plain():
+    """evaluate.perplexity composes with context_parallel out of the box
+    (cacheless forwards) — and the jit cache must NOT reuse a plain
+    executable inside the CP context (the key includes active_cp)."""
+    from tests.test_parallel import trained_tiny_quantized
+    from torchmx_tpu.models import evaluate
+    from torchmx_tpu.parallel import MODEL_AXIS
+    from torchmx_tpu.parallel.context import context_parallel
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    val = np.asarray(corpus[-2048:], np.int32)
+    # Prime the plain executable FIRST so cache reuse would be caught.
+    ppl_plain = evaluate.perplexity(model, val, seq_len=128, batch_size=4)
+    mesh = create_mesh()
+    # Checkpoint-restored weights are committed to one device; replicate
+    # them over the mesh for the sharded forward.
+    from flax import nnx
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    _, state = nnx.split(model)
+    nnx.update(
+        model,
+        jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+            if hasattr(a, "shape")
+            else a,
+            state,
+        ),
+    )
+    with mesh, context_parallel(mesh, MODEL_AXIS):
+        ppl_cp = evaluate.perplexity(model, val, seq_len=128, batch_size=4)
+    # Same math, different schedule: PPL agrees to cross-compilation drift.
+    assert abs(ppl_cp - ppl_plain) < 0.02 * ppl_plain, (ppl_cp, ppl_plain)
+
+
 def test_context_parallel_rejects_qkv_quant_configs():
     from flax import nnx
     import pytest as _pytest

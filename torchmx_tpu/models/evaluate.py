@@ -44,10 +44,15 @@ def _make_token_logprobs(model, kv_cache_config=None, decode: bool = False):
 
     if _LOGPROB_CACHE is None:
         _LOGPROB_CACHE = weakref.WeakKeyDictionary()
+    from ..parallel import context as _cpmod
+
     graphdef, _ = nnx.split(model)
-    key = (graphdef, kv_cache_config, decode)
+    # active_cp() in the key: a cacheless forward traced inside
+    # context_parallel() dispatches to ring attention, so a plain cached
+    # executable must not be reused there (and vice versa).
+    key = (graphdef, kv_cache_config, decode, _cpmod.active_cp())
     entry = _LOGPROB_CACHE.get(model)
-    if entry is None or entry[0] != key:  # invalidate on surgery/config
+    if entry is None or entry[0] != key:  # invalidate on surgery/config/CP
 
         @jax.jit
         def f(state, input_ids):
