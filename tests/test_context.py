@@ -211,6 +211,91 @@ def test_context_parallel_rejects_qkv_quant_configs():
             model(ids)
 
 
+def test_ring_attention_gqa_matches_repeated_full():
+    """GQA: K/V enter the ring with their own (smaller) head count; the
+    result must equal full causal attention over repeat_kv'd K/V."""
+    rng = np.random.RandomState(7)
+    b, h, hkv, L, d = 2, 8, 2, 128, 64
+    q = jnp.asarray(rng.randn(b, h, L, d) * 0.4, jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, hkv, L, d) * 0.4, jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, hkv, L, d) * 0.4, jnp.bfloat16)
+    sm = 1.0 / np.sqrt(d)
+    kf = jnp.repeat(k, h // hkv, axis=1)
+    vf = jnp.repeat(v, h // hkv, axis=1)
+    ref = np.asarray(_full_causal(q, kf, vf, sm), np.float32)
+    mesh = create_mesh()
+    with mesh:
+        out = np.asarray(ring_attention(q, k, v, mesh, sm_scale=sm), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_ring_attention_mx_mixed_kv_formats():
+    """K and V may use DIFFERENT MX formats; each must dequantize with its
+    own metadata (a K-metadata-for-V bug corrupts V silently)."""
+    q, k, v = _qkv(5, b=1, h=2, L=64, d=64)
+    sm = 1.0 / np.sqrt(64)
+    k_mx = MXArray.to_mx(k, "int8", 32)
+    v_mx = MXArray.to_mx(v, "float4_e2m1", 32)
+    ref = np.asarray(
+        _full_causal(
+            q, k_mx.to_dtype(jnp.bfloat16), v_mx.to_dtype(jnp.bfloat16), sm
+        ),
+        np.float32,
+    )
+    mesh = create_mesh()
+    with mesh:
+        out = np.asarray(
+            ring_attention_mx(q, k_mx, v_mx, mesh, sm_scale=sm), np.float32
+        )
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_context_parallel_scan_model_forward_matches_plain():
+    """ScanLlamaForCausalLM (the compile-scalable serving model) must ride
+    the ring under context_parallel: its cacheless forward may NOT build
+    the dense (L, L) mask (which would silently force the eager path)."""
+    from flax import nnx
+
+    from tests.test_parallel import (
+        _assert_greedy_tokens_match,
+        trained_tiny_quantized,
+    )
+    from torchmx_tpu.models.scan import ScanLlamaForCausalLM
+    from torchmx_tpu.parallel import MODEL_AXIS
+    from torchmx_tpu.parallel.context import context_parallel
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    scan_model = ScanLlamaForCausalLM.from_model(model)
+    ids = jnp.asarray(
+        np.stack([corpus[i * 701 : i * 701 + 64] for i in range(2)]), jnp.int32
+    )
+    graphdef, state = nnx.split(scan_model)
+
+    @jax.jit
+    def plain(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref = np.asarray(plain(state, ids), np.float32)
+
+    mesh = create_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    with mesh, context_parallel(mesh, MODEL_AXIS):
+
+        @jax.jit
+        def cp(state, ids):
+            logits, _ = nnx.merge(graphdef, state)(ids)
+            return logits
+
+        state_r = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), state
+        )
+        ids_sh = jax.device_put(ids, NamedSharding(mesh, P(None, MODEL_AXIS)))
+        got = np.asarray(cp(state_r, ids_sh), np.float32)
+    _assert_greedy_tokens_match(got, ref)
+
+
 @pytest.mark.parametrize("elem", ["float8_e4m3", "int8", "float4_e2m1"])
 def test_ring_attention_mx_matches_dequantized_full(elem):
     """MX ring: packed K/V codes rotate the ring; result equals full causal

@@ -444,10 +444,10 @@ class LlamaAttention(nnx.Module):
                         "without context_parallel or drop the QKV configs"
                     )
                 mesh, axis_name = cp
-                kf = repeat_kv(k, self.num_key_value_groups)
-                vf = repeat_kv(v, self.num_key_value_groups)
+                # GQA stays folded: K/V rotate the ring with their own
+                # (smaller) head count — group_factor x fewer ICI bytes/hop.
                 out = _cpmod.ring_attention(
-                    q.astype(jnp.bfloat16), kf, vf, mesh, axis=axis_name,
+                    q.astype(jnp.bfloat16), k, v, mesh, axis=axis_name,
                     sm_scale=1.0 / math.sqrt(self.head_dim),
                 )
                 out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, -1)

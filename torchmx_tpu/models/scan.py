@@ -111,7 +111,14 @@ class ScanLlamaForCausalLM(nnx.Module):
             position_ids = jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(self.inv_freq.get_value(), position_ids, x.dtype)
         if attention_mask is None and caches is None:
-            attention_mask = make_causal_mask(s, s, dtype=jnp.float32)[None, None]
+            from ..parallel import context as _cpmod
+
+            if _cpmod.active_cp() is None:
+                attention_mask = make_causal_mask(s, s, dtype=jnp.float32)[None, None]
+            # else: context-parallel forward — the per-layer attention rides
+            # the ring and masks causally from global offsets; a dense
+            # (L, L) mask would both defeat the sharding and (worse) force
+            # the eager path, silently disabling CP for the scan model.
 
         graphdef, stacked_state = nnx.split(self.layers_stacked)
 

@@ -10,6 +10,11 @@ and the K/V shards rotate around the ring over ICI ``ppermute``, merging
 per-block partial softmax results in the numerically-stable flash style
 (running max ``m``, normalizer ``l``, unnormalized accumulator).
 
+GQA is handled INSIDE the ring: K/V rotate with their ``num_key_value_heads``
+only (``group_factor``× fewer ICI bytes per hop than rotating repeated
+heads) and queries are grouped against them with a 5-D einsum — repeated
+K/V heads are never materialized anywhere.
+
 The per-(Q, KV)-block math is ordinary jnp — on TPU XLA fuses it; the MX
 path quantizes K/V shards like any cache (this is the op-level building
 block; blockwise fused-kernel CP composes later).  Causality is computed
@@ -40,8 +45,16 @@ def context_parallel(mesh: Mesh, axis: str = MODEL_AXIS):
     Within this context a cache-less ``attention_mask=None`` forward (the
     standard causal prefill/scoring call) runs :func:`ring_attention`
     instead of building the dense (L, L) mask — the sequence dim shards
-    over ``axis`` and no device materializes O(L²) anything.  Trace-time
-    (static) dispatch: jit the forward inside the context.
+    over ``axis`` and no device materializes O(L²) anything.
+
+    .. warning:: **Trace-time (static) dispatch.**  The switch is read when
+        the forward is TRACED, not when it runs: jit the forward *inside*
+        the context.  An executable jitted (and cached) outside the context
+        silently keeps its dense-mask schedule if called inside it later —
+        ``jax.jit`` cannot see the flag change.  Any module-level cache of
+        compiled cacheless forwards must include :func:`active_cp` in its
+        key (see ``models/evaluate.py``) so plain and CP executables never
+        alias.
     """
     global _ACTIVE
     old = _ACTIVE
@@ -58,27 +71,29 @@ def active_cp():
 
 
 def _block_attn(q, k, v, q_off, kv_off, sm_scale):
-    """Partial attention of a Q block against one K/V block.
+    """Partial attention of a grouped Q block against one K/V block.
 
-    Returns (acc, m, l): unnormalized output, per-row max, per-row
-    normalizer — the flash-merge state.  Causal: query global position
-    ``q_off + i`` attends key positions ``<= q_off + i`` only.
+    ``q`` is (b, h_kv, g, lq, d) — queries grouped per KV head; ``k``/``v``
+    are (b, h_kv, lk, d).  Returns (acc, m, l): unnormalized output,
+    per-row max, per-row normalizer — the flash-merge state, shaped
+    (b, h_kv, g, lq[, d]).  Causal: query global position ``q_off + i``
+    attends key positions ``<= q_off + i`` only.
     """
-    b, h, lq, d = q.shape
+    lq = q.shape[3]
     lk = k.shape[2]
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = jnp.einsum("bhgqd,bhkd->bhgqk", q, k, preferred_element_type=jnp.float32)
     s = s * sm_scale
     qpos = q_off + jnp.arange(lq)[:, None]
     kpos = kv_off + jnp.arange(lk)[None, :]
     s = jnp.where(kpos <= qpos, s, NEG_INF)
-    m = jnp.max(s, axis=-1)  # (b, h, lq)
+    m = jnp.max(s, axis=-1)  # (b, h_kv, g, lq)
     p = jnp.exp(s - m[..., None])
     # Fully-masked rows: m == NEG_INF -> exp(0) == 1 garbage; zero them.
     alive = m > NEG_INF / 2
     p = jnp.where(alive[..., None], p, 0.0)
     l = jnp.sum(p, axis=-1)
     acc = jnp.einsum(
-        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        "bhgqk,bhkd->bhgqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     return acc, jnp.where(alive, m, NEG_INF), l
 
@@ -96,6 +111,35 @@ def _merge(state, part):
     return acc, m, l1 * a1 + l2 * a2
 
 
+def _ring(device_step, n, axis, perm, carry_arrays, state0):
+    """Shared ring schedule: N blocks of math, N-1 ``ppermute`` hops.
+
+    ``device_step(state, carry_arrays, r) -> state`` does block ``r``'s
+    math.  The hop for a block overlaps that block's math (both read the
+    same arrays); the LAST block's shards are not rotated again — the
+    result would land in a discarded carry, and XLA cannot DCE a collective
+    inside the scan body.
+    """
+
+    def body(carry, r):
+        arrs, state = carry
+        state = device_step(state, arrs, r)
+        arrs = tuple(jax.lax.ppermute(x, axis, perm) for x in arrs)
+        return (arrs, state), None
+
+    if n > 1:
+        (carry_arrays, state0), _ = jax.lax.scan(
+            body, (tuple(carry_arrays), state0), jnp.arange(n - 1)
+        )
+    return device_step(state0, carry_arrays, n - 1)
+
+
+def _finish(state, b, h, lq, d):
+    acc, m, l = state
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.astype(jnp.bfloat16).reshape(b, h, lq, d)
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -108,49 +152,51 @@ def ring_attention(
     """Causal attention with the SEQUENCE sharded over ``axis``.
 
     Args:
-        q, k, v: (b, h, L, d) with the L dim sharded over ``axis`` (shard
-            these with ``P(None, None, axis, None)``); GQA callers repeat or
-            reshape heads outside.
+        q: (b, h, L, d) with the L dim sharded over ``axis`` (shard with
+            ``P(None, None, axis, None)``).
+        k, v: (b, h_kv, L, d) with ``h % h_kv == 0`` — GQA K/V keep their
+            own head count; the ring rotates the small shards and groups
+            queries in-place (no ``repeat_kv`` materialization).
         mesh: mesh containing ``axis`` (N devices → L/N tokens per device).
         sm_scale: softmax scale.
 
     Returns (b, h, L, d) bf16, L sharded like the inputs.  Each device
     computes its Q shard against every K/V shard as the shards rotate
-    around the ring (N-1 ``ppermute`` hops, each overlapping the next
-    block's attention math), merging partials in the flash style — no
-    device ever holds more than 2 K/V shards.
+    around the ring (N-1 ``ppermute`` hops, each overlapping that block's
+    attention math), merging partials in the flash style — no device ever
+    holds more than 2 K/V shards.
     """
     n = mesh.shape[axis]
     perm = [(i, (i + 1) % n) for i in range(n)]
     spec = P(None, None, axis, None)
+    h, h_kv = q.shape[1], k.shape[1]
+    if h % h_kv != 0:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {h_kv}")
+    g = h // h_kv
 
     def device_fn(q, k, v):
         idx = jax.lax.axis_index(axis)
         b, h, lq, d = q.shape
         q_off = idx * lq
-        qf = q.astype(jnp.bfloat16)
+        qf = q.astype(jnp.bfloat16).reshape(b, h_kv, g, lq, d)
 
-        def body(carry, r):
-            k_cur, v_cur, state = carry
+        def step(state, arrs, r):
+            k_cur, v_cur = arrs
             # K/V block r hops back from this device came from idx - r.
             src = (idx - r) % n
-            part = _block_attn(qf, k_cur, v_cur, q_off, src * lq, sm_scale)
-            state = _merge(state, part)
-            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
-            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-            return (k_nxt, v_nxt, state), None
+            return _merge(
+                state, _block_attn(qf, k_cur, v_cur, q_off, src * lq, sm_scale)
+            )
 
         # Scan carries become device-varying through ppermute/axis_index;
         # mark the replicated-constant inits accordingly (shard_map vma).
         var = lambda x: jax.lax.pcast(x, (axis,), to="varying")  # noqa: E731
-        acc0 = var(jnp.zeros((b, h, lq, d), jnp.float32))
-        m0 = var(jnp.full((b, h, lq), NEG_INF, jnp.float32))
-        l0 = var(jnp.zeros((b, h, lq), jnp.float32))
-        (_, _, (acc, m, l)), _ = jax.lax.scan(
-            body, (k, v, (acc0, m0, l0)), jnp.arange(n)
+        state0 = (
+            var(jnp.zeros((b, h_kv, g, lq, d), jnp.float32)),
+            var(jnp.full((b, h_kv, g, lq), NEG_INF, jnp.float32)),
+            var(jnp.zeros((b, h_kv, g, lq), jnp.float32)),
         )
-        out = acc / jnp.maximum(l, 1e-30)[..., None]
-        return out.astype(jnp.bfloat16)
+        return _finish(_ring(step, n, axis, perm, (k, v), state0), b, h, lq, d)
 
     return shard_map(
         device_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
@@ -169,57 +215,68 @@ def ring_attention_mx(
 ):
     """Ring attention with MX-QUANTIZED K/V shards rotating over ICI.
 
-    ``k_mx``/``v_mx`` are ``MXArray``s of shape (b, h, L, d) blocked along
-    d (the cache orientation, ``block_dim=-1``), L sharded over ``axis``.
-    The ring moves PACKED codes + scales — 2–4× fewer ICI bytes than bf16
-    — and each device dequantizes only the shard it is currently
-    contracting.  Numerics: identical elementwise dequantize as the cache
-    path; the flash merge is the same as :func:`ring_attention`.
+    ``k_mx``/``v_mx`` are ``MXArray``s of shape (b, h_kv, L, d) blocked
+    along d (the cache orientation, ``block_dim=-1``; the two may use
+    different element formats), L sharded over ``axis``.  The ring moves
+    PACKED codes + scales — 2–4× fewer ICI bytes than bf16 — and each
+    device dequantizes only the shard it is currently contracting.  GQA as
+    in :func:`ring_attention`.  Numerics: identical elementwise dequantize
+    as the cache path; the flash merge is the same as
+    :func:`ring_attention`.
     """
     from ..mx_array import MXArray
 
     n = mesh.shape[axis]
     perm = [(i, (i + 1) % n) for i in range(n)]
     spec = P(None, None, axis, None)
-    assert k_mx.block_dim == k_mx.ndim - 1, (
-        "ring K/V must be blocked along head_dim (the cache orientation) so "
-        "the L shards carry whole blocks"
-    )
+    for name, arr in (("k_mx", k_mx), ("v_mx", v_mx)):
+        assert arr.block_dim == arr.ndim - 1, (
+            f"ring {name} must be blocked along head_dim (the cache "
+            "orientation) so the L shards carry whole blocks"
+        )
     kd, ks = k_mx.data, k_mx.scale_e8m0
     vd, vs = v_mx.data, v_mx.scale_e8m0
-    elem, bs, od = k_mx.elem_dtype, k_mx.block_size, k_mx.orig_dtype
-    fp4_pack = k_mx.fp4_pack
+    # Each array dequantizes with ITS OWN metadata (k and v may differ).
+    kmeta = (k_mx.elem_dtype, k_mx.block_size, k_mx.orig_dtype, k_mx.fp4_pack)
+    vmeta = (v_mx.elem_dtype, v_mx.block_size, v_mx.orig_dtype, v_mx.fp4_pack)
+    h, h_kv = q.shape[1], k_mx.shape[1]
+    if h % h_kv != 0:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {h_kv}")
+    g = h // h_kv
+
+    def deq(data, scale, meta):
+        elem, bs, od, fp4_pack = meta
+        arr = MXArray(scale, data, elem, bs, od, block_dim=-1, fp4_pack=fp4_pack)
+        return arr.to_dtype(jnp.bfloat16)
 
     def device_fn(q, kd, ks, vd, vs):
         idx = jax.lax.axis_index(axis)
         b, h, lq, d = q.shape
         q_off = idx * lq
-        qf = q.astype(jnp.bfloat16)
+        qf = q.astype(jnp.bfloat16).reshape(b, h_kv, g, lq, d)
 
-        def deq(data, scale):
-            arr = MXArray(scale, data, elem, bs, od, block_dim=-1,
-                          fp4_pack=fp4_pack)
-            return arr.to_dtype(jnp.bfloat16)
-
-        def body(carry, r):
-            kd_c, ks_c, vd_c, vs_c, state = carry
+        def step(state, arrs, r):
+            kd_c, ks_c, vd_c, vs_c = arrs
             src = (idx - r) % n
             part = _block_attn(
-                qf, deq(kd_c, ks_c), deq(vd_c, vs_c), q_off, src * lq, sm_scale
+                qf,
+                deq(kd_c, ks_c, kmeta),
+                deq(vd_c, vs_c, vmeta),
+                q_off,
+                src * lq,
+                sm_scale,
             )
-            state = _merge(state, part)
-            nxt = [jax.lax.ppermute(x, axis, perm) for x in (kd_c, ks_c, vd_c, vs_c)]
-            return tuple(nxt) + (state,), None
+            return _merge(state, part)
 
         var = lambda x: jax.lax.pcast(x, (axis,), to="varying")  # noqa: E731
-        acc0 = var(jnp.zeros((b, h, lq, d), jnp.float32))
-        m0 = var(jnp.full((b, h, lq), NEG_INF, jnp.float32))
-        l0 = var(jnp.zeros((b, h, lq), jnp.float32))
-        (_, _, _, _, (acc, m, l)), _ = jax.lax.scan(
-            body, (kd, ks, vd, vs, (acc0, m0, l0)), jnp.arange(n)
+        state0 = (
+            var(jnp.zeros((b, h_kv, g, lq, d), jnp.float32)),
+            var(jnp.full((b, h_kv, g, lq), NEG_INF, jnp.float32)),
+            var(jnp.zeros((b, h_kv, g, lq), jnp.float32)),
         )
-        out = acc / jnp.maximum(l, 1e-30)[..., None]
-        return out.astype(jnp.bfloat16)
+        return _finish(
+            _ring(step, n, axis, perm, (kd, ks, vd, vs), state0), b, h, lq, d
+        )
 
     return shard_map(
         device_fn,
