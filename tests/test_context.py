@@ -296,6 +296,106 @@ def test_context_parallel_scan_model_forward_matches_plain():
     _assert_greedy_tokens_match(got, ref)
 
 
+def test_zigzag_order_roundtrip():
+    from torchmx_tpu.parallel.context import zigzag_inverse, zigzag_order
+
+    L, n = 64, 8
+    perm = zigzag_order(L, n)
+    inv = zigzag_inverse(L, n)
+    assert sorted(perm.tolist()) == list(range(L))
+    np.testing.assert_array_equal(perm[inv], np.arange(L))
+    # Device 0's shard = chunks 0 and 2n-1 (first and last).
+    c = L // (2 * n)
+    np.testing.assert_array_equal(perm[: 2 * c][:c], np.arange(c))
+    np.testing.assert_array_equal(perm[c : 2 * c], np.arange(L - c, L))
+
+
+def test_ring_attention_zigzag_matches_full():
+    """Zigzag layout: inputs permuted into the striped order, output
+    inverse-permuted, must equal full causal attention — including GQA."""
+    from torchmx_tpu.parallel.context import zigzag_inverse, zigzag_order
+
+    rng = np.random.RandomState(11)
+    b, h, hkv, L, d = 2, 4, 2, 256, 64
+    q = jnp.asarray(rng.randn(b, h, L, d) * 0.4, jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, hkv, L, d) * 0.4, jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, hkv, L, d) * 0.4, jnp.bfloat16)
+    sm = 1.0 / np.sqrt(d)
+    g = h // hkv
+    ref = np.asarray(
+        _full_causal(q, jnp.repeat(k, g, 1), jnp.repeat(v, g, 1), sm), np.float32
+    )
+    mesh = create_mesh()
+    n = 8
+    perm, inv = zigzag_order(L, n), zigzag_inverse(L, n)
+    with mesh:
+        out_z = np.asarray(
+            ring_attention(
+                q[:, :, perm], k[:, :, perm], v[:, :, perm], mesh,
+                sm_scale=sm, layout="zigzag",
+            ),
+            np.float32,
+        )
+    np.testing.assert_allclose(out_z[:, :, inv], ref, atol=2e-2, rtol=2e-2)
+
+
+def test_ring_attention_mx_zigzag_matches_dequantized_full():
+    from torchmx_tpu.parallel.context import zigzag_inverse, zigzag_order
+
+    q, k, v = _qkv(13, b=1, h=4, L=128, d=64)
+    sm = 1.0 / np.sqrt(64)
+    k_mx = MXArray.to_mx(k, "float8_e4m3", 32)
+    v_mx = MXArray.to_mx(v, "int8", 32)
+    ref = np.asarray(
+        _full_causal(
+            q, k_mx.to_dtype(jnp.bfloat16), v_mx.to_dtype(jnp.bfloat16), sm
+        ),
+        np.float32,
+    )
+    mesh = create_mesh()
+    perm, inv = zigzag_order(128, 8), zigzag_inverse(128, 8)
+    k_z = MXArray.to_mx(k[:, :, perm], "float8_e4m3", 32)
+    v_z = MXArray.to_mx(v[:, :, perm], "int8", 32)
+    with mesh:
+        out_z = np.asarray(
+            ring_attention_mx(
+                q[:, :, perm], k_z, v_z, mesh, sm_scale=sm, layout="zigzag"
+            ),
+            np.float32,
+        )
+    np.testing.assert_allclose(out_z[:, :, inv], ref, atol=2e-2, rtol=2e-2)
+
+
+def test_context_parallel_zigzag_perplexity_matches_plain():
+    """Model-level zigzag: evaluate's scoring permutes tokens/positions into
+    the striped layout automatically; PPL must match the plain forward."""
+    from tests.test_parallel import trained_tiny_quantized
+    from torchmx_tpu.models import evaluate
+    from torchmx_tpu.parallel import MODEL_AXIS
+    from torchmx_tpu.parallel.context import context_parallel
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    val = np.asarray(corpus[-1024:], np.int32)
+    ppl_plain = evaluate.perplexity(model, val, seq_len=128, batch_size=4)
+    mesh = create_mesh()
+    from flax import nnx
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    _, state = nnx.split(model)
+    nnx.update(
+        model,
+        jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+            if hasattr(a, "shape")
+            else a,
+            state,
+        ),
+    )
+    with mesh, context_parallel(mesh, MODEL_AXIS, layout="zigzag"):
+        ppl_z = evaluate.perplexity(model, val, seq_len=128, batch_size=4)
+    assert abs(ppl_z - ppl_plain) < 0.02 * ppl_plain, (ppl_z, ppl_plain)
+
+
 @pytest.mark.parametrize("elem", ["float8_e4m3", "int8", "float4_e2m1"])
 def test_ring_attention_mx_matches_dequantized_full(elem):
     """MX ring: packed K/V codes rotate the ring; result equals full causal

@@ -79,6 +79,35 @@ def _make_token_logprobs(model, kv_cache_config=None, decode: bool = False):
                 )
                 logits, _ = m(input_ids, caches=caches, cache_position=0)
             else:
+                cp = _cpmod.active_cp()
+                if cp is not None and cp[2] == "zigzag":
+                    # Zigzag CP: permute tokens into the striped layout (the
+                    # ring then skips fully-masked chunk-pairs — ~2x fewer
+                    # attention FLOPs), score targets by permuted-global
+                    # index, and reorder only the (b, s) log-probs back —
+                    # never the (b, s, vocab) logits.
+                    cp_mesh, cp_axis, _ = cp
+                    ncp = cp_mesh.shape[cp_axis]
+                    s = input_ids.shape[1]
+                    zperm = _cpmod.zigzag_order(s, ncp)
+                    zinv = _cpmod.zigzag_inverse(s, ncp)
+                    logits_z, _ = m(
+                        input_ids[:, zperm],
+                        position_ids=jnp.asarray(zperm, jnp.int32)[None],
+                    )
+                    logp_z = jax.nn.log_softmax(
+                        logits_z.astype(jnp.float32), axis=-1
+                    )
+                    # zigzag row p (global pos zperm[p]) predicts global
+                    # token zperm[p]+1; rows with no target (global pos s-1)
+                    # are dropped by the zinv[: s-1] reorder below.
+                    tgt = np.minimum(zperm + 1, s - 1)
+                    lp_z = jnp.take_along_axis(
+                        logp_z,
+                        input_ids[:, tgt][..., None].astype(jnp.int32),
+                        axis=2,
+                    )[..., 0]
+                    return lp_z[:, zinv[: s - 1]]
                 logits, _ = m(input_ids)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             # logits[t] predicts token[t+1]

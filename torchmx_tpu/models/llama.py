@@ -443,12 +443,16 @@ class LlamaAttention(nnx.Module):
                         "has no attention-weights quantization point); run "
                         "without context_parallel or drop the QKV configs"
                     )
-                mesh, axis_name = cp
+                mesh, axis_name, cp_layout = cp
                 # GQA stays folded: K/V rotate the ring with their own
                 # (smaller) head count — group_factor x fewer ICI bytes/hop.
+                # Under the zigzag layout the caller already permuted the
+                # tokens (and passed matching position_ids); the ring gets
+                # told so it can skip fully-masked chunk-pairs.
                 out = _cpmod.ring_attention(
                     q.astype(jnp.bfloat16), k, v, mesh, axis=axis_name,
                     sm_scale=1.0 / math.sqrt(self.head_dim),
+                    layout=cp_layout,
                 )
                 out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, -1)
                 return self.o_proj(out), None

@@ -39,13 +39,28 @@ _ACTIVE = None
 
 
 @contextmanager
-def context_parallel(mesh: Mesh, axis: str = MODEL_AXIS):
+def context_parallel(mesh: Mesh, axis: str = MODEL_AXIS, layout: str = "contig"):
     """Activate context parallelism for model forwards traced inside.
 
     Within this context a cache-less ``attention_mask=None`` forward (the
     standard causal prefill/scoring call) runs :func:`ring_attention`
     instead of building the dense (L, L) mask — the sequence dim shards
     over ``axis`` and no device materializes O(L²) anything.
+
+    ``layout`` selects how tokens map to devices:
+
+    * ``"contig"`` — device i holds tokens [i·L/N, (i+1)·L/N).  Simple, but
+      causal work is imbalanced: the ring's wall-clock is set by the device
+      holding the LAST shard, which attends everything (≈2× the useful
+      FLOPs ring-wide).
+    * ``"zigzag"`` — device i holds chunks i and 2N−1−i of 2N chunks (the
+      striped layout): every device carries one early and one late chunk,
+      balancing causal work.  Fully-masked chunk-pairs are skipped with
+      device-local ``lax.cond``, cutting ring attention FLOPs ≈2× at large
+      N.  The CALLER permutes tokens into zigzag order first (use
+      :func:`zigzag_order` / :func:`zigzag_inverse`; ``evaluate``'s scoring
+      does this automatically) and must pass the permuted positions as
+      ``position_ids``.
 
     .. warning:: **Trace-time (static) dispatch.**  The switch is read when
         the forward is TRACED, not when it runs: jit the forward *inside*
@@ -56,9 +71,11 @@ def context_parallel(mesh: Mesh, axis: str = MODEL_AXIS):
         key (see ``models/evaluate.py``) so plain and CP executables never
         alias.
     """
+    if layout not in ("contig", "zigzag"):
+        raise ValueError(f"unknown CP layout {layout!r}")
     global _ACTIVE
     old = _ACTIVE
-    _ACTIVE = (mesh, axis)
+    _ACTIVE = (mesh, axis, layout)
     try:
         yield
     finally:
@@ -66,8 +83,38 @@ def context_parallel(mesh: Mesh, axis: str = MODEL_AXIS):
 
 
 def active_cp():
-    """The (mesh, axis) of the active :func:`context_parallel`, or None."""
+    """The (mesh, axis, layout) of the active :func:`context_parallel`,
+    or None."""
     return _ACTIVE
+
+
+def zigzag_order(length: int, n: int):
+    """Permutation laying a length-``length`` sequence out in zigzag order
+    for an ``n``-device ring: 2n chunks, device i ← chunks (i, 2n−1−i).
+
+    ``x[zigzag_order(L, n)]`` is the zigzag layout; contiguous shard i of
+    the result holds device i's tokens.  Inverse: :func:`zigzag_inverse`.
+    """
+    import numpy as np
+
+    if length % (2 * n) != 0:
+        raise ValueError(f"sequence length {length} not divisible by 2n={2*n}")
+    c = length // (2 * n)
+    idx = np.arange(length).reshape(2 * n, c)
+    return np.concatenate(
+        [np.concatenate([idx[i], idx[2 * n - 1 - i]]) for i in range(n)]
+    )
+
+
+def zigzag_inverse(length: int, n: int):
+    """Inverse of :func:`zigzag_order`: ``x_zig[zigzag_inverse(L, n)]``
+    restores global token order."""
+    import numpy as np
+
+    perm = zigzag_order(length, n)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(length)
+    return inv
 
 
 def _block_attn(q, k, v, q_off, kv_off, sm_scale):
@@ -140,6 +187,68 @@ def _finish(state, b, h, lq, d):
     return out.astype(jnp.bfloat16).reshape(b, h, lq, d)
 
 
+def _init_state(b, h_kv, g, lq, d, axis):
+    # Scan carries become device-varying through ppermute/axis_index;
+    # mark the replicated-constant inits accordingly (shard_map vma).
+    var = lambda x: jax.lax.pcast(x, (axis,), to="varying")  # noqa: E731
+    return (
+        var(jnp.zeros((b, h_kv, g, lq, d), jnp.float32)),
+        var(jnp.full((b, h_kv, g, lq), NEG_INF, jnp.float32)),
+        var(jnp.zeros((b, h_kv, g, lq), jnp.float32)),
+    )
+
+
+def _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks):
+    """Build the zigzag per-hop step function.
+
+    ``qf`` is the grouped (b, h_kv, g, 2c, d) query shard; ``kv_chunks(arrs,
+    half)`` returns the (k, v) bf16 chunk ``half`` ∈ {0 (lo), 1 (hi)} of the
+    rotating carry.  Device i's shard holds global chunks (i, 2n−1−i); the
+    shard from source j holds (j, 2n−1−j).  Of the four chunk-pairs only
+    three can be live — (qlo, khi) is ALWAYS fully masked — and two of the
+    three are conditional, skipped with device-local ``lax.cond`` (legal
+    under shard_map: no collectives inside).  Per hop every device computes
+    ~2 chunk-blocks: balanced, ≈2× fewer FLOPs than the contiguous layout
+    whose last device computes 4 every hop.
+    """
+    qlo, qhi = qf[:, :, :, :c], qf[:, :, :, c:]
+
+    def step(state, arrs, r):
+        idx_ = idx
+        j = (idx_ - r) % n
+        klo, vlo = kv_chunks(arrs, 0)
+        state_lo, state_hi = state
+        # qhi × klo: always fully unmasked (qhi rows live in the top half).
+        state_hi = _merge(
+            state_hi,
+            _block_attn(qhi, klo, vlo, (2 * n - 1 - idx_) * c, j * c, sm_scale),
+        )
+        # qlo × klo: live only when j <= idx (diagonal at j == idx).
+        state_lo = jax.lax.cond(
+            j <= idx_,
+            lambda s: _merge(
+                s, _block_attn(qlo, klo, vlo, idx_ * c, j * c, sm_scale)
+            ),
+            lambda s: s,
+            state_lo,
+        )
+        # qhi × khi: live only when j >= idx (diagonal at j == idx).
+        def hi_hi(s):
+            khi, vhi = kv_chunks(arrs, 1)
+            return _merge(
+                s,
+                _block_attn(
+                    qhi, khi, vhi, (2 * n - 1 - idx_) * c, (2 * n - 1 - j) * c,
+                    sm_scale,
+                ),
+            )
+
+        state_hi = jax.lax.cond(j >= idx_, hi_hi, lambda s: s, state_hi)
+        return state_lo, state_hi
+
+    return step
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -148,6 +257,7 @@ def ring_attention(
     *,
     axis: str = MODEL_AXIS,
     sm_scale: float,
+    layout: str = "contig",
 ):
     """Causal attention with the SEQUENCE sharded over ``axis``.
 
@@ -159,6 +269,9 @@ def ring_attention(
             queries in-place (no ``repeat_kv`` materialization).
         mesh: mesh containing ``axis`` (N devices → L/N tokens per device).
         sm_scale: softmax scale.
+        layout: ``"contig"`` or ``"zigzag"`` (see :func:`context_parallel`).
+            For zigzag the seq dim of q/k/v must already be permuted by
+            :func:`zigzag_order`; the output comes back in the same order.
 
     Returns (b, h, L, d) bf16, L sharded like the inputs.  Each device
     computes its Q shard against every K/V shard as the shards rotate
@@ -173,29 +286,42 @@ def ring_attention(
     if h % h_kv != 0:
         raise ValueError(f"q heads {h} not a multiple of kv heads {h_kv}")
     g = h // h_kv
+    if layout == "zigzag" and q.shape[2] % (2 * n) != 0:
+        raise ValueError(f"zigzag needs L % 2N == 0, got L={q.shape[2]} N={n}")
 
     def device_fn(q, k, v):
         idx = jax.lax.axis_index(axis)
         b, h, lq, d = q.shape
-        q_off = idx * lq
         qf = q.astype(jnp.bfloat16).reshape(b, h_kv, g, lq, d)
+
+        if layout == "zigzag":
+            c = lq // 2
+
+            def kv_chunks(arrs, half):
+                k_cur, v_cur = arrs
+                sl = slice(half * c, (half + 1) * c)
+                return k_cur[:, :, sl], v_cur[:, :, sl]
+
+            step = _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks)
+            state0 = (
+                _init_state(b, h_kv, g, c, d, axis),
+                _init_state(b, h_kv, g, c, d, axis),
+            )
+            state_lo, state_hi = _ring(step, n, axis, perm, (k, v), state0)
+            return jnp.concatenate(
+                [_finish(state_lo, b, h, c, d), _finish(state_hi, b, h, c, d)],
+                axis=2,
+            )
 
         def step(state, arrs, r):
             k_cur, v_cur = arrs
             # K/V block r hops back from this device came from idx - r.
             src = (idx - r) % n
             return _merge(
-                state, _block_attn(qf, k_cur, v_cur, q_off, src * lq, sm_scale)
+                state, _block_attn(qf, k_cur, v_cur, idx * lq, src * lq, sm_scale)
             )
 
-        # Scan carries become device-varying through ppermute/axis_index;
-        # mark the replicated-constant inits accordingly (shard_map vma).
-        var = lambda x: jax.lax.pcast(x, (axis,), to="varying")  # noqa: E731
-        state0 = (
-            var(jnp.zeros((b, h_kv, g, lq, d), jnp.float32)),
-            var(jnp.full((b, h_kv, g, lq), NEG_INF, jnp.float32)),
-            var(jnp.zeros((b, h_kv, g, lq), jnp.float32)),
-        )
+        state0 = _init_state(b, h_kv, g, lq, d, axis)
         return _finish(_ring(step, n, axis, perm, (k, v), state0), b, h, lq, d)
 
     return shard_map(
@@ -212,6 +338,7 @@ def ring_attention_mx(
     *,
     axis: str = MODEL_AXIS,
     sm_scale: float,
+    layout: str = "contig",
 ):
     """Ring attention with MX-QUANTIZED K/V shards rotating over ICI.
 
@@ -243,6 +370,8 @@ def ring_attention_mx(
     if h % h_kv != 0:
         raise ValueError(f"q heads {h} not a multiple of kv heads {h_kv}")
     g = h // h_kv
+    if layout == "zigzag" and q.shape[2] % (2 * n) != 0:
+        raise ValueError(f"zigzag needs L % 2N == 0, got L={q.shape[2]} N={n}")
 
     def deq(data, scale, meta):
         elem, bs, od, fp4_pack = meta
@@ -252,8 +381,33 @@ def ring_attention_mx(
     def device_fn(q, kd, ks, vd, vs):
         idx = jax.lax.axis_index(axis)
         b, h, lq, d = q.shape
-        q_off = idx * lq
         qf = q.astype(jnp.bfloat16).reshape(b, h_kv, g, lq, d)
+
+        if layout == "zigzag":
+            c = lq // 2
+
+            def kv_chunks(arrs, half):
+                kd_c, ks_c, vd_c, vs_c = arrs
+                sl = slice(half * c, (half + 1) * c)
+                # Dequantize only the chunk being contracted (a skipped
+                # cond branch never pays the decode either).
+                return (
+                    deq(kd_c[:, :, sl], ks_c[:, :, sl], kmeta),
+                    deq(vd_c[:, :, sl], vs_c[:, :, sl], vmeta),
+                )
+
+            step = _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks)
+            state0 = (
+                _init_state(b, h_kv, g, c, d, axis),
+                _init_state(b, h_kv, g, c, d, axis),
+            )
+            state_lo, state_hi = _ring(
+                step, n, axis, perm, (kd, ks, vd, vs), state0
+            )
+            return jnp.concatenate(
+                [_finish(state_lo, b, h, c, d), _finish(state_hi, b, h, c, d)],
+                axis=2,
+            )
 
         def step(state, arrs, r):
             kd_c, ks_c, vd_c, vs_c = arrs
@@ -262,18 +416,13 @@ def ring_attention_mx(
                 qf,
                 deq(kd_c, ks_c, kmeta),
                 deq(vd_c, vs_c, vmeta),
-                q_off,
+                idx * lq,
                 src * lq,
                 sm_scale,
             )
             return _merge(state, part)
 
-        var = lambda x: jax.lax.pcast(x, (axis,), to="varying")  # noqa: E731
-        state0 = (
-            var(jnp.zeros((b, h_kv, g, lq, d), jnp.float32)),
-            var(jnp.full((b, h_kv, g, lq), NEG_INF, jnp.float32)),
-            var(jnp.zeros((b, h_kv, g, lq), jnp.float32)),
-        )
+        state0 = _init_state(b, h_kv, g, lq, d, axis)
         return _finish(
             _ring(step, n, axis, perm, (kd, ks, vd, vs), state0), b, h, lq, d
         )
