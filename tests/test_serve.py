@@ -220,3 +220,139 @@ def test_chunked_prefill_short_prompt_and_release():
     s2 = eng.add(list(range(40)))
     eng.release(s2)
     assert not eng._pending and eng.free_slots() == [0]
+
+
+def test_prefix_cache_exact_streams():
+    """Prompts extending a registered prefix must emit EXACTLY the same
+    greedy stream as a prefix-less engine (reuse is byte-identical), and
+    the prefill must actually be skipped (prefix_hit_tokens > 0)."""
+    model = tiny_model(seed=3)
+    rng = np.random.RandomState(3)
+    system = rng.randint(0, 128, (24,)).tolist()
+    user_a = rng.randint(0, 128, (7,)).tolist()
+    user_b = rng.randint(0, 128, (13,)).tolist()
+
+    ref = DecodeEngine(model, max_batch=2, max_len=64)
+    ra = ref.add(system + user_a)
+    rb = ref.add(system + user_b)
+    want_a = collect(ref, ra, 8)
+    want_b = collect(ref, rb, 8)
+
+    eng = DecodeEngine(model, max_batch=2, max_len=64)
+    eng.cache_prefix(system)
+    sa = eng.add(system + user_a)
+    sb = eng.add(system + user_b)
+    assert eng.prefix_hit_tokens == 2 * len(system)
+    assert collect(eng, sa, 8) == want_a
+    assert collect(eng, sb, 8) == want_b
+
+
+def test_prefix_cache_mx_kv_and_miss():
+    """Prefix reuse through an MX-quantized cache stays exact; prompts NOT
+    extending the prefix are unaffected (no false matches, including the
+    prompt == prefix case, which must prefill at least one token)."""
+    model = tiny_model(seed=4)
+    rng = np.random.RandomState(4)
+    system = rng.randint(0, 128, (16,)).tolist()
+    user = rng.randint(0, 128, (9,)).tolist()
+    other = rng.randint(0, 128, (20,)).tolist()
+    kv = MXConfig("float8_e4m3")
+
+    ref = DecodeEngine(model, max_batch=3, max_len=64, kv_cache_config=kv)
+    wants = [
+        collect(ref, ref.add(p), 6)
+        for p in (system + user, other, list(system))
+    ]
+
+    eng = DecodeEngine(model, max_batch=3, max_len=64, kv_cache_config=kv)
+    eng.cache_prefix(system)
+    got_hit = collect(eng, eng.add(system + user), 6)
+    hits_after_first = eng.prefix_hit_tokens
+    got_miss = collect(eng, eng.add(other), 6)
+    got_exact = collect(eng, eng.add(list(system)), 6)  # == prefix: no match
+    assert got_hit == wants[0]
+    assert got_miss == wants[1]
+    assert got_exact == wants[2]
+    assert hits_after_first == len(system)
+    assert eng.prefix_hit_tokens == len(system)  # miss paths added nothing
+
+
+def test_prefix_cache_longest_match_and_drop():
+    model = tiny_model(seed=5)
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 128, (8,)).tolist()
+    longer = base + rng.randint(0, 128, (8,)).tolist()
+    tail = rng.randint(0, 128, (5,)).tolist()
+
+    ref = DecodeEngine(model, max_batch=1, max_len=64)
+    want = collect(ref, ref.add(longer + tail), 6)
+
+    eng = DecodeEngine(model, max_batch=1, max_len=64)
+    eng.cache_prefix(base)
+    h = eng.cache_prefix(longer)
+    s = eng.add(longer + tail)
+    assert eng.prefix_hit_tokens == len(longer)  # longest match wins
+    assert collect(eng, s, 6) == want
+    eng.release(s)
+    eng.drop_prefix(h)
+    eng.prefix_hit_tokens = 0
+    s2 = eng.add(longer + tail)
+    assert eng.prefix_hit_tokens == len(base)  # falls back to the shorter
+    assert collect(eng, s2, 6) == want
+
+
+def test_prefix_cache_with_chunked_prefill():
+    """Prefix reuse composes with chunked admissions: the reused length
+    rounds down to a chunk multiple and streams stay exact."""
+    model = tiny_model(seed=6)
+    rng = np.random.RandomState(6)
+    system = rng.randint(0, 128, (21,)).tolist()  # rounds down to 16
+    user = rng.randint(0, 128, (9,)).tolist()
+
+    ref = DecodeEngine(model, max_batch=1, max_len=64)
+    want = collect(ref, ref.add(system + user), 8)
+
+    eng = DecodeEngine(model, max_batch=1, max_len=64, prefill_chunk=8)
+    eng.cache_prefix(system)
+    s = eng.add(system + user)
+    assert eng.prefix_hit_tokens == 16  # 21 rounded down to the chunk grid
+    assert collect(eng, s, 8) == want
+
+
+def test_prefix_cache_near_full_window_shift():
+    """A remainder window that would cross max_len shifts down and
+    recomputes the overlap — streams stay exact (no clamped writes)."""
+    model = tiny_model(seed=7)
+    rng = np.random.RandomState(7)
+    system = rng.randint(0, 128, (40,)).tolist()
+    user = rng.randint(0, 128, (20,)).tolist()
+    # n=60, rem=20 -> width 32, start 40: 40+32 > max_len 64 -> the window
+    # shifts to start 32 and recomputes positions [32, 40).
+    eng_len = 64
+    assert 40 + 32 > eng_len  # sanity: the shift path IS exercised
+
+    ref = DecodeEngine(model, max_batch=1, max_len=eng_len)
+    want = collect(ref, ref.add(system + user), 3)
+
+    eng = DecodeEngine(model, max_batch=1, max_len=eng_len)
+    eng.cache_prefix(system)
+    s = eng.add(system + user)
+    assert eng.prefix_hit_tokens == 32  # reused up to the shifted window
+    assert collect(eng, s, 3) == want
+
+
+def test_prefix_cache_composes_with_speculation():
+    model = tiny_model(seed=8)
+    rng = np.random.RandomState(8)
+    system = rng.randint(0, 128, (16,)).tolist()
+    user = rng.randint(0, 128, (6,)).tolist()
+
+    ref = DecodeEngine(model, max_batch=1, max_len=128)
+    want = collect(ref, ref.add(system + user), 10)
+
+    eng = DecodeEngine(model, max_batch=1, max_len=128,
+                       speculative_draft_len=3)
+    eng.cache_prefix(system)
+    s = eng.add(system + user)
+    assert eng.prefix_hit_tokens == len(system)
+    assert collect(eng, s, 10) == want

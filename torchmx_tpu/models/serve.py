@@ -145,6 +145,13 @@ class DecodeEngine:
         # Slot's cache is full but its final computed token is still
         # unemitted: one more step() emits it, then the slot evicts.
         self._draining = np.zeros((max_batch,), bool)
+        # Registered prompt-prefix KV caches (shared system prompts):
+        # handle -> {"ids": tuple, "caches": single-slot caches with
+        # positions [0, len(ids)) filled}.  See cache_prefix().
+        self._prefixes: Dict[int, dict] = {}
+        self._prefix_next_handle = 0
+        #: prompt tokens whose prefill was skipped via prefix-cache hits.
+        self.prefix_hit_tokens = 0
         self.speculative_draft_len = speculative_draft_len
         self.speculative_ngram = int(speculative_ngram)
         if speculative_draft_len is not None:
@@ -299,12 +306,67 @@ class DecodeEngine:
         self._step_count += 1
         return jax.random.fold_in(self._base_key, self._step_count)
 
+    def cache_prefix(self, prefix_ids: Sequence[int]) -> int:
+        """Precompute and store the KV cache for a shared prompt PREFIX.
+
+        Later ``add()`` calls whose prompt starts with a registered prefix
+        reuse its K/V rows instead of recomputing them (the longest match
+        wins) and prefill only the remainder — the standard system-prompt
+        optimization.  Reuse is EXACT: prefill is deterministic, so copied
+        rows are byte-identical to recomputed ones (MX-quantized caches
+        included); greedy streams are unchanged (tested).
+
+        Each stored prefix costs one single-slot cache (O(max_len) HBM,
+        the same as one batch slot); ``drop_prefix()`` frees it.  Returns
+        a handle for :meth:`drop_prefix`.
+        """
+        ids_t = tuple(int(t) for t in prefix_ids)
+        p = len(ids_t)
+        if not 1 <= p < self.max_len:
+            raise ValueError(
+                f"prefix length {p} must be in [1, max_len={self.max_len})"
+            )
+        width = self._bucket(p)
+        ids = np.zeros((1, width), np.int32)
+        ids[0, :p] = ids_t
+        _, caches = self._prefill_one(
+            self._state,
+            self._slot_cache_template,
+            jnp.asarray(ids),
+            jnp.asarray(p, jnp.int32),
+            self._next_key(),
+        )
+        handle = self._prefix_next_handle
+        self._prefix_next_handle += 1
+        self._prefixes[handle] = {"ids": ids_t, "caches": caches}
+        return handle
+
+    def drop_prefix(self, handle: int) -> None:
+        """Free a stored prefix cache registered by :meth:`cache_prefix`."""
+        del self._prefixes[handle]
+
+    def _match_prefix(self, prompt: Sequence[int]):
+        """Longest registered prefix the prompt STRICTLY extends (the
+        remainder must be non-empty so admission always produces fresh
+        last-token logits).  Returns (match_len, caches) or (0, None)."""
+        if not self._prefixes:
+            return 0, None
+        pt = tuple(int(t) for t in prompt)
+        best, best_p = None, 0
+        for entry in self._prefixes.values():
+            p = len(entry["ids"])
+            if p > best_p and len(pt) > p and pt[:p] == entry["ids"]:
+                best, best_p = entry, p
+        return best_p, (best["caches"] if best else None)
+
     def add(self, prompt_ids: Sequence[int]) -> int:
         """Admit ``prompt_ids`` into a free slot; returns the slot id.
 
         Without ``prefill_chunk`` the whole prompt prefills synchronously
         here.  With it, the prompt is queued and ``step()`` advances one
         chunk per call — the slot starts emitting once its last chunk lands.
+        Prompts extending a registered :meth:`cache_prefix` skip the
+        prefix's prefill in both modes.
         """
         free = self.free_slots()
         if not free:
@@ -315,27 +377,66 @@ class DecodeEngine:
             raise ValueError(
                 f"prompt length {n} exceeds the cache length {self.max_len}"
             )
+        match_p, match_caches = self._match_prefix(prompt_ids)
         if self.prefill_chunk is not None:
+            # Chunk windows must start at chunk multiples (see the
+            # constructor's divisibility guard); round the reused length
+            # down — the overlap [start, match_p) recomputes to identical
+            # bytes (prefill is deterministic).
+            start = (match_p // self.prefill_chunk) * self.prefill_chunk
+            if start > 0:
+                caches = jax.tree.map(jnp.copy, match_caches)
+                self.prefix_hit_tokens += start
+            else:
+                caches = self.model.init_cache(
+                    1, self.max_len, self._kv_cache_config
+                )
             self._pending[slot] = {
                 "ids": np.asarray(list(prompt_ids), np.int32),
-                "done": 0,
-                "caches": self.model.init_cache(
-                    1, self.max_len, self._kv_cache_config
-                ),
+                "done": start,
+                "caches": caches,
             }
             self.active[slot] = True  # reserved; emits after the last chunk
             self.finished_reason.pop(slot, None)
             return slot
-        width = self._bucket(n)
-        ids = np.zeros((1, width), np.int32)
-        ids[0, :n] = prompt_ids
-        token, slot_caches = self._prefill_one(
-            self._state,
-            self._slot_cache_template,
-            jnp.asarray(ids),
-            jnp.asarray(n, jnp.int32),
-            self._next_key(),
-        )
+        if match_p > 0:
+            # Prefix hit: start from a COPY of the stored prefix K/V (the
+            # jit call donates its cache argument; the copy keeps the
+            # stored entry alive) and prefill only the remainder at its
+            # true offset — the same offset math as chunked admissions.
+            rem = n - match_p
+            width = self._bucket(rem)
+            start = match_p
+            if start + width > self.max_len:
+                # The (1, width) remainder window must stay in bounds (a
+                # clamped dynamic_update_slice would relocate pad rows over
+                # valid positions); shift the window down and recompute the
+                # overlap — identical bytes, deterministic.
+                start = self.max_len - width
+                rem = n - start
+            ids = np.zeros((1, width), np.int32)
+            ids[0, :rem] = list(prompt_ids)[start:]
+            slot_caches = jax.tree.map(jnp.copy, match_caches)
+            token, slot_caches = self._prefill_chunk_fn(
+                self._state,
+                slot_caches,
+                jnp.asarray(ids),
+                jnp.asarray(start, jnp.int32),
+                jnp.asarray(rem - 1, jnp.int32),
+                self._next_key(),
+            )
+            self.prefix_hit_tokens += start
+        else:
+            width = self._bucket(n)
+            ids = np.zeros((1, width), np.int32)
+            ids[0, :n] = prompt_ids
+            token, slot_caches = self._prefill_one(
+                self._state,
+                self._slot_cache_template,
+                jnp.asarray(ids),
+                jnp.asarray(n, jnp.int32),
+                self._next_key(),
+            )
         self._caches = self._scatter_slot(self._caches, slot_caches, slot)
         self._next_token[slot] = int(token[0])
         self.pos[slot] = n
