@@ -26,10 +26,10 @@ from flax import nnx
 _SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _session(model, greedy: bool):
+def _session(model, greedy: bool, top_k: int = 0, top_p: float = 1.0, min_p: float = 0.0):
     graphdef, _ = nnx.split(model)
     fns = _SESSIONS.setdefault(model, {})
-    key = ("v1", greedy)
+    key = ("v1", greedy, top_k, top_p, min_p)
     entry = fns.get(key)
     # Invalidate on structure change (e.g. quantize_llm_ surgery after a
     # prior generate() on the same object).
@@ -46,7 +46,11 @@ def _session(model, greedy: bool):
     def pick(logits, key, temp):
         if greedy:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(key, logits / temp, axis=-1).astype(jnp.int32)
+        from .sampling import sample_logits
+
+        return sample_logits(
+            logits, key, temp, top_k=top_k, top_p=top_p, min_p=min_p
+        )
 
     @functools.partial(jax.jit, static_argnames=("steps", "max_len"))
     def decode_all(state, token, pos, caches, rng, temp, steps, max_len):
@@ -114,6 +118,9 @@ def generate(
     kv_cache_config=None,
     prompt_len: Optional[jax.Array] = None,
     temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    min_p: float = 0.0,
     rng: Optional[jax.Array] = None,
     stream: bool = False,
 ) -> jax.Array:
@@ -147,7 +154,9 @@ def generate(
         prompt_len = jnp.full((b,), s, jnp.int32)
 
     greedy = temperature == 0.0
-    prefill, decode, decode_all, pick = _session(model, greedy)
+    prefill, decode, decode_all, pick = _session(
+        model, greedy, top_k=int(top_k), top_p=float(top_p), min_p=float(min_p)
+    )
     temp = jnp.asarray(1.0 if greedy else temperature, jnp.float32)
 
     logits, caches = prefill(state, input_ids, caches, prompt_len, max_len=max_len)

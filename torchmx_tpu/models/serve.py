@@ -90,6 +90,8 @@ class DecodeEngine:
         eos_token_id=None,
         temperature: float = 0.0,
         top_k: int = 0,
+        top_p: float = 1.0,
+        min_p: float = 0.0,
         seed: int = 0,
         mesh=None,
         batch_axis: str = "data",
@@ -115,6 +117,8 @@ class DecodeEngine:
         self.eos_token_ids = frozenset(eos_ids)
         self.temperature = float(temperature)
         self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self.min_p = float(min_p)
         self._base_key = jax.random.PRNGKey(seed)
         self._step_count = 0
         # Weights are snapshotted here; call refresh_state() after in-place
@@ -200,6 +204,7 @@ class DecodeEngine:
             self._caches = jax.tree.map(_shard, self._caches)
 
         temp, topk = self.temperature, self.top_k
+        topp, minp = self.top_p, self.min_p
 
         def prefill_one(state, slot_caches, ids, true_len, key):
             """Prefill a (1, Lp) prompt against fresh single-slot caches."""
@@ -215,7 +220,7 @@ class DecodeEngine:
             last = jnp.take_along_axis(
                 logits, (true_len - 1)[None, None, None], axis=1
             )[:, 0, :]
-            token = _select_token(last, key, temp, topk)
+            token = _select_token(last, key, temp, topk, topp, minp)
             return token, new_caches
 
         def scatter_slot(big, small, slot):
@@ -251,7 +256,7 @@ class DecodeEngine:
                 caches=caches,
                 cache_position=pos,
             )
-            nxt = _select_token(logits[:, -1, :], key, temp, topk)
+            nxt = _select_token(logits[:, -1, :], key, temp, topk, topp, minp)
             return nxt, new_caches
 
         def prefill_chunk_fn(state, slot_caches, ids, offset, last_idx, key):
@@ -269,7 +274,7 @@ class DecodeEngine:
             last = jnp.take_along_axis(
                 logits, last_idx[None, None, None], axis=1
             )[:, 0, :]
-            return _select_token(last, key, temp, topk), new_caches
+            return _select_token(last, key, temp, topk, topp, minp), new_caches
 
         def verify_step(state, caches, tokens, pos):
             from .speculate import verify_forward
@@ -638,12 +643,18 @@ class DecodeEngine:
         self.finished_reason.pop(slot, None)
 
 
-def _select_token(logits: jax.Array, key, temperature: float, top_k: int):
-    """Greedy (temperature 0) or temperature/top-k sampling over (B, V)."""
-    if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits.astype(jnp.float32) / temperature
-    if top_k > 0 and top_k < logits.shape[-1]:
-        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
-        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+def _select_token(
+    logits: jax.Array,
+    key,
+    temperature: float,
+    top_k: int,
+    top_p: float = 1.0,
+    min_p: float = 0.0,
+):
+    """Greedy (temperature 0) or filtered sampling over (B, V) — the
+    shared warper stack (`models/sampling.py`), statically specialized."""
+    from .sampling import sample_logits
+
+    return sample_logits(
+        logits, key, temperature, top_k=top_k, top_p=top_p, min_p=min_p
+    )
