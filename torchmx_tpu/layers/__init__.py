@@ -9,6 +9,8 @@ from .linear import Linear, MXInferenceLinear  # noqa: F401
 _LAZY = {
     "MXInferenceLlamaAttention": ".mx_llama_attention",
     "MXInferenceLlamaMLP": ".mx_llama_attention",
+    "MXInferenceMistralAttention": ".mx_mistral_attention",
+    "MXInferenceMistralMLP": ".mx_mistral_attention",
     "MXInferenceQwen2Attention": ".mx_qwen2_attention",
     "MXInferenceQwen2MLP": ".mx_qwen2_attention",
 }

@@ -1,4 +1,4 @@
-"""Model families (JAX/NNX): Llama and Qwen2, with HF checkpoint import."""
+"""Model families (JAX/NNX): Llama, Qwen2 and Mistral, with HF checkpoint import."""
 
 from .llama import (  # noqa: F401
     LayerKVCache,
@@ -16,6 +16,14 @@ from . import evaluate, serve  # noqa: F401
 from .generate import generate  # noqa: F401
 from .serve import DecodeEngine  # noqa: F401
 from .speculate import generate_speculative  # noqa: F401
+from .mistral import (  # noqa: F401
+    MistralAttention,
+    MistralConfig,
+    MistralDecoderLayer,
+    MistralForCausalLM,
+    MistralMLP,
+    MistralModel,
+)
 from .qwen2 import (  # noqa: F401
     Qwen2Attention,
     Qwen2Config,

@@ -123,6 +123,7 @@ def generate(
     min_p: float = 0.0,
     rng: Optional[jax.Array] = None,
     stream: bool = False,
+    ring_cache: bool = False,
 ) -> jax.Array:
     """Generate ``max_new_tokens`` tokens (greedy if temperature == 0).
 
@@ -143,12 +144,25 @@ def generate(
     """
     _, state = nnx.split(model)
     b, s = input_ids.shape
-    max_len = s + max_new_tokens
-    if kv_cache_config is not None:
-        # Round the cache length to a KV-tile multiple so the fused MX-cache
-        # attention kernel is eligible (extra rows are masked).
-        max_len = (max_len + 127) // 128 * 128
-    caches = model.init_cache(b, max_len, kv_cache_config)
+    if ring_cache:
+        # Rolling-buffer cache for sliding-window models: capacity covers
+        # the window plus the one-shot prompt prefill (the oldest prompt
+        # query still sees its full window), NOT the generation length —
+        # long generations decode in bounded HBM.
+        window = getattr(model.config, "sliding_window", None)
+        if window is None:
+            raise ValueError(
+                "ring_cache=True requires a sliding-window model "
+                "(config.sliding_window)"
+            )
+        max_len = (window + s + 127) // 128 * 128
+    else:
+        max_len = s + max_new_tokens
+        if kv_cache_config is not None:
+            # Round the cache length to a KV-tile multiple so the fused
+            # MX-cache attention kernel is eligible (extra rows are masked).
+            max_len = (max_len + 127) // 128 * 128
+    caches = model.init_cache(b, max_len, kv_cache_config, ring=ring_cache)
     ragged = prompt_len is not None
     if prompt_len is None:
         prompt_len = jnp.full((b,), s, jnp.int32)

@@ -1,4 +1,4 @@
-"""HF checkpoint import: load Llama/Qwen2 weights into the NNX models.
+"""HF checkpoint import: load Llama/Qwen2/Mistral weights into the NNX models.
 
 Two entry points:
 
@@ -20,6 +20,7 @@ from flax import nnx
 
 from ..utils import get_logger
 from .llama import LlamaConfig, LlamaForCausalLM
+from .mistral import MistralConfig, MistralForCausalLM
 from .qwen2 import Qwen2Config, Qwen2ForCausalLM
 
 logger = get_logger(__name__)
@@ -27,6 +28,7 @@ logger = get_logger(__name__)
 _ARCH_MAP = {
     "LlamaForCausalLM": (LlamaConfig, LlamaForCausalLM),
     "Qwen2ForCausalLM": (Qwen2Config, Qwen2ForCausalLM),
+    "MistralForCausalLM": (MistralConfig, MistralForCausalLM),
 }
 
 

@@ -12,6 +12,7 @@ reference's zero-graph-breaks guarantee, ``tests/test_mx_tensor.py:432-456``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Optional, Tuple
 
@@ -45,6 +46,9 @@ class LlamaConfig:
     mlp_bias: bool = False
     tie_word_embeddings: bool = False
     attention_dropout: float = 0.0
+    # Sliding-window attention (Mistral semantics): query at position p sees
+    # keys in (p - sliding_window, p].  None = full causal.
+    sliding_window: Optional[int] = None
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -71,6 +75,13 @@ class LlamaConfig:
             attention_bias=bool(get("attention_bias", False)),
             mlp_bias=bool(get("mlp_bias", False)),
             tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            # Qwen2-style checkpoints carry sliding_window but gate it off
+            # with use_sliding_window=False; Mistral v0.2+ sets it null.
+            sliding_window=(
+                get("sliding_window")
+                if get("use_sliding_window", True) is not False
+                else None
+            ),
         )
 
 
@@ -162,6 +173,30 @@ def _seq_scatter_last(buf: Array, new: Array, pos) -> Array:
     )(buf, new, pos)
 
 
+def _ring_scatter(buf: Array, new: Array, pos, seq_axis: int) -> Array:
+    """Write ``new`` into ``buf`` at WRAPPED sequence positions
+    ``(pos + i) mod R`` along ``seq_axis`` (2 for seq-major shapes
+    (b, h, L, x), 3 for d-major (b, h, x, L)).  When ``new`` is longer than
+    the ring capacity only the last R tokens land (the earlier ones would
+    be overwritten anyway)."""
+    R = buf.shape[seq_axis]
+    s = new.shape[seq_axis]
+    if s > R:
+        sl = [slice(None)] * new.ndim
+        sl[seq_axis] = slice(s - R, None)
+        new = new[tuple(sl)]
+        pos = pos + (s - R)
+        s = R
+
+    def one(buf1, new1, p):
+        idx = jnp.mod(p + jnp.arange(s), R)
+        return buf1.at[:, idx, :].set(new1) if seq_axis == 2 else buf1.at[:, :, idx].set(new1)
+
+    if jnp.ndim(pos) == 0:
+        pos = jnp.broadcast_to(pos, (buf.shape[0],))
+    return jax.vmap(one)(buf, new, jnp.asarray(pos, jnp.int32))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LayerKVCache:
@@ -216,6 +251,11 @@ class MXLayerKVCache:
     elem_dtype_name: str = dataclasses.field(metadata=dict(static=True))
     block_size: int = dataclasses.field(metadata=dict(static=True))
     layout: str = dataclasses.field(default="seq", metadata=dict(static=True))
+    # Ring (rolling-buffer) mode for sliding-window models: position p lives
+    # at slot p mod max_len, so HBM is bounded by the window instead of the
+    # generation length.  Readers reconstruct absolute positions from slot
+    # indices (fused kernel in-kernel; eager via _ring_cache_mask).
+    ring: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @staticmethod
     def create(
@@ -226,6 +266,7 @@ class MXLayerKVCache:
         elem_dtype_name: str = "float8_e4m3",
         block_size: int = 32,
         layout: Optional[str] = None,
+        ring: bool = False,
     ):
         from .. import dtypes as _dt
         from .. import env_variables as _env
@@ -251,6 +292,7 @@ class MXLayerKVCache:
             elem_dtype_name=elem_dtype_name,
             block_size=block_size,
             layout=layout,
+            ring=ring,
         )
 
     def _pack(self, codes: Array) -> Array:
@@ -283,19 +325,27 @@ class MXLayerKVCache:
             # Transpose only the incoming (b, h, s, x) slice, scatter on the
             # sequence (last) dim of the d-major buffers.
             sw = lambda a: a.swapaxes(2, 3)
+            scat = (
+                functools.partial(_ring_scatter, seq_axis=3)
+                if self.ring
+                else _seq_scatter_last
+            )
             return dataclasses.replace(
                 self,
-                k_data=_seq_scatter_last(self.k_data, sw(kd), pos),
-                k_scale=_seq_scatter_last(self.k_scale, sw(ks), pos),
-                v_data=_seq_scatter_last(self.v_data, sw(vd), pos),
-                v_scale=_seq_scatter_last(self.v_scale, sw(vs), pos),
+                k_data=scat(self.k_data, sw(kd), pos),
+                k_scale=scat(self.k_scale, sw(ks), pos),
+                v_data=scat(self.v_data, sw(vd), pos),
+                v_scale=scat(self.v_scale, sw(vs), pos),
             )
+        scat = (
+            functools.partial(_ring_scatter, seq_axis=2) if self.ring else _seq_scatter
+        )
         return dataclasses.replace(
             self,
-            k_data=_seq_scatter(self.k_data, kd, pos),
-            k_scale=_seq_scatter(self.k_scale, ks, pos),
-            v_data=_seq_scatter(self.v_data, vd, pos),
-            v_scale=_seq_scatter(self.v_scale, vs, pos),
+            k_data=scat(self.k_data, kd, pos),
+            k_scale=scat(self.k_scale, ks, pos),
+            v_data=scat(self.v_data, vd, pos),
+            v_scale=scat(self.v_scale, vs, pos),
         )
 
     def dequantize(self) -> Tuple[Array, Array]:
@@ -416,6 +466,7 @@ class LlamaAttention(nnx.Module):
         cache_position: Optional[Array] = None,
     ):
         bsz, q_len, _ = hidden_states.shape
+        window = self.config.sliding_window
         q, k, v = self._project_qkv(hidden_states)
 
         # (b, heads, s, d)
@@ -430,6 +481,12 @@ class LlamaAttention(nnx.Module):
 
             cp = _cpmod.active_cp()
             if cp is not None:
+                if window is not None:
+                    raise NotImplementedError(
+                        "context-parallel forwards with sliding-window "
+                        "attention are not supported (the ring masks "
+                        "causally only); run without context_parallel"
+                    )
                 # Context-parallel prefill/scoring: the sequence is sharded
                 # over cp's mesh axis and ring attention masks causally from
                 # global offsets — no dense (L, L) mask anywhere.
@@ -458,6 +515,22 @@ class LlamaAttention(nnx.Module):
                 return self.o_proj(out), None
 
         new_cache = None
+        ring = getattr(cache, "ring", False)
+        if ring:
+            if window is None:
+                raise ValueError(
+                    "ring KV caches require a sliding-window config "
+                    "(config.sliding_window); a full-causal query would "
+                    "need evicted positions"
+                )
+            cap = cache.max_len
+            if cap < window + q_len - 1:
+                raise ValueError(
+                    f"ring cache capacity {cap} < window {window} + "
+                    f"chunk {q_len} - 1: the oldest query in this chunk "
+                    "would need already-evicted positions; enlarge the "
+                    "ring or shrink the prefill chunk"
+                )
         if cache is not None:
             if (
                 isinstance(cache, MXLayerKVCache)
@@ -479,6 +552,8 @@ class LlamaAttention(nnx.Module):
                     cache_position,
                     cache_position + q_len,
                     1.0 / math.sqrt(self.head_dim),
+                    window=window,
+                    ring=ring,
                 )
                 if fused is not None:
                     out = fused.transpose(0, 2, 1, 3).reshape(bsz, q_len, -1)
@@ -499,9 +574,14 @@ class LlamaAttention(nnx.Module):
             if attention_mask is None and cache_position is not None:
                 # Standard causal mask over the written prefix (same
                 # semantics the fused kernel applies in-kernel).
-                attention_mask = _standard_cache_mask(
-                    cache_position, q_len, k.shape[2]
-                )
+                if ring:
+                    attention_mask = _ring_cache_mask(
+                        cache_position, q_len, k.shape[2], window
+                    )
+                else:
+                    attention_mask = _standard_cache_mask(
+                        cache_position, q_len, k.shape[2], window=window
+                    )
 
         k = repeat_kv(k, self.num_key_value_groups)
         v = repeat_kv(v, self.num_key_value_groups)
@@ -529,9 +609,10 @@ def _swap_last2(x):
     return x.swapaxes(-2, -1)
 
 
-def _standard_cache_mask(cache_position, q_len: int, max_len: int):
+def _standard_cache_mask(cache_position, q_len: int, max_len: int, window=None):
     """Additive causal mask over a static cache: query t (at position
-    ``cache_position + t``) sees cache positions ``<= cache_position + t``.
+    ``cache_position + t``) sees cache positions ``<= cache_position + t``
+    (and, with a sliding ``window``, ``> cache_position + t - window``).
     ``cache_position`` may be a scalar or (b,) per-row positions; returns
     (1 or b, 1, q_len, max_len) fp32."""
     pos = jnp.asarray(cache_position, jnp.int32)
@@ -540,6 +621,28 @@ def _standard_cache_mask(cache_position, q_len: int, max_len: int):
     q_pos = pos[:, None] + jnp.arange(q_len)[None, :]  # (b, q_len)
     j = jnp.arange(max_len)
     valid = j[None, None, :] <= q_pos[:, :, None]  # (b, q_len, L)
+    if window is not None:
+        valid &= j[None, None, :] > q_pos[:, :, None] - window
+    return jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)[:, None, :, :]
+
+
+def _ring_cache_mask(cache_position, q_len: int, capacity: int, window: int):
+    """Additive mask over a RING cache of ``capacity`` slots: slot ``j``
+    holds absolute position ``T - ((T - j) mod capacity)`` where ``T`` is
+    the newest written position (``cache_position + q_len - 1``); a query at
+    position ``t`` sees slots whose position ``p`` satisfies ``0 <= p <= t``
+    and ``p > t - window``.  ``cache_position`` scalar or (b,); returns
+    (1 or b, 1, q_len, capacity) fp32."""
+    pos = jnp.asarray(cache_position, jnp.int32)
+    if pos.ndim == 0:
+        pos = pos[None]
+    T = pos + q_len - 1  # (b,)
+    q_pos = pos[:, None] + jnp.arange(q_len)[None, :]  # (b, q)
+    j = jnp.arange(capacity)[None, :]
+    p = T[:, None] - jnp.mod(T[:, None] - j, capacity)  # (b, R)
+    p = p[:, None, :]
+    qp = q_pos[:, :, None]
+    valid = (p >= 0) & (p <= qp) & (p > qp - window)
     return jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)[:, None, :, :]
 
 
@@ -613,7 +716,9 @@ class LlamaModel(nnx.Module):
             from ..parallel import context as _cpmod
 
             if _cpmod.active_cp() is None:
-                attention_mask = make_causal_mask(s, s, dtype=jnp.float32)[None, None]
+                attention_mask = make_causal_mask(
+                    s, s, dtype=jnp.float32, window=self.config.sliding_window
+                )[None, None]
             # else: context-parallel forward — ring attention masks causally
             # in-device from global offsets; a dense (L, L) mask would defeat
             # the sharding.
@@ -655,10 +760,18 @@ class LlamaForCausalLM(nnx.Module):
         return logits, new_caches
 
     def init_cache(
-        self, batch: int, max_len: int, kv_cache_config=None
+        self, batch: int, max_len: int, kv_cache_config=None, ring: bool = False
     ):
-        """Allocate per-layer KV caches (hp, or MX-quantized if a config is given)."""
+        """Allocate per-layer KV caches (hp, or MX-quantized if a config is
+        given).  ``ring=True`` allocates rolling buffers of ``max_len`` slots
+        (sliding-window models only: HBM bounded by the window, not the
+        generation length); requires an MX cache config."""
         c = self.config
+        if ring and kv_cache_config is None:
+            raise ValueError(
+                "ring caches are implemented for MX KV caches; pass a "
+                "kv_cache_config (int8 is quality-free — docs/results.md)"
+            )
         if kv_cache_config is None:
             return [
                 LayerKVCache.create(batch, c.num_key_value_heads, max_len, c.head_dim)
@@ -672,16 +785,23 @@ class LlamaForCausalLM(nnx.Module):
                 c.head_dim,
                 kv_cache_config.elem_dtype_name,
                 kv_cache_config.block_size,
+                ring=ring,
             )
             for _ in range(c.num_hidden_layers)
         ]
 
 
-def make_causal_mask(q_len: int, kv_len: int, dtype=jnp.float32) -> Array:
-    """Additive causal mask (0 on allowed, large-negative on masked)."""
+def make_causal_mask(q_len: int, kv_len: int, dtype=jnp.float32, window=None) -> Array:
+    """Additive causal mask (0 on allowed, large-negative on masked); with a
+    sliding ``window``, keys more than ``window - 1`` positions behind a
+    query are masked too (Mistral semantics)."""
     i = jnp.arange(q_len)[:, None]
     j = jnp.arange(kv_len)[None, :]
-    return jnp.where(j <= i + (kv_len - q_len), 0.0, jnp.finfo(dtype).min).astype(dtype)
+    q_pos = i + (kv_len - q_len)
+    valid = j <= q_pos
+    if window is not None:
+        valid &= j > q_pos - window
+    return jnp.where(valid, 0.0, jnp.finfo(dtype).min).astype(dtype)
 
 
 def make_prefill_mask(q_len: int, kv_len: int, dtype=jnp.float32) -> Array:

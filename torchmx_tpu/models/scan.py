@@ -114,7 +114,9 @@ class ScanLlamaForCausalLM(nnx.Module):
             from ..parallel import context as _cpmod
 
             if _cpmod.active_cp() is None:
-                attention_mask = make_causal_mask(s, s, dtype=jnp.float32)[None, None]
+                attention_mask = make_causal_mask(
+                    s, s, dtype=jnp.float32, window=self.config.sliding_window
+                )[None, None]
             # else: context-parallel forward — the per-layer attention rides
             # the ring and masks causally from global offsets; a dense
             # (L, L) mask would both defeat the sharding and (worse) force
@@ -148,9 +150,14 @@ class ScanLlamaForCausalLM(nnx.Module):
             logits = self.lm_head(hidden)
         return logits, new_caches
 
-    def init_cache(self, batch: int, max_len: int, kv_cache_config=None):
+    def init_cache(self, batch: int, max_len: int, kv_cache_config=None, ring: bool = False):
         """Stacked per-layer KV caches: leaves (num_layers, batch, ...)."""
         c = self.config
+        if ring and kv_cache_config is None:
+            raise ValueError(
+                "ring caches are implemented for MX KV caches; pass a "
+                "kv_cache_config"
+            )
         if kv_cache_config is None:
             one = LayerKVCache.create(batch, c.num_key_value_heads, max_len, c.head_dim)
         else:
@@ -161,6 +168,7 @@ class ScanLlamaForCausalLM(nnx.Module):
                 c.head_dim,
                 kv_cache_config.elem_dtype_name,
                 kv_cache_config.block_size,
+                ring=ring,
             )
         L = c.num_hidden_layers
         return jax.tree.map(lambda a: jnp.zeros((L,) + a.shape, a.dtype), one)

@@ -129,12 +129,23 @@ def _attn_kernel(
     sm_scale: float,
     g: int,
     sqt: int,
+    window: Optional[int] = None,
+    ring: bool = False,
 ):
     # "bfloat16" selects the no-decode baseline variant: K/V tiles are read
     # as bf16 directly (scale refs carry dummies).  This is the honest
     # iso-kernel comparator for the MX-cache speedups (same blockwise
     # online-softmax structure, no dequantization) — a benchmarking aid, not
     # a serving path (a bf16 cache belongs to the plain LayerKVCache flow).
+    # ``window``: sliding-window attention (Mistral semantics — query at
+    # position p sees keys in (p - window, p]); tiles entirely below the
+    # window are skipped by predication just like tiles above the causal
+    # frontier.
+    # ``ring``: the cache is a rolling buffer — slot j holds absolute
+    # position T - ((T - j) mod capacity) with T the newest written
+    # position; masking reconstructs positions from slot indices (requires
+    # ``window``; no tile skipping — the ring is sized ~window so every
+    # tile is live once saturated).
     bf16_cache = elem_name == "bfloat16"
     elem = None if bf16_cache else dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name]
     qt = pl.program_id(2)
@@ -154,7 +165,15 @@ def _attn_kernel(
     # Highest query position in this q tile; skip KV tiles entirely above the
     # causal frontier or beyond the visible prefix.
     q_hi = q_off + (qt + 1) * sqt - 1
-    work = (kt * lt <= q_hi) & (kt * lt < kv_len)
+    if ring:
+        work = kv_len > 0
+    else:
+        work = (kt * lt <= q_hi) & (kt * lt < kv_len)
+        if window is not None:
+            # Lowest query row in this tile sees keys > q_lo - window; a KV
+            # tile whose top index is below that bound is dead for every row.
+            q_lo = q_off + qt * sqt
+            work &= (kt + 1) * lt - 1 > q_lo - window
 
     @pl.when(work)
     def _():
@@ -182,7 +201,19 @@ def _attn_kernel(
         # Causal + prefix mask, computed from indices.
         q_pos = q_off + qt * sqt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 0) // g
         kv_pos = kt * lt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 1)
-        valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        if ring:
+            # Reconstruct the absolute position in each slot: the slot index
+            # IS kv_pos; the newest written position is kv_len - 1.
+            R = pl.num_programs(3) * lt
+            t_new = kv_len - 1
+            m = jax.lax.rem(t_new - kv_pos, R)
+            m = jnp.where(m < 0, m + R, m)
+            pos_abs = t_new - m
+            valid = (pos_abs >= 0) & (pos_abs <= q_pos) & (pos_abs > q_pos - window)
+        else:
+            valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
+            if window is not None:
+                valid &= kv_pos > q_pos - window
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -222,10 +253,12 @@ def _attn_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("elem_name", "sm_scale", "lt", "g", "sqt")
+    jax.jit,
+    static_argnames=("elem_name", "sm_scale", "lt", "g", "sqt", "window", "ring"),
 )
 def _mx_cached_attention(
-    q4, k_data, k_scale, v_data, v_scale, q_off, kv_len, elem_name, sm_scale, lt, g, sqt
+    q4, k_data, k_scale, v_data, v_scale, q_off, kv_len, elem_name, sm_scale, lt, g, sqt,
+    window=None, ring=False,
 ):
     b, hkv, rows, d = q4.shape
     L = k_data.shape[2]
@@ -234,7 +267,8 @@ def _mx_cached_attention(
     rows_t = sqt * g
     grid = (b, hkv, rows // rows_t, L // lt)
     kernel = functools.partial(
-        _attn_kernel, elem_name=elem_name, sm_scale=sm_scale, g=g, sqt=sqt
+        _attn_kernel, elem_name=elem_name, sm_scale=sm_scale, g=g, sqt=sqt,
+        window=window, ring=ring,
     )
     return pl.pallas_call(
         kernel,
@@ -464,6 +498,8 @@ def _attn_kernel_dmajor(
     sm_scale: float,
     g: int,
     sqt: int,
+    window: Optional[int] = None,
+    ring: bool = False,
 ):
     """Blockwise online-softmax attention over a d-major MX KV cache.
 
@@ -490,7 +526,13 @@ def _attn_kernel_dmajor(
     q_off = qoff_ref[ib]
     kv_len = kvlen_ref[ib]
     q_hi = q_off + (qt + 1) * sqt - 1
-    work = (kt * lt <= q_hi) & (kt * lt < kv_len)
+    if ring:
+        work = kv_len > 0
+    else:
+        work = (kt * lt <= q_hi) & (kt * lt < kv_len)
+        if window is not None:
+            q_lo = q_off + qt * sqt
+            work &= (kt + 1) * lt - 1 > q_lo - window
 
     @pl.when(work)
     def _():
@@ -502,7 +544,17 @@ def _attn_kernel_dmajor(
         s = s * sm_scale
         q_pos = q_off + qt * sqt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 0) // g
         kv_pos = kt * lt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 1)
-        valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        if ring:
+            R = pl.num_programs(3) * lt
+            t_new = kv_len - 1
+            m = jax.lax.rem(t_new - kv_pos, R)
+            m = jnp.where(m < 0, m + R, m)
+            pos_abs = t_new - m
+            valid = (pos_abs >= 0) & (pos_abs <= q_pos) & (pos_abs > q_pos - window)
+        else:
+            valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
+            if window is not None:
+                valid &= kv_pos > q_pos - window
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -527,10 +579,12 @@ def _attn_kernel_dmajor(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("elem_name", "sm_scale", "lt", "g", "sqt")
+    jax.jit,
+    static_argnames=("elem_name", "sm_scale", "lt", "g", "sqt", "window", "ring"),
 )
 def _mx_cached_attention_dmajor(
-    q4, k_data, k_scale, v_data, v_scale, q_off, kv_len, elem_name, sm_scale, lt, g, sqt
+    q4, k_data, k_scale, v_data, v_scale, q_off, kv_len, elem_name, sm_scale, lt, g, sqt,
+    window=None, ring=False,
 ):
     b, hkv, rows, d = q4.shape
     dp = k_data.shape[2]  # payload rows: d, or d/2 for halves-packed fp4
@@ -539,7 +593,8 @@ def _mx_cached_attention_dmajor(
     rows_t = sqt * g
     grid = (b, hkv, rows // rows_t, L // lt)
     kernel = functools.partial(
-        _attn_kernel_dmajor, elem_name=elem_name, sm_scale=sm_scale, g=g, sqt=sqt
+        _attn_kernel_dmajor, elem_name=elem_name, sm_scale=sm_scale, g=g, sqt=sqt,
+        window=window, ring=ring,
     )
     return pl.pallas_call(
         kernel,
@@ -745,7 +800,7 @@ def _int8dot_attention(q, cache, q_off, kv_len, sm_scale, lt):
     )
 
 
-def bf16_cached_attention(q, k, v, q_off, kv_len, sm_scale) -> Optional[jax.Array]:
+def bf16_cached_attention(q, k, v, q_off, kv_len, sm_scale, window=None) -> Optional[jax.Array]:
     """Blockwise online-softmax attention over a BF16 KV cache — the same
     fused kernel with the MX decode removed.  The honest iso-kernel baseline
     for the MX-cache speedup numbers (an eager bf16-cache comparison
@@ -771,7 +826,7 @@ def bf16_cached_attention(q, k, v, q_off, kv_len, sm_scale) -> Optional[jax.Arra
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
     out = _mx_cached_attention(
         q4, k.astype(jnp.bfloat16), dummy, v.astype(jnp.bfloat16), dummy,
-        q_off, kv_len, "bfloat16", float(sm_scale), lt, g, sqt,
+        q_off, kv_len, "bfloat16", float(sm_scale), lt, g, sqt, window,
     )
     return (
         out.reshape(b, hkv, sq, g, d).transpose(0, 1, 3, 2, 4).reshape(b, hq, sq, d)
@@ -830,7 +885,9 @@ def plan_cached_attention(
     return lt, sqt
 
 
-def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Array]:
+def cached_attention_any(
+    q, cache, q_off, kv_len, sm_scale, window=None, ring=False
+) -> Optional[jax.Array]:
     """Fused causal attention over an MX-quantized KV cache.
 
     Args:
@@ -842,11 +899,19 @@ def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Arra
             (continuous batching; == cache_position).
         kv_len: visible prefix length(s) (== q_off + sq), same shape rules.
         sm_scale: softmax scale (1/sqrt(head_dim)).
+        window: optional static sliding-window size (Mistral semantics —
+            query at position p sees keys in (p - window, p]).  Served by
+            the base and d-major kernels; the chunk-dot / int8-dot decode
+            specializations pass when a window is set.
+        ring: the cache is a rolling buffer (``MXLayerKVCache(ring=True)``):
+            slots hold the last ``capacity`` positions; requires ``window``.
 
     Returns (b, hq, sq, d) bf16, or None if ineligible (caller falls back to
     the dequantize-the-cache path).
     """
     if not _use_fused():
+        return None
+    if ring and window is None:
         return None
     needed = ("k_data", "k_scale", "v_data", "v_scale", "elem_dtype_name", "block_size")
     if not all(hasattr(cache, f) for f in needed):
@@ -870,7 +935,7 @@ def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Arra
     g = hq // hkv
 
     if layout == "dmajor":
-        if use_int8dot(cache, sq, d):
+        if window is None and not ring and use_int8dot(cache, sq, d):
             return _int8dot_attention(q, cache, q_off, kv_len, sm_scale, lt)
         q4 = (
             q.astype(jnp.bfloat16)
@@ -893,12 +958,14 @@ def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Arra
             lt,
             g,
             sqt,
+            window,
+            ring,
         )
         return (
             out.reshape(b, hkv, sq, g, d).transpose(0, 1, 3, 2, 4).reshape(b, hq, sq, d)
         )
 
-    if use_chunkdot(cache.elem_dtype_name, sq, d):
+    if window is None and not ring and use_chunkdot(cache.elem_dtype_name, sq, d):
         return _chunkdot_attention(q, cache, q_off, kv_len, sm_scale, lt)
 
     # (b, hq, sq, d) -> (b, hkv, sq*g, d), rows ordered (q position, head).
@@ -923,6 +990,8 @@ def cached_attention_any(q, cache, q_off, kv_len, sm_scale) -> Optional[jax.Arra
         lt,
         g,
         sqt,
+        window,
+        ring,
     )
     return (
         out.reshape(b, hkv, sq, g, d).transpose(0, 1, 3, 2, 4).reshape(b, hq, sq, d)

@@ -22,8 +22,10 @@ from flax import nnx
 from .config import QAttentionConfig, QLinearConfig
 from .layers.linear import Linear, MXInferenceLinear
 from .layers.mx_llama_attention import MXInferenceLlamaAttention, MXInferenceLlamaMLP
+from .layers.mx_mistral_attention import MXInferenceMistralAttention, MXInferenceMistralMLP
 from .layers.mx_qwen2_attention import MXInferenceQwen2Attention, MXInferenceQwen2MLP
 from .models.llama import LlamaAttention, LlamaMLP
+from .models.mistral import MistralAttention, MistralMLP
 from .models.qwen2 import Qwen2Attention, Qwen2MLP
 from .mx_array import MXArray
 from .utils import get_logger
@@ -31,14 +33,16 @@ from .utils import get_logger
 logger = get_logger(__name__)
 
 # Registries (reference ``quant_api.py:150-158``).  Order matters: subclasses
-# (Qwen2) must match before their Llama bases.
+# (Qwen2, Mistral) must match before their Llama bases.
 ATTENTION_LAYERS: Dict[Type, Type] = {
     Qwen2Attention: MXInferenceQwen2Attention,
+    MistralAttention: MXInferenceMistralAttention,
     LlamaAttention: MXInferenceLlamaAttention,
 }
 
 MLP_LAYERS: Dict[Type, Type] = {
     Qwen2MLP: MXInferenceQwen2MLP,
+    MistralMLP: MXInferenceMistralMLP,
     LlamaMLP: MXInferenceLlamaMLP,
 }
 
