@@ -1,0 +1,216 @@
+"""Mixtral MoE family: HF parity, routing semantics, capacity dispatch,
+expert parallelism on the 8-device mesh, MX quantization through the
+surgery registry, and checkpoint import (stacked expert weights, streaming
+quantize-on-load).
+
+The reference has no MoE code at all (SURVEY §2.3 marks expert parallelism
+"n/a"); this family and its EP sharding are TPU-build extensions.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+from jax.sharding import PartitionSpec as P
+
+from torchmx_tpu.config import MXConfig, QAttentionConfig, QLinearConfig
+from torchmx_tpu.models.generate import generate
+from torchmx_tpu.models.mixtral import (
+    MixtralConfig,
+    MixtralForCausalLM,
+    MixtralSparseMoeBlock,
+    route_topk,
+)
+from torchmx_tpu.quant_api import quantize_llm_
+
+
+def tiny_config(experts=4, k=2):
+    return MixtralConfig(
+        vocab_size=256,
+        hidden_size=128,  # head_dim 32: the MX KV cache needs >= one block
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        num_local_experts=experts,
+        num_experts_per_tok=k,
+    )
+
+
+def hf_tiny(torch, transformers, experts=4, k=2, seed=0):
+    torch.manual_seed(seed)
+    cfg = transformers.MixtralConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, num_local_experts=experts,
+        num_experts_per_tok=k, tie_word_embeddings=False,
+        attn_implementation="eager", sliding_window=None,
+    )
+    return transformers.MixtralForCausalLM(cfg).to(torch.float32).eval()
+
+
+def test_route_topk_matches_hf_semantics():
+    """fp32 softmax over ALL experts -> top-k -> renormalize the selected."""
+    rng = np.random.RandomState(0)
+    logits = rng.randn(32, 8).astype(np.float32) * 2.0
+    cw = np.asarray(route_topk(jnp.asarray(logits), 2))
+    for t in range(32):
+        p = np.exp(logits[t] - logits[t].max())
+        p = p / p.sum()
+        top = np.argsort(-p)[:2]
+        want = np.zeros(8, np.float32)
+        want[top] = p[top] / p[top].sum()
+        np.testing.assert_allclose(cw[t], want, atol=1e-6)
+    # exactly k nonzeros per row
+    assert np.all((cw > 0).sum(-1) == 2)
+
+
+def test_hf_parity_mixtral():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from torchmx_tpu.models.hf_import import from_hf_torch
+
+    hf = hf_tiny(torch, transformers)
+    ids = np.random.RandomState(0).randint(0, 256, (2, 16))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(ids)).logits.numpy()
+    model, cfg = from_hf_torch(hf)
+    assert isinstance(model, MixtralForCausalLM)
+    assert cfg.num_local_experts == 4 and cfg.num_experts_per_tok == 2
+    logits, _ = model(jnp.asarray(ids, jnp.int32))
+    corr = np.corrcoef(np.asarray(logits, np.float32).ravel(), hf_logits.ravel())[0, 1]
+    assert corr > 0.999, f"mixtral corr {corr}"
+
+
+def test_capacity_dispatch_matches_exact_when_roomy():
+    """capacity_factor with no drops == the exact dense-masked routing."""
+    model = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(1))
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 256, (2, 16)), jnp.int32)
+    exact, _ = model(ids)
+    for layer in model.model.layers:
+        layer.mlp.capacity_factor = 4.0  # C = ceil(4*k*T/E) >= T -> no drops
+    roomy, _ = model(ids)
+    np.testing.assert_allclose(
+        np.asarray(exact, np.float32), np.asarray(roomy, np.float32),
+        atol=4e-2, rtol=4e-2,  # bf16 summation-order drift between the forms
+    )
+
+
+def test_capacity_dispatch_drops_and_renormalizes():
+    """A tiny capacity drops tokens but outputs stay finite and the combine
+    weights renormalize over the surviving experts."""
+    blk = MixtralSparseMoeBlock(tiny_config(experts=4, k=2), rngs=nnx.Rngs(2))
+    blk.capacity_factor = 0.25  # C = ceil(0.25 * 2 * 32 / 4) = 4 slots
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 32, 128), jnp.bfloat16)
+    y = blk(x)
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(y, np.float32)))
+
+
+def test_quantize_registry_and_generate():
+    from torchmx_tpu.layers.mx_mixtral_moe import MXInferenceMixtralMoeBlock
+    from torchmx_tpu.layers.linear import MXInferenceLinear
+
+    model = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(3))
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, 256, (1, 12)), jnp.int32)
+    ref, _ = model(ids)
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float8_e4m3"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
+    blk = model.model.layers[0].mlp
+    assert isinstance(blk, MXInferenceMixtralMoeBlock)
+    # Router stays high-precision (raw param, not a quantized linear).
+    assert not isinstance(getattr(blk, "gate_weight"), MXInferenceLinear)
+    assert blk.gate_weight.get_value().dtype == jnp.bfloat16
+    # Expert GEMMs are MXInferenceLinears.
+    assert isinstance(blk.experts_w1[0], MXInferenceLinear)
+    q_logits, _ = model(ids)
+    # fp8 W+A keeps the forward close (router decisions identical: hp gate).
+    err = float(jnp.max(jnp.abs(q_logits - ref)))
+    assert err < 1.0, err
+    out = generate(model, ids, 4, kv_cache_config=MXConfig("int8"))
+    assert out.shape == (1, 4)
+
+
+def test_expert_parallel_matches_unsharded():
+    """Dense-exact MoE under an 8-way expert mesh == unsharded to bf16
+    psum-ordering tolerance (GSPMD shards the expert contraction and psums
+    over the expert axis — the reduction order legally differs)."""
+    from torchmx_tpu.parallel.mesh import DATA_AXIS, EXPERT_AXIS, create_mesh, shard_model
+
+    model = MixtralForCausalLM(tiny_config(experts=8), rngs=nnx.Rngs(4))
+    ids = jnp.asarray(np.random.RandomState(4).randint(0, 256, (2, 16)), jnp.int32)
+    ref, _ = jax.jit(lambda m, i: m(i))(model, ids)
+    mesh = create_mesh(shape=(1, 8), axis_names=(DATA_AXIS, EXPERT_AXIS))
+    shard_model(model, mesh)
+    w1 = model.model.layers[0].mlp.w1.get_value()
+    assert w1.sharding.spec == P(EXPERT_AXIS, None, None)
+    out, _ = jax.jit(lambda m, i: m(i))(model, ids)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    # Capacity mode under the same mesh stays close (all-to-all pattern).
+    for layer in model.model.layers:
+        layer.mlp.capacity_factor = 8.0
+    out2, _ = jax.jit(lambda m, i: m(i))(model, ids)
+    np.testing.assert_allclose(
+        np.asarray(out2, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
+def _save_hf_checkpoint(hf, tmp_path):
+    from safetensors.numpy import save_file
+
+    tensors = {
+        n: p.detach().cpu().float().numpy() for n, p in hf.state_dict().items()
+    }
+    save_file(tensors, os.path.join(tmp_path, "model.safetensors"))
+    cfg = hf.config.to_dict()
+    cfg["architectures"] = ["MixtralForCausalLM"]
+    with open(os.path.join(tmp_path, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+
+def test_checkpoint_import_stacks_experts(tmp_path):
+    """load_hf_model stacks per-expert w1/w2/w3 into (E, ...) arrays and the
+    loaded model matches from_hf_torch; the streaming quantized load accepts
+    the same stream through the import_weight hook."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from torchmx_tpu.models.hf_import import (
+        from_hf_torch,
+        load_hf_model,
+        load_hf_model_quantized,
+    )
+
+    hf = hf_tiny(torch, transformers, seed=5)
+    _save_hf_checkpoint(hf, str(tmp_path))
+    ids = jnp.asarray(np.random.RandomState(5).randint(0, 256, (1, 12)), jnp.int32)
+
+    ref_model, _ = from_hf_torch(hf)
+    ref, _ = ref_model(ids)
+    disk_model, _ = load_hf_model(str(tmp_path))
+    disk, _ = disk_model(ids)
+    np.testing.assert_array_equal(np.asarray(disk), np.asarray(ref))
+
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float8_e4m3"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    qmodel, _ = load_hf_model_quantized(
+        str(tmp_path), QAttentionConfig(projection_config=qlin), qlin
+    )
+    # Streaming-quantized == quantize-after-load, bit for bit.
+    quantize_llm_(ref_model, QAttentionConfig(projection_config=qlin), qlin)
+    a, _ = qmodel(ids)
+    b, _ = ref_model(ids)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

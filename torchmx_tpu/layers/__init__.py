@@ -11,6 +11,7 @@ _LAZY = {
     "MXInferenceLlamaMLP": ".mx_llama_attention",
     "MXInferenceMistralAttention": ".mx_mistral_attention",
     "MXInferenceMistralMLP": ".mx_mistral_attention",
+    "MXInferenceMixtralMoeBlock": ".mx_mixtral_moe",
     "MXInferenceQwen2Attention": ".mx_qwen2_attention",
     "MXInferenceQwen2MLP": ".mx_qwen2_attention",
 }

@@ -1,4 +1,4 @@
-"""Model families (JAX/NNX): Llama, Qwen2 and Mistral, with HF checkpoint import."""
+"""Model families (JAX/NNX): Llama, Qwen2, Mistral and Mixtral (MoE), with HF checkpoint import."""
 
 from .llama import (  # noqa: F401
     LayerKVCache,
@@ -23,6 +23,11 @@ from .mistral import (  # noqa: F401
     MistralForCausalLM,
     MistralMLP,
     MistralModel,
+)
+from .mixtral import (  # noqa: F401
+    MixtralConfig,
+    MixtralForCausalLM,
+    MixtralSparseMoeBlock,
 )
 from .qwen2 import (  # noqa: F401
     Qwen2Attention,

@@ -21,6 +21,7 @@ from flax import nnx
 from ..utils import get_logger
 from .llama import LlamaConfig, LlamaForCausalLM
 from .mistral import MistralConfig, MistralForCausalLM
+from .mixtral import MixtralConfig, MixtralForCausalLM
 from .qwen2 import Qwen2Config, Qwen2ForCausalLM
 
 logger = get_logger(__name__)
@@ -29,12 +30,45 @@ _ARCH_MAP = {
     "LlamaForCausalLM": (LlamaConfig, LlamaForCausalLM),
     "Qwen2ForCausalLM": (Qwen2Config, Qwen2ForCausalLM),
     "MistralForCausalLM": (MistralConfig, MistralForCausalLM),
+    "MixtralForCausalLM": (MixtralConfig, MixtralForCausalLM),
 }
 
 
 def _to_bf16_jnp(arr: np.ndarray) -> jnp.ndarray:
     # ml_dtypes bfloat16 numpy arrays convert directly.
     return jnp.asarray(arr).astype(jnp.bfloat16)
+
+
+def _stack_expert_weights(named_arrays, num_experts: int):
+    """Rewrite per-expert MoE weights (``...block_sparse_moe.experts.N.w1.
+    weight``) into stacked (E, ...) tensors at ``...block_sparse_moe.w1`` —
+    the layout ``MixtralSparseMoeBlock`` stores (one array per projection,
+    expert-parallel-shardable on the leading axis).  Streams: buffers at
+    most one layer's expert set at a time; all other names pass through."""
+    pending: dict = {}
+    for name, arr in named_arrays:
+        parts = name.split(".")
+        if (
+            len(parts) >= 5
+            and parts[-1] == "weight"
+            and parts[-4] == "experts"
+            and parts[-2] in ("w1", "w2", "w3")
+        ):
+            prefix = ".".join(parts[:-4])  # ...block_sparse_moe
+            proj = parts[-2]
+            eid = int(parts[-3])
+            bucket = pending.setdefault((prefix, proj), {})
+            bucket[eid] = np.asarray(arr)
+            if len(bucket) == num_experts:
+                stacked = np.stack([bucket[i] for i in range(num_experts)])
+                del pending[(prefix, proj)]
+                yield f"{prefix}.{proj}", stacked
+            continue
+        yield name, arr
+    if pending:
+        raise ValueError(
+            f"incomplete expert weight sets for {sorted(pending)[:4]}..."
+        )
 
 
 def _assign_params(model, named_arrays, strict: bool = True):
@@ -50,6 +84,10 @@ def _assign_params(model, named_arrays, strict: bool = True):
     """
     from ..layers.linear import MXInferenceLinear
 
+    num_experts = getattr(getattr(model, "config", None), "num_local_experts", None)
+    if num_experts:
+        named_arrays = _stack_expert_weights(named_arrays, num_experts)
+
     assigned, skipped = 0, []
     for name, arr in named_arrays:
         obj = model
@@ -64,6 +102,14 @@ def _assign_params(model, named_arrays, strict: bool = True):
                 ok = False
                 break
         leaf = parts[-1]
+        # Module-level hook (e.g. quantized MoE blocks quantize stacked
+        # expert weights on the fly instead of holding nnx.Params for them).
+        if ok and hasattr(obj, "import_weight") and not isinstance(
+            getattr(obj, leaf, None), nnx.Variable
+        ):
+            if obj.import_weight(leaf, _to_bf16_jnp(arr)):
+                assigned += 1
+                continue
         if not ok or not hasattr(obj, leaf):
             skipped.append(name)
             continue

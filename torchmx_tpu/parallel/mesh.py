@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+EXPERT_AXIS = "expert"
 
 
 def create_mesh(
@@ -58,6 +59,15 @@ _WEIGHT_RULES = [
     (re.compile(r"lm_head\.weight"), P(MODEL_AXIS, None)),
 ]
 
+# Expert parallelism: Mixtral stacked expert weights (E, out, in) shard the
+# leading EXPERT axis; GSPMD turns the MoE combine einsum's E-contraction
+# into a psum over the expert axis (all-to-all-free dense form; the
+# dispatch/combine capacity form gets the classic a2a pattern).  The router
+# gate stays replicated (every device must route identically).
+_EXPERT_RULES = [
+    (re.compile(r"mlp\.(w1|w2|w3)(\.|$)"), P(EXPERT_AXIS, None, None)),
+]
+
 
 def _path_str(path) -> str:
     parts = []
@@ -80,6 +90,10 @@ def spec_for_path(path_str: str, ndim: int, is_mx: bool = False) -> P:
     so their 2-D spec is the transpose of the plain (out, in) weight rule;
     payload and scale share it (congruent sharding).
     """
+    if ndim == 3:
+        for rule, spec in _EXPERT_RULES:
+            if rule.search(path_str):
+                return spec
     for rule, spec in _WEIGHT_RULES:
         if rule.search(path_str):
             if ndim == 1:
@@ -96,7 +110,7 @@ def _drop_indivisible(spec: P, shapes, mesh: Mesh) -> P:
     scale rows are fewer than the shard count."""
     out = []
     for dim, ax in enumerate(spec):
-        if ax is None:
+        if ax is None or ax not in mesh.axis_names:
             out.append(None)
             continue
         n = mesh.shape[ax]

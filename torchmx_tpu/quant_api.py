@@ -23,9 +23,11 @@ from .config import QAttentionConfig, QLinearConfig
 from .layers.linear import Linear, MXInferenceLinear
 from .layers.mx_llama_attention import MXInferenceLlamaAttention, MXInferenceLlamaMLP
 from .layers.mx_mistral_attention import MXInferenceMistralAttention, MXInferenceMistralMLP
+from .layers.mx_mixtral_moe import MXInferenceMixtralMoeBlock
 from .layers.mx_qwen2_attention import MXInferenceQwen2Attention, MXInferenceQwen2MLP
 from .models.llama import LlamaAttention, LlamaMLP
 from .models.mistral import MistralAttention, MistralMLP
+from .models.mixtral import MixtralSparseMoeBlock
 from .models.qwen2 import Qwen2Attention, Qwen2MLP
 from .mx_array import MXArray
 from .utils import get_logger
@@ -43,6 +45,7 @@ ATTENTION_LAYERS: Dict[Type, Type] = {
 MLP_LAYERS: Dict[Type, Type] = {
     Qwen2MLP: MXInferenceQwen2MLP,
     MistralMLP: MXInferenceMistralMLP,
+    MixtralSparseMoeBlock: MXInferenceMixtralMoeBlock,
     LlamaMLP: MXInferenceLlamaMLP,
 }
 
