@@ -48,6 +48,13 @@ class MXInferenceMixtralMoeBlock(MixtralSparseMoeBlock):
         self.config = config
         self.qconfig = qconfig
         self.capacity_factor = capacity_factor
+        # The dropless grouped GEMM path needs stacked weights; this block
+        # holds per-expert quantized linears, so it serves the dense-exact
+        # and capacity routing modes (grouped MX kernels exist at the op
+        # level — ops/pallas_moe.grouped_matmul with w_scale — and stacked
+        # MX expert storage is the integration point when needed).
+        self.grouped = False
+        self.grouped_tm = 128
         # Router stays hp: raw weight param (torch layout (E, H)), applied
         # manually — not a Linear child, so the leftover quantize_linear_
         # pass cannot touch it.
@@ -64,11 +71,13 @@ class MXInferenceMixtralMoeBlock(MixtralSparseMoeBlock):
             f"mod must be a MixtralSparseMoeBlock, got {type(mod)}"
         )
         e = mod.config.num_local_experts
+        # The plain block stores K-major (E, in, out); from_weights wants
+        # torch layout (out, in).
         w1 = mod.w1.get_value()
         w3 = mod.w3.get_value()
         w2 = mod.w2.get_value()
         mk = lambda w: [
-            MXInferenceLinear.from_weights(w[i], None, qconfig) for i in range(e)
+            MXInferenceLinear.from_weights(w[i].T, None, qconfig) for i in range(e)
         ]
         return cls(
             mod.config,
@@ -107,6 +116,13 @@ class MXInferenceMixtralMoeBlock(MixtralSparseMoeBlock):
     # -- overridden seams ----------------------------------------------------
     def _router_logits(self, x_t):
         return x_t @ self.gate_weight.get_value().T
+
+    def _expert_ffn_grouped(self, x_sorted, tile_expert, tm):
+        raise NotImplementedError(
+            "grouped routing on the quantized MoE block needs stacked MX "
+            "expert weights; use the dense-exact or capacity modes, or the "
+            "op-level ops/pallas_moe.grouped_matmul with w_scale"
+        )
 
     def _expert_ffn_all(self, x_t):
         outs = []

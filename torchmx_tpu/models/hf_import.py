@@ -102,11 +102,11 @@ def _assign_params(model, named_arrays, strict: bool = True):
                 ok = False
                 break
         leaf = parts[-1]
-        # Module-level hook (e.g. quantized MoE blocks quantize stacked
-        # expert weights on the fly instead of holding nnx.Params for them).
-        if ok and hasattr(obj, "import_weight") and not isinstance(
-            getattr(obj, leaf, None), nnx.Variable
-        ):
+        # Module-level hook: the module owns the layout transform (MoE
+        # blocks transpose stacked expert weights to K-major; quantized MoE
+        # blocks quantize them per expert on the fly).  A False return
+        # falls through to the generic assignment.
+        if ok and hasattr(obj, "import_weight"):
             if obj.import_weight(leaf, _to_bf16_jnp(arr)):
                 assigned += 1
                 continue

@@ -68,17 +68,28 @@ class MixtralConfig(MistralConfig):
         return cls(**kw)
 
 
-def route_topk(router_logits: jax.Array, k: int) -> jax.Array:
-    """HF Mixtral routing: fp32 softmax over ALL experts, take the top-k,
-    renormalize the selected probabilities.  Returns dense combine weights
-    (T, E) — zero for unselected experts (bf16, like the HF cast)."""
+def route_topk_raw(router_logits: jax.Array, k: int):
+    """HF Mixtral routing, sparse form: fp32 softmax over ALL experts, take
+    the top-k, renormalize the selected.  Returns ``(top_vals (T, k) f32,
+    top_idx (T, k) i32)``."""
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     top_vals, top_idx = jax.lax.top_k(probs, k)  # (T, k)
     top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
-    cw = jnp.zeros(probs.shape, probs.dtype)
-    t = jnp.arange(probs.shape[0])[:, None]
-    cw = cw.at[t, top_idx].set(top_vals)
-    return cw
+    return top_vals, top_idx.astype(jnp.int32)
+
+
+def route_topk(router_logits: jax.Array, k: int) -> jax.Array:
+    """Dense form of :func:`route_topk_raw`: combine weights (T, E), zero
+    for unselected experts."""
+    top_vals, top_idx = route_topk_raw(router_logits, k)
+    cw = jnp.zeros(router_logits.shape, top_vals.dtype)
+    t = jnp.arange(router_logits.shape[0])[:, None]
+    return cw.at[t, top_idx].set(top_vals)
+
+
+def _gemm_tile(dim: int) -> int:
+    """Largest MXU-friendly tile that divides ``dim`` (full dim fallback)."""
+    return next((c for c in (512, 256, 128) if dim % c == 0), dim)
 
 
 class MixtralSparseMoeBlock(nnx.Module):
@@ -89,32 +100,46 @@ class MixtralSparseMoeBlock(nnx.Module):
         h, i = config.hidden_size, config.intermediate_size
         e = config.num_local_experts
         self.gate = Linear(h, e, use_bias=False, rngs=rngs)
+        # Stacked expert weights, stored K-MAJOR (contraction dim first —
+        # the same kernel layout ``MXInferenceLinear`` uses): w1/w3
+        # (E, H, I), w2 (E, I, H).  The dense einsums contract them
+        # directly, and the grouped (ragged) GEMM kernel consumes them
+        # without per-call transposes.  HF checkpoints arrive torch-layout
+        # (out, in); ``import_weight`` transposes once at load.
         if rngs is not None:
             std = 1.0 / math.sqrt(h)
             key = rngs.params()
             k1, k2, k3 = jax.random.split(key, 3)
             init = lambda k, shape: (jax.random.normal(k, shape, jnp.float32) * std).astype(jnp.bfloat16)
-            self.w1 = nnx.Param(init(k1, (e, i, h)))  # gate_proj per expert
-            self.w3 = nnx.Param(init(k2, (e, i, h)))  # up_proj per expert
-            self.w2 = nnx.Param(init(k3, (e, h, i)))  # down_proj per expert
+            self.w1 = nnx.Param(init(k1, (e, h, i)))  # gate_proj per expert
+            self.w3 = nnx.Param(init(k2, (e, h, i)))  # up_proj per expert
+            self.w2 = nnx.Param(init(k3, (e, i, h)))  # down_proj per expert
         else:
-            self.w1 = nnx.Param(jnp.zeros((e, i, h), jnp.bfloat16))
-            self.w3 = nnx.Param(jnp.zeros((e, i, h), jnp.bfloat16))
-            self.w2 = nnx.Param(jnp.zeros((e, h, i), jnp.bfloat16))
+            self.w1 = nnx.Param(jnp.zeros((e, h, i), jnp.bfloat16))
+            self.w3 = nnx.Param(jnp.zeros((e, h, i), jnp.bfloat16))
+            self.w2 = nnx.Param(jnp.zeros((e, i, h), jnp.bfloat16))
         # None = exact dense-masked routing; float = dispatch/combine with
         # per-expert capacity ceil(f * k * T / E) and drop-on-overflow.
         self.capacity_factor: Optional[float] = None
+        # True = dropless grouped (ragged) GEMM path (ops/pallas_moe.py);
+        # takes precedence over capacity_factor.  Intended for prefill-sized
+        # T (at decode sizes the per-expert tile padding dominates; the
+        # dense-exact path wins there).
+        self.grouped: bool = False
+        self.grouped_tm: int = 128  # row-tile size of the grouped kernel
 
     def import_weight(self, leaf: str, value: jax.Array) -> bool:
-        """hf_import hook: accept stacked expert tensors (see module doc)."""
+        """hf_import hook: accept stacked expert tensors (torch layout
+        (E, out, in) from the checkpoint; stored K-major)."""
         if leaf in ("w1", "w2", "w3"):
             param = getattr(self, leaf)
-            if param.get_value().shape != value.shape:
+            km = value.swapaxes(1, 2)  # (E, out, in) -> (E, in, out)
+            if param.get_value().shape != km.shape:
                 raise ValueError(
                     f"stacked expert weight {leaf}: expected "
-                    f"{param.get_value().shape}, got {value.shape}"
+                    f"{param.get_value().shape} (K-major), got {value.shape}"
                 )
-            param.set_value(value.astype(jnp.bfloat16))
+            param.set_value(km.astype(jnp.bfloat16))
             return True
         return False
 
@@ -127,11 +152,11 @@ class MixtralSparseMoeBlock(nnx.Module):
         w1 = self.w1.get_value()
         w3 = self.w3.get_value()
         w2 = self.w2.get_value()
-        h1 = jnp.einsum("th,eih->eti", x_t, w1, preferred_element_type=jnp.float32)
-        h3 = jnp.einsum("th,eih->eti", x_t, w3, preferred_element_type=jnp.float32)
+        h1 = jnp.einsum("th,ehi->eti", x_t, w1, preferred_element_type=jnp.float32)
+        h3 = jnp.einsum("th,ehi->eti", x_t, w3, preferred_element_type=jnp.float32)
         act = (jax.nn.silu(h1) * h3).astype(x_t.dtype)
         return jnp.einsum(
-            "eti,ehi->eth", act, w2, preferred_element_type=jnp.float32
+            "eti,eih->eth", act, w2, preferred_element_type=jnp.float32
         ).astype(x_t.dtype)
 
     def _expert_ffn_batched(self, xe: jax.Array) -> jax.Array:
@@ -139,17 +164,49 @@ class MixtralSparseMoeBlock(nnx.Module):
         w1 = self.w1.get_value()
         w3 = self.w3.get_value()
         w2 = self.w2.get_value()
-        h1 = jnp.einsum("ech,eih->eci", xe, w1, preferred_element_type=jnp.float32)
-        h3 = jnp.einsum("ech,eih->eci", xe, w3, preferred_element_type=jnp.float32)
+        h1 = jnp.einsum("ech,ehi->eci", xe, w1, preferred_element_type=jnp.float32)
+        h3 = jnp.einsum("ech,ehi->eci", xe, w3, preferred_element_type=jnp.float32)
         act = (jax.nn.silu(h1) * h3).astype(xe.dtype)
         return jnp.einsum(
-            "eci,ehi->ech", act, w2, preferred_element_type=jnp.float32
+            "eci,eih->ech", act, w2, preferred_element_type=jnp.float32
         ).astype(xe.dtype)
+
+    def _expert_ffn_grouped(self, x_sorted: jax.Array, tile_expert: jax.Array, tm: int) -> jax.Array:
+        """(R, H) expert-sorted padded rows -> (R, H) via the grouped GEMM
+        kernel (dropless; each row tile contracts its own expert's weights)."""
+        from ..ops.pallas_moe import grouped_matmul
+
+        w1 = self.w1.get_value()
+        w3 = self.w3.get_value()
+        w2 = self.w2.get_value()
+        h, i = w1.shape[1], w1.shape[2]
+        bn1, bk1 = _gemm_tile(i), _gemm_tile(h)
+        h1 = grouped_matmul(x_sorted, w1, tile_expert, tm=tm, bn=bn1, bk=bk1)
+        h3 = grouped_matmul(x_sorted, w3, tile_expert, tm=tm, bn=bn1, bk=bk1)
+        act = (jax.nn.silu(h1.astype(jnp.float32)) * h3.astype(jnp.float32)).astype(
+            x_sorted.dtype
+        )
+        return grouped_matmul(act, w2, tile_expert, tm=tm, bn=bk1, bk=bn1)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         b, s, h = x.shape
         x_t = x.reshape(b * s, h)
-        cw = route_topk(self._router_logits(x_t), self.config.num_experts_per_tok)  # (T, E) f32
+        k = self.config.num_experts_per_tok
+        if self.grouped:
+            # Dropless grouped GEMM path (prefill-shaped T; see
+            # ops/pallas_moe.py).  FLOPs ∝ the actual assignments plus at
+            # most one row tile of padding per expert.
+            from ..ops.pallas_moe import combine_tokens, group_tokens
+
+            top_vals, top_idx = route_topk_raw(self._router_logits(x_t), k)
+            tm = self.grouped_tm
+            x_sorted, tile_expert, dest = group_tokens(
+                x_t, top_idx, tm, self.config.num_local_experts
+            )
+            y_sorted = self._expert_ffn_grouped(x_sorted, tile_expert, tm)
+            y = combine_tokens(y_sorted, dest, top_vals)
+            return y.astype(x.dtype).reshape(b, s, h)
+        cw = route_topk(self._router_logits(x_t), k)  # (T, E) f32
         if self.capacity_factor is None:
             y_all = self._expert_ffn_all(x_t)  # (E, T, H)
             y = jnp.einsum(
