@@ -356,3 +356,61 @@ def test_prefix_cache_composes_with_speculation():
     s = eng.add(system + user)
     assert eng.prefix_hit_tokens == len(system)
     assert collect(eng, s, 10) == want
+
+
+def test_engine_stop_sequences():
+    """A slot auto-releases (reason "stop") when its emitted stream ends
+    with a stop sequence; the matching tokens ARE emitted (incremental
+    emission cannot retract) and other slots keep decoding."""
+    model = tiny_model()
+    prompt = [5, 99, 23, 60, 8]
+    ref = ref_tokens(model, prompt, 16)
+    # Pick a stop = tokens 3..5 of the greedy stream so the match crosses
+    # several steps; a second slot with a different prompt must be unbothered.
+    stop = tuple(ref[3:6])
+    eng = DecodeEngine(model, max_batch=2, max_len=64, stop_sequences=[stop])
+    s1 = eng.add(prompt)
+    s2 = eng.add([9, 1, 2])
+    got1, got2 = [], []
+    for _ in range(16):
+        out = eng.step()
+        if s1 in out:
+            got1.append(out[s1])
+        if s2 in out:
+            got2.append(out[s2])
+    # Earliest match wins: the emitted stream is the shortest ref prefix
+    # ending with the stop sequence (a repetitive random-init stream can
+    # match before position 6).
+    expect = next(
+        ref[: i + 1]
+        for i in range(len(ref))
+        if i + 1 >= len(stop) and tuple(ref[i + 1 - len(stop) : i + 1]) == stop
+    )
+    assert got1 == expect
+    assert eng.finished_reason[s1] == "stop"
+    assert not eng.is_active(s1)
+    assert eng.is_active(s2) and len(got2) == 16
+
+
+def test_engine_logprobs_match_full_forward():
+    """Opt-in per-token logprobs equal log_softmax of the model's own
+    logits at each emitted position (greedy, teacher-forced recompute)."""
+    model = tiny_model()
+    prompt = [5, 99, 23, 60, 8]
+    eng = DecodeEngine(model, max_batch=1, max_len=64, return_logprobs=True)
+    slot = eng.add(prompt)
+    toks = collect(eng, slot, 6)
+    lps = eng.logprobs[slot]
+    assert len(lps) == 6
+    # Recompute: logprob of token t_i under the full forward over
+    # prompt + tokens[:i].
+    import jax
+    seq = list(prompt)
+    for i, (t, lp) in enumerate(zip(toks, lps)):
+        logits, _ = model(jnp.asarray([seq], jnp.int32))
+        full = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+        np.testing.assert_allclose(float(full[t]), lp, atol=5e-2, rtol=5e-2)
+        seq.append(t)
+    # release() clears the record
+    eng.release(slot)
+    assert slot not in eng.logprobs

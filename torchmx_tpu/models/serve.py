@@ -25,7 +25,7 @@ Usage::
     slot = engine.add(prompt_ids)             # prefill into a free slot
     while engine.is_active(slot):
         tokens = engine.step()                # {slot: next_token_id}
-    print(engine.finished_reason[slot])       # "eos" | "cache_full"
+    print(engine.finished_reason[slot])       # "eos" | "cache_full" | "stop"
 """
 
 from __future__ import annotations
@@ -97,6 +97,8 @@ class DecodeEngine:
         batch_axis: str = "data",
         speculative_draft_len: Optional[int] = None,
         speculative_ngram: int = 3,
+        stop_sequences: Optional[Sequence[Sequence[int]]] = None,
+        return_logprobs: bool = False,
     ):
         self.model = model
         self.max_batch = max_batch
@@ -115,6 +117,23 @@ class DecodeEngine:
         else:
             eos_ids = tuple(int(t) for t in eos_token_id)
         self.eos_token_ids = frozenset(eos_ids)
+        # Token-level stop sequences: a slot auto-releases (reason "stop")
+        # when its EMITTED stream ends with one of these (the matching
+        # tokens ARE emitted — the consumer trims; incremental emission
+        # cannot retract).  EOS by contrast is never emitted.
+        self.stop_sequences = tuple(
+            tuple(int(t) for t in seq) for seq in (stop_sequences or ())
+        )
+        assert all(len(seq) > 0 for seq in self.stop_sequences), (
+            "stop sequences must be non-empty"
+        )
+        self._max_stop = max((len(s_) for s_ in self.stop_sequences), default=0)
+        self._tail: List[list] = [[] for _ in range(max_batch)]
+        #: per-slot log-probabilities of every EMITTED token (opt-in);
+        #: aligned with the step() streams, cleared by add()/release().
+        self.return_logprobs = bool(return_logprobs)
+        self.logprobs: Dict[int, List[float]] = {}
+        self._next_lp = np.zeros((max_batch,), np.float32)
         self.temperature = float(temperature)
         self.top_k = int(top_k)
         self.top_p = float(top_p)
@@ -164,6 +183,10 @@ class DecodeEngine:
                 "speculation is greedy-only (sampling acceptance would need "
                 "rejection sampling)"
             )
+            assert not self.return_logprobs, (
+                "return_logprobs is not supported with speculative decoding "
+                "(accepted tokens' logits live in the verify step)"
+            )
             # Per-slot incremental lookup index over (prompt + emitted +
             # pending) feeding the prompt-lookup drafts, accepted-token
             # queues, and deferred evictions (emit the queue first, then
@@ -205,6 +228,19 @@ class DecodeEngine:
 
         temp, topk = self.temperature, self.top_k
         topp, minp = self.top_p, self.min_p
+        want_lp = self.return_logprobs
+
+        def pick(logits, key):
+            tok = _select_token(logits, key, temp, topk, topp, minp)
+            if want_lp:
+                lp = jnp.take_along_axis(
+                    jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+                    tok[:, None],
+                    axis=-1,
+                )[:, 0]
+            else:
+                lp = jnp.zeros(tok.shape, jnp.float32)
+            return tok, lp
 
         def prefill_one(state, slot_caches, ids, true_len, key):
             """Prefill a (1, Lp) prompt against fresh single-slot caches."""
@@ -220,8 +256,8 @@ class DecodeEngine:
             last = jnp.take_along_axis(
                 logits, (true_len - 1)[None, None, None], axis=1
             )[:, 0, :]
-            token = _select_token(last, key, temp, topk, topp, minp)
-            return token, new_caches
+            token, lp = pick(last, key)
+            return token, lp, new_caches
 
         def scatter_slot(big, small, slot):
             """Insert single-slot cache arrays into the engine caches.
@@ -256,8 +292,8 @@ class DecodeEngine:
                 caches=caches,
                 cache_position=pos,
             )
-            nxt = _select_token(logits[:, -1, :], key, temp, topk, topp, minp)
-            return nxt, new_caches
+            nxt, lp = pick(logits[:, -1, :], key)
+            return nxt, lp, new_caches
 
         def prefill_chunk_fn(state, slot_caches, ids, offset, last_idx, key):
             """One chunk of a chunked admission: positions offset..offset+w
@@ -274,7 +310,8 @@ class DecodeEngine:
             last = jnp.take_along_axis(
                 logits, last_idx[None, None, None], axis=1
             )[:, 0, :]
-            return _select_token(last, key, temp, topk, topp, minp), new_caches
+            token, lp = pick(last, key)
+            return token, lp, new_caches
 
         def verify_step(state, caches, tokens, pos):
             from .speculate import verify_forward
@@ -334,7 +371,7 @@ class DecodeEngine:
         width = self._bucket(p)
         ids = np.zeros((1, width), np.int32)
         ids[0, :p] = ids_t
-        _, caches = self._prefill_one(
+        _, _, caches = self._prefill_one(
             self._state,
             self._slot_cache_template,
             jnp.asarray(ids),
@@ -422,7 +459,7 @@ class DecodeEngine:
             ids = np.zeros((1, width), np.int32)
             ids[0, :rem] = list(prompt_ids)[start:]
             slot_caches = jax.tree.map(jnp.copy, match_caches)
-            token, slot_caches = self._prefill_chunk_fn(
+            token, lp, slot_caches = self._prefill_chunk_fn(
                 self._state,
                 slot_caches,
                 jnp.asarray(ids),
@@ -435,7 +472,7 @@ class DecodeEngine:
             width = self._bucket(n)
             ids = np.zeros((1, width), np.int32)
             ids[0, :n] = prompt_ids
-            token, slot_caches = self._prefill_one(
+            token, lp, slot_caches = self._prefill_one(
                 self._state,
                 self._slot_cache_template,
                 jnp.asarray(ids),
@@ -444,9 +481,12 @@ class DecodeEngine:
             )
         self._caches = self._scatter_slot(self._caches, slot_caches, slot)
         self._next_token[slot] = int(token[0])
+        self._next_lp[slot] = float(lp[0])
         self.pos[slot] = n
         self.active[slot] = True
         self.finished_reason.pop(slot, None)
+        self._tail[slot] = []
+        self.logprobs.pop(slot, None)
         if self.speculative_draft_len is not None:
             from .speculate import LookupIndex
 
@@ -479,8 +519,10 @@ class DecodeEngine:
         if not decoding.any():
             return {}
         if self.speculative_draft_len is not None:
-            return self._step_speculative(decoding)
-        nxt, self._caches = self._decode_step(
+            out = self._step_speculative(decoding)
+            self._apply_stops(out)
+            return out
+        nxt, lps, self._caches = self._decode_step(
             self._state,
             self._caches,
             jnp.asarray(self._next_token),
@@ -488,6 +530,7 @@ class DecodeEngine:
             self._next_key(),
         )
         nxt = np.asarray(nxt)
+        lps = np.asarray(lps)
         out: Dict[int, int] = {}
         for i in range(self.max_batch):
             if not self.active[i] or i in self._pending:
@@ -497,11 +540,16 @@ class DecodeEngine:
                 # write): emit it and evict.  This step's decode output for
                 # the slot is garbage (clamped K/V write) and is discarded.
                 out[i] = int(self._next_token[i])
+                if self.return_logprobs:
+                    self.logprobs.setdefault(i, []).append(float(self._next_lp[i]))
                 self._evict(i, "cache_full")
                 continue
             emitted = int(self._next_token[i])
             out[i] = emitted
+            if self.return_logprobs:
+                self.logprobs.setdefault(i, []).append(float(self._next_lp[i]))
             self._next_token[i] = int(nxt[i])
+            self._next_lp[i] = float(lps[i])
             self.pos[i] += 1
             if int(nxt[i]) in self.eos_token_ids:
                 self._evict(i, "eos")
@@ -510,7 +558,23 @@ class DecodeEngine:
                 # K/V row was just written): drain it on the next step
                 # instead of dropping it.
                 self._draining[i] = True
+        self._apply_stops(out)
         return out
+
+    def _apply_stops(self, out: Dict[int, int]) -> None:
+        "Evict slots whose emitted stream now ends with a stop sequence."
+        if not self.stop_sequences:
+            return
+        for slot, tok in out.items():
+            tail = self._tail[slot]
+            tail.append(int(tok))
+            if len(tail) > self._max_stop:
+                del tail[: len(tail) - self._max_stop]
+            if self.active[slot] and any(
+                len(tail) >= len(seq) and tuple(tail[-len(seq):]) == seq
+                for seq in self.stop_sequences
+            ):
+                self._evict(slot, "stop")
 
     def _step_speculative(self, decoding: np.ndarray) -> Dict[int, int]:
         """Speculative step: verify drafted tokens for every slot that can
@@ -598,7 +662,7 @@ class DecodeEngine:
         take = min(chunk, n - done)
         ids = np.zeros((1, chunk), np.int32)
         ids[0, :take] = p["ids"][done : done + take]
-        token, p["caches"] = self._prefill_chunk_fn(
+        token, lp, p["caches"] = self._prefill_chunk_fn(
             self._state,
             p["caches"],
             jnp.asarray(ids),
@@ -611,7 +675,10 @@ class DecodeEngine:
             del self._pending[slot]
             self._caches = self._scatter_slot(self._caches, p["caches"], slot)
             self._next_token[slot] = int(token[0])
+            self._next_lp[slot] = float(lp[0])
             self.pos[slot] = n
+            self._tail[slot] = []
+            self.logprobs.pop(slot, None)
             if self.speculative_draft_len is not None:
                 from .speculate import LookupIndex
 
@@ -641,6 +708,7 @@ class DecodeEngine:
     def release(self, slot: int) -> None:
         self._deactivate(slot)
         self.finished_reason.pop(slot, None)
+        self.logprobs.pop(slot, None)
 
 
 def _select_token(
