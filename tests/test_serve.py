@@ -3,6 +3,7 @@ generate() exactly (batch rows are independent), including staggered joins."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import nnx
 
 from torchmx_tpu.config import MXConfig
@@ -414,3 +415,52 @@ def test_engine_logprobs_match_full_forward():
     # release() clears the record
     eng.release(slot)
     assert slot not in eng.logprobs
+
+
+def test_engine_ring_cache_serves_past_capacity():
+    """Ring-cache serving: a sliding-window model decodes PAST the ring
+    capacity in bounded HBM (no cache_full eviction); pre-wrap the stream
+    equals the full-cache engine's exactly (identical arrays until slot
+    order diverges at the wrap)."""
+    from torchmx_tpu.models.mistral import MistralConfig, MistralForCausalLM
+
+    cfg = MistralConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, sliding_window=6,
+    )
+    model = MistralForCausalLM(cfg, rngs=nnx.Rngs(11))
+    prompt = [5, 99, 23, 60, 8]
+    kv = MXConfig("int8")
+    # Control: plain engine, large cache (rounds to 256).
+    ctl = DecodeEngine(model, max_batch=1, max_len=200, kv_cache_config=kv)
+    # Ring: capacity 128 (rounded), window 6 -> admits whole prompts.
+    ring = DecodeEngine(model, max_batch=1, max_len=100, kv_cache_config=kv,
+                        ring=True)
+    assert ring.max_len == 128 and ring.ring
+    sc, sr = ctl.add(prompt), ring.add(prompt)
+    pre_wrap = 128 - len(prompt) - 2
+    a = collect(ctl, sc, pre_wrap)
+    b = collect(ring, sr, pre_wrap)
+    assert a == b  # identical math while nothing has wrapped
+    # Decode well past the ring capacity: stays active and valid.
+    more = collect(ring, sr, 200)
+    assert ring.is_active(sr)
+    assert all(0 <= t < 128 for t in more)
+    assert ring.pos[sr] > 128  # positions beyond the physical ring
+
+
+def test_engine_ring_admission_guard():
+    from torchmx_tpu.models.mistral import MistralConfig, MistralForCausalLM
+
+    cfg = MistralConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, sliding_window=120,
+    )
+    model = MistralForCausalLM(cfg, rngs=nnx.Rngs(12))
+    eng = DecodeEngine(model, max_batch=1, max_len=128,
+                       kv_cache_config=MXConfig("int8"), ring=True)
+    # window 120, capacity 128 -> admit width bound is 9; bucket(16)=16 > 9.
+    with pytest.raises(ValueError, match="ring admission"):
+        eng.add(list(range(16)))

@@ -99,6 +99,7 @@ class DecodeEngine:
         speculative_ngram: int = 3,
         stop_sequences: Optional[Sequence[Sequence[int]]] = None,
         return_logprobs: bool = False,
+        ring: bool = False,
     ):
         self.model = model
         self.max_batch = max_batch
@@ -106,6 +107,32 @@ class DecodeEngine:
             # KV-tile multiple: keeps the fused MX-cache attention eligible.
             max_len = (max_len + 127) // 128 * 128
         self.max_len = max_len
+        # Ring (rolling-buffer) serving for sliding-window models: cache
+        # HBM is bounded by max_len (the ring capacity) while generation
+        # length is unbounded — slots never evict for "cache_full".
+        self.ring = bool(ring)
+        if self.ring:
+            window = getattr(model.config, "sliding_window", None)
+            if window is None:
+                raise ValueError(
+                    "ring=True requires a sliding-window model "
+                    "(config.sliding_window)"
+                )
+            if kv_cache_config is None:
+                raise ValueError("ring=True requires an MX kv_cache_config")
+            if speculative_draft_len is not None:
+                raise ValueError(
+                    "ring caches do not compose with speculative decoding "
+                    "yet (multi-token verify writes would need wrap-aware "
+                    "rollback)"
+                )
+            # A prefill of q tokens needs capacity >= window + q - 1.
+            max_admit = max_len - window + 1
+            if max_admit < 1:
+                raise ValueError(
+                    f"ring capacity {max_len} must exceed the window {window}"
+                )
+            self._ring_max_admit = max_admit
         buckets = [b for b in sorted(prefill_buckets) if b <= max_len]
         if not buckets or buckets[-1] < max_len:
             buckets.append(max_len)  # prompts up to the cache size always fit
@@ -143,7 +170,9 @@ class DecodeEngine:
         # Weights are snapshotted here; call refresh_state() after in-place
         # weight updates (checkpoint restore, etc.).
         graphdef, self._state = nnx.split(model)
-        self._caches = model.init_cache(max_batch, max_len, kv_cache_config)
+        self._caches = model.init_cache(
+            max_batch, max_len, kv_cache_config, ring=self.ring
+        )
         # Per-slot host state.
         self.pos = np.zeros((max_batch,), np.int32)  # next write position
         self.active = np.zeros((max_batch,), bool)
@@ -197,7 +226,9 @@ class DecodeEngine:
             #: verify forwards dispatched; the speedup claim is
             #: spec_verify_count << tokens emitted (tested).
             self.spec_verify_count = 0
-        self._slot_cache_template = model.init_cache(1, max_len, kv_cache_config)
+        self._slot_cache_template = model.init_cache(
+            1, max_len, kv_cache_config, ring=self.ring
+        )
         # Cache-leaf axis holding the request slot: 0 for per-layer cache
         # lists, 1 for stacked (layer-leading) caches (ScanLlamaForCausalLM).
         slot_axis = getattr(model, "cache_slot_axis", 0)
@@ -415,10 +446,23 @@ class DecodeEngine:
             raise RuntimeError("no free slots; release() one first")
         slot = free[0]
         n = len(prompt_ids)
-        if n > self.max_len:
+        if not self.ring and n > self.max_len:
             raise ValueError(
                 f"prompt length {n} exceeds the cache length {self.max_len}"
             )
+        if self.ring:
+            # One prefill forward of q tokens needs capacity >= window+q-1;
+            # longer prompts must admit through chunked prefill with
+            # chunk <= max_len - window + 1.
+            q = self.prefill_chunk if self.prefill_chunk is not None else (
+                self._bucket(n) if n <= self.max_len else n
+            )
+            if q > self._ring_max_admit:
+                raise ValueError(
+                    f"ring admission width {q} exceeds capacity "
+                    f"{self.max_len} - window + 1 = {self._ring_max_admit}; "
+                    "use prefill_chunk <= that bound"
+                )
         match_p, match_caches = self._match_prefix(prompt_ids)
         if self.prefill_chunk is not None:
             # Chunk windows must start at chunk multiples (see the
@@ -431,7 +475,7 @@ class DecodeEngine:
                 self.prefix_hit_tokens += start
             else:
                 caches = self.model.init_cache(
-                    1, self.max_len, self._kv_cache_config
+                    1, self.max_len, self._kv_cache_config, ring=self.ring
                 )
             self._pending[slot] = {
                 "ids": np.asarray(list(prompt_ids), np.int32),
@@ -553,7 +597,7 @@ class DecodeEngine:
             self.pos[i] += 1
             if int(nxt[i]) in self.eos_token_ids:
                 self._evict(i, "eos")
-            elif self.pos[i] >= self.max_len:
+            elif not self.ring and self.pos[i] >= self.max_len:
                 # The cache is full, but nxt is a valid final token (its
                 # K/V row was just written): drain it on the next step
                 # instead of dropping it.
