@@ -319,3 +319,37 @@ def test_grouped_moe_model_generates():
     ids = jnp.asarray(np.random.RandomState(8).randint(0, 256, (1, 10)), jnp.int32)
     out = generate(model, ids, 4)
     assert out.shape == (1, 4)
+
+
+def test_scan_over_layers_serves_mixtral():
+    """The scan-over-layers wrapper stacks MoE layers unchanged (stacked
+    expert weights just gain a leading layer dim): greedy tokens match."""
+    from torchmx_tpu.models.scan import ScanLlamaForCausalLM
+
+    model = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(9))
+    ids = jnp.asarray(np.random.RandomState(9).randint(0, 256, (1, 10)), jnp.int32)
+    scan = ScanLlamaForCausalLM(model)
+    np.testing.assert_array_equal(
+        np.asarray(generate(model, ids, 6)), np.asarray(generate(scan, ids, 6))
+    )
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """Quantized Mixtral (per-expert MXArrays, hp router) saves/restores
+    bit-exact through the orbax checkpointer."""
+    from torchmx_tpu.checkpoint import load_model, save_model
+
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float6_e3m2"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    m = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(10))
+    quantize_llm_(m, QAttentionConfig(projection_config=qlin), qlin)
+    ids = jnp.asarray(np.random.RandomState(10).randint(0, 256, (1, 8)), jnp.int32)
+    ref, _ = m(ids)
+    save_model(os.path.join(str(tmp_path), "ck"), m)
+    m2 = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(11))
+    quantize_llm_(m2, QAttentionConfig(projection_config=qlin), qlin)
+    m2 = load_model(os.path.join(str(tmp_path), "ck"), m2)
+    out, _ = m2(ids)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
