@@ -26,20 +26,31 @@ def fake_quantize_linear_weights(model, qconfig: QLinearConfig):
     """Return a pure state transform applying STE MX fake-quantization to the
     model's weight matrices before the forward pass.
 
-    Selection is by leaf shape: every 2-D bf16 param is a weight matrix
-    (linear weights and the embedding table); 1-D params (biases, norms) pass
-    through untouched.
+    Selection: every 2-D bf16 param is a weight matrix (linear weights and
+    the embedding table), blocked along its last (contraction) dim; stacked
+    MoE expert weights (3-D, path ``mlp.w1/w2/w3`` — stored K-MAJOR
+    ``(E, K, N)``) block along K so QAT sees the same grid inference
+    quantizes to; 1-D params (biases, norms) pass through untouched.
     """
-    del model  # selection is shape-based; kept for future path-based rules
+    del model  # selection is shape/path-based; kept for future rules
     w_cfg = qconfig.weights_config
 
     def transform_state(state):
-        def fq(leaf):
-            if hasattr(leaf, "ndim") and leaf.ndim == 2 and leaf.dtype == jnp.bfloat16:
+        def fq(path, leaf):
+            if not hasattr(leaf, "ndim") or leaf.dtype != jnp.bfloat16:
+                return leaf
+            if leaf.ndim == 2:
                 return fake_quantize(leaf, w_cfg.elem_dtype_name, w_cfg.block_size)
+            if leaf.ndim == 3 and any(
+                getattr(k, "key", None) in ("w1", "w2", "w3") for k in path
+            ):
+                # K-major stacked expert weights: block the contraction dim.
+                return fake_quantize(
+                    leaf.swapaxes(1, 2), w_cfg.elem_dtype_name, w_cfg.block_size
+                ).swapaxes(1, 2)
             return leaf
 
-        return jax.tree_util.tree_map(fq, state)
+        return jax.tree_util.tree_map_with_path(fq, state)
 
     return transform_state
 
