@@ -37,10 +37,10 @@ from torchmx_tpu.quant_api import quantize_llm_
 
 
 def acceptance_run(preset: str, draft_len: int, batch: int):
-    from tools.train_tiny_lm import PRESETS, load_corpus, split_corpus
+    from tools.train_tiny_lm import PRESETS, load_corpus, model_class, split_corpus
 
     dirname, cfg = PRESETS[preset]
-    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = model_class(cfg)(cfg, rngs=nnx.Rngs(0))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     model = ckpt.load_model(os.path.join(root, "artifacts", dirname), model)
     qlin = QLinearConfig(

@@ -31,7 +31,7 @@ from torchmx_tpu.config import MXConfig, QAttentionConfig, QLinearConfig
 from torchmx_tpu.models import evaluate
 from torchmx_tpu.models.llama import LlamaForCausalLM
 from torchmx_tpu.quant_api import quantize_llm_
-from tools.train_tiny_lm import PRESETS, load_corpus, split_corpus
+from tools.train_tiny_lm import PRESETS, load_corpus, model_class, split_corpus
 
 ROOT = Path(__file__).resolve().parent.parent
 SEQ = 256
@@ -44,7 +44,7 @@ DIRNAME, CONFIG = PRESETS[PRESET]
 
 
 def fresh_model():
-    model = LlamaForCausalLM(CONFIG, rngs=nnx.Rngs(0))
+    model = model_class(CONFIG)(CONFIG, rngs=nnx.Rngs(0))
     return ckpt.load_model(str(ROOT / "artifacts" / DIRNAME), model)
 
 

@@ -25,6 +25,7 @@ from flax import nnx
 
 from torchmx_tpu import checkpoint as ckpt
 from torchmx_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+from torchmx_tpu.models.mixtral import MixtralConfig, MixtralForCausalLM
 
 ROOT = Path(__file__).resolve().parent.parent
 SEQ_LEN = 256
@@ -83,7 +84,33 @@ PRESETS = {
             rope_theta=10000.0,
         ),
     ),
+    # ~8M params, 4 experts top-2 (round-3 MoE family): the quality sweep's
+    # MoE subject — expert GEMMs quantize per expert, the router stays hp.
+    # Train: ``python tools/train_tiny_lm.py 1200 moe``.
+    "moe": (
+        "lm_moe",
+        MixtralConfig(
+            vocab_size=256,
+            hidden_size=256,
+            intermediate_size=512,
+            num_hidden_layers=4,
+            num_attention_heads=2,
+            num_key_value_heads=2,
+            head_dim=128,
+            max_position_embeddings=512,
+            rope_theta=10000.0,
+            num_local_experts=4,
+            num_experts_per_tok=2,
+        ),
+    ),
 }
+
+
+def model_class(config):
+    """The model family a preset config builds (quality tooling uses this)."""
+    if isinstance(config, MixtralConfig):
+        return MixtralForCausalLM
+    return LlamaForCausalLM
 
 
 def load_corpus(snapshot: bool = True) -> np.ndarray:
@@ -129,7 +156,7 @@ def main():
     train, val = split_corpus(tokens)
     print(f"corpus: {len(tokens)} bytes ({len(train)} train / {len(val)} val)")
 
-    model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
+    model = model_class(config)(config, rngs=nnx.Rngs(0))
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     tx = optax.adamw(
         optax.cosine_decay_schedule(3e-4, steps, alpha=0.1), weight_decay=0.01
