@@ -343,3 +343,72 @@ def test_ring_errors():
             caches=caches,
             cache_position=0,
         )
+
+
+def test_qwen2_layer_types_gating_hf_parity():
+    """Qwen2's max_window_layers gates the window per layer (layers >= it
+    slide, earlier ones run full causal); our per-layer masks must track
+    HF eager exactly."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from torchmx_tpu.models.hf_import import from_hf_torch
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, use_sliding_window=True,
+        sliding_window=8, max_window_layers=2, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    hf = transformers.Qwen2ForCausalLM(hf_cfg).to(torch.float32).eval()
+    ids = np.random.RandomState(0).randint(0, 256, (2, 24))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(ids)).logits.numpy()
+    model, cfg = from_hf_torch(hf)
+    assert cfg.layer_types == ("full_attention",) * 2 + ("sliding_attention",) * 2
+    assert cfg.layer_window(0) is None and cfg.layer_window(3) == 8
+    logits, _ = model(jnp.asarray(ids, jnp.int32))
+    corr = np.corrcoef(np.asarray(logits, np.float32).ravel(), hf_logits.ravel())[0, 1]
+    assert corr > 0.999, f"qwen2 layer_types corr {corr}"
+    # The gating must bite: windowing ALL layers diverges.
+    model.config.layer_types = None
+    for layer in model.model.layers:
+        layer.self_attn.config.layer_types = None
+    allwin, _ = model(jnp.asarray(ids, jnp.int32))
+    assert float(jnp.max(jnp.abs(allwin - logits))) > 0.05
+
+
+def test_mixed_layer_types_rejected_by_scan_and_pipeline():
+    from torchmx_tpu.models.scan import ScanLlamaForCausalLM
+
+    cfg = tiny_config(window=4)
+    cfg.layer_types = ("full_attention", "sliding_attention")
+    model = MistralForCausalLM(cfg, rngs=nnx.Rngs(13))
+    with pytest.raises(NotImplementedError, match="mix attention kinds"):
+        ScanLlamaForCausalLM(model)
+
+
+def test_pipeline_model_honors_sliding_window():
+    """pipeline_model's shared dense mask must window (it previously built
+    plain causal): staged logits == the sequential model's."""
+    import jax as J
+    from jax.sharding import PartitionSpec as P, NamedSharding
+    from torchmx_tpu.parallel.mesh import create_mesh
+    from torchmx_tpu.parallel.pipeline import pipeline_model
+
+    model = MistralForCausalLM(tiny_config(window=5), rngs=nnx.Rngs(14))
+    ids = jnp.asarray(np.random.RandomState(14).randint(0, 256, (4, 16)), jnp.int32)
+    ref, _ = model(ids)
+    mesh = create_mesh((1, 2), devices=J.devices()[:2])
+    fwd, params = pipeline_model(model, mesh, n_microbatches=2)
+    with mesh:
+        out = J.jit(fwd)(params, ids)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+    # And the window must matter: a windowless clone diverges.
+    full = MistralForCausalLM(tiny_config(window=None), rngs=nnx.Rngs(14))
+    full_ref, _ = full(ids)
+    assert float(jnp.max(jnp.abs(full_ref - ref))) > 0.05

@@ -390,3 +390,38 @@ def test_qat_trains_mixtral_with_expert_fq():
         if l0 is None:
             l0 = float(loss)
     assert float(loss) < l0
+
+
+def test_qat_keeps_the_router_high_precision():
+    """The STE transform must NOT fake-quantize the MoE router gate —
+    inference serves it hp and a quantized-gate QAT would train different
+    routing than it serves."""
+    from torchmx_tpu.train import fake_quantize_linear_weights
+
+    model = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(13))
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float4_e2m1"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    _, params, _ = nnx.split(model, nnx.Param, ...)
+    fq_params = fake_quantize_linear_weights(model, qlin)(params)
+    gate = model.model.layers[0].mlp.gate.weight.get_value()
+    for path, leaf in jax.tree_util.tree_leaves_with_path(fq_params):
+        keys = [getattr(k, "key", None) for k in path]
+        if "gate" in keys:
+            np.testing.assert_array_equal(np.asarray(leaf), np.asarray(gate))
+            break
+    else:
+        raise AssertionError("gate leaf not found")
+
+
+def test_quantize_rejects_grouped_block():
+    model = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(14))
+    for layer in model.model.layers:
+        layer.mlp.grouped = True
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float8_e4m3"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    with pytest.raises(NotImplementedError, match="stacked"):
+        quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)

@@ -464,3 +464,36 @@ def test_engine_ring_admission_guard():
     # window 120, capacity 128 -> admit width bound is 9; bucket(16)=16 > 9.
     with pytest.raises(ValueError, match="ring admission"):
         eng.add(list(range(16)))
+
+
+def test_engine_ring_chunked_prefill_matches_unchunked():
+    """Ring + chunked prefill: (1) a prompt that fits produces exactly the
+    whole-prompt ring engine's stream (chunks write the same bytes);
+    (2) a prompt WIDER than the ring admits through chunks that wrap,
+    evicting prompt positions older than the window, and decodes on."""
+    from torchmx_tpu.models.mistral import MistralConfig, MistralForCausalLM
+
+    cfg = MistralConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=1024, sliding_window=8,
+    )
+    model = MistralForCausalLM(cfg, rngs=nnx.Rngs(15))
+    kv = MXConfig("int8")
+    prompt = np.random.RandomState(15).randint(0, 128, (20,)).tolist()
+    whole = DecodeEngine(model, max_batch=1, max_len=128, kv_cache_config=kv,
+                         ring=True)
+    chunked = DecodeEngine(model, max_batch=1, max_len=128, kv_cache_config=kv,
+                           ring=True, prefill_chunk=32)
+    sw, sc = whole.add(prompt), chunked.add(prompt)
+    a = collect(whole, sw, 40)
+    b = collect(chunked, sc, 40)
+    assert a == b
+    # Wider-than-ring admission: 300 tokens through a 128-slot ring.
+    long_prompt = (np.arange(300) % 128).tolist()
+    eng = DecodeEngine(model, max_batch=1, max_len=128, kv_cache_config=kv,
+                       ring=True, prefill_chunk=64)
+    s = eng.add(long_prompt)
+    toks = collect(eng, s, 50)
+    assert eng.is_active(s) and eng.pos[s] == 350
+    assert all(0 <= t < 128 for t in toks)

@@ -70,6 +70,13 @@ class MXInferenceMixtralMoeBlock(MixtralSparseMoeBlock):
         assert isinstance(mod, MixtralSparseMoeBlock), (
             f"mod must be a MixtralSparseMoeBlock, got {type(mod)}"
         )
+        if getattr(mod, "grouped", False):
+            raise NotImplementedError(
+                "grouped routing on the quantized MoE block needs stacked "
+                "MX expert weights; set mlp.grouped = False before "
+                "quantize_llm_ (the quantized block serves dense-exact / "
+                "capacity modes)"
+            )
         e = mod.config.num_local_experts
         # The plain block stores K-major (E, in, out); from_weights wants
         # torch layout (out, in).

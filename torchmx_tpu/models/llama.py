@@ -49,6 +49,19 @@ class LlamaConfig:
     # Sliding-window attention (Mistral semantics): query at position p sees
     # keys in (p - sliding_window, p].  None = full causal.
     sliding_window: Optional[int] = None
+    # Per-layer attention kinds ("full_attention" / "sliding_attention"),
+    # HF layer_types semantics — Qwen2 gates the window per layer via
+    # max_window_layers (layers >= it slide).  None = every layer windowed
+    # when sliding_window is set (Mistral).
+    layer_types: Optional[tuple] = None
+
+    def layer_window(self, layer_idx: int) -> Optional[int]:
+        """The effective sliding window for one layer (None = full causal)."""
+        if self.sliding_window is None:
+            return None
+        if self.layer_types is not None and self.layer_types[layer_idx] != "sliding_attention":
+            return None
+        return self.sliding_window
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -81,6 +94,9 @@ class LlamaConfig:
                 get("sliding_window")
                 if get("use_sliding_window", True) is not False
                 else None
+            ),
+            layer_types=(
+                tuple(get("layer_types")) if get("layer_types") else None
             ),
         )
 
@@ -466,7 +482,7 @@ class LlamaAttention(nnx.Module):
         cache_position: Optional[Array] = None,
     ):
         bsz, q_len, _ = hidden_states.shape
-        window = self.config.sliding_window
+        window = self.config.layer_window(self.layer_idx)
         q, k, v = self._project_qkv(hidden_states)
 
         # (b, heads, s, d)
@@ -712,13 +728,28 @@ class LlamaModel(nnx.Module):
         if position_ids is None:
             position_ids = jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(self.inv_freq.get_value(), position_ids, x.dtype)
+        # Per-layer cacheless masks: layers can mix full and sliding
+        # attention (Qwen2's max_window_layers gating via layer_types), so
+        # each kind gets its own dense mask; a single window value builds
+        # the windowed mask once and every sliding layer shares it.
+        layer_masks = None
         if attention_mask is None and caches is None:
             from ..parallel import context as _cpmod
 
             if _cpmod.active_cp() is None:
-                attention_mask = make_causal_mask(
-                    s, s, dtype=jnp.float32, window=self.config.sliding_window
-                )[None, None]
+                built = {}
+
+                def mask_for(w):
+                    if w not in built:
+                        built[w] = make_causal_mask(
+                            s, s, dtype=jnp.float32, window=w
+                        )[None, None]
+                    return built[w]
+
+                layer_masks = [
+                    mask_for(self.config.layer_window(i))
+                    for i in range(len(self.layers))
+                ]
             # else: context-parallel forward — ring attention masks causally
             # in-device from global offsets; a dense (L, L) mask would defeat
             # the sharding.
@@ -730,7 +761,9 @@ class LlamaModel(nnx.Module):
                 x,
                 cos=cos,
                 sin=sin,
-                attention_mask=attention_mask,
+                attention_mask=(
+                    layer_masks[i] if layer_masks is not None else attention_mask
+                ),
                 cache=cache_i,
                 cache_position=cache_position,
             )
@@ -789,6 +822,23 @@ class LlamaForCausalLM(nnx.Module):
             )
             for _ in range(c.num_hidden_layers)
         ]
+
+
+def uniform_layer_window(config) -> Optional[int]:
+    """The single sliding window shared by EVERY layer, or None (full
+    causal everywhere).  Raises when layers mix attention kinds (Qwen2
+    ``layer_types`` gating) — the scan-over-layers and pipeline paths share
+    one mask/graphdef across layers and cannot represent a mix."""
+    windows = {
+        config.layer_window(i) for i in range(config.num_hidden_layers)
+    }
+    if len(windows) > 1:
+        raise NotImplementedError(
+            f"layers mix attention kinds (windows {sorted(windows, key=str)}); "
+            "scan-over-layers / pipeline staging share one compiled layer "
+            "body — run the plain per-layer model for mixed layer_types"
+        )
+    return windows.pop()
 
 
 def make_causal_mask(q_len: int, kv_len: int, dtype=jnp.float32, window=None) -> Array:

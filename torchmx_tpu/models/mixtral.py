@@ -9,10 +9,10 @@ Design (TPU-first):
 * **Stacked expert weights.** Each MoE block holds ``w1/w3`` (gate/up,
   shape (E, I, H)) and ``w2`` (down, (E, H, I)) as single arrays instead of
   E separate modules.  Expert parallelism is then just GSPMD: shard the
-  leading E axis over an ``expert`` mesh axis (`parallel.mesh.expert_specs`)
+  leading E axis over an ``expert`` mesh axis (`parallel.mesh._EXPERT_RULES`)
   and XLA inserts the all-to-alls — no hand-written collectives, the same
   recipe as the TP/DP paths.
-* **Two routing modes.**
+* **Three routing modes.**
   - ``capacity_factor=None`` (default): *exact* routing computed as one
     dense batched einsum over all experts, masked by the combine weights.
     Bit-faithful to the HF reference semantics (softmax over all E →
@@ -24,6 +24,8 @@ Design (TPU-first):
     (E, C, H) expert batches → combine.  Compute per expert is capped
     (prefill-friendly); overflow tokens lose that expert's contribution
     (renormalized over the surviving ones), the standard drop semantics.
+  - ``grouped=True``: dropless grouped (ragged) GEMM — FLOPs track the
+    actual assignments (``ops/pallas_moe.py``); the prefill mode.
 * **Quantization through the existing seams.** ``quantize_llm_`` swaps the
   block for ``MXInferenceMixtralMoeBlock`` (layers/mx_mixtral_moe.py) which
   slices the stacked weights into per-expert ``MXInferenceLinear``s — every

@@ -72,6 +72,12 @@ class ScanLlamaForCausalLM(nnx.Module):
 
     def __init__(self, model):
         self.config = model.config
+        # One graphdef serves every scanned layer (layer_idx pins to 0):
+        # mixed per-layer attention kinds cannot be represented — fail at
+        # construction, not with silently-wrong masks.
+        from .llama import uniform_layer_window
+
+        uniform_layer_window(model.config)
         inner = model.model
         self.embed_tokens = inner.embed_tokens
         self.norm = inner.norm
@@ -114,8 +120,11 @@ class ScanLlamaForCausalLM(nnx.Module):
             from ..parallel import context as _cpmod
 
             if _cpmod.active_cp() is None:
+                from .llama import uniform_layer_window
+
                 attention_mask = make_causal_mask(
-                    s, s, dtype=jnp.float32, window=self.config.sliding_window
+                    s, s, dtype=jnp.float32,
+                    window=uniform_layer_window(self.config),
                 )[None, None]
             # else: context-parallel forward — the per-layer attention rides
             # the ring and masks causally from global offsets; a dense

@@ -210,10 +210,14 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
     """
     from flax import nnx
 
-    from ..models.llama import rope_cos_sin
+    from ..models.llama import rope_cos_sin, uniform_layer_window
     from ..models.scan import stack_decoder_layers
 
     cfg = model.config
+    # One stacked graphdef serves every staged layer (layer_idx pins to 0):
+    # a uniform window is fine (the cached path reads it from the shared
+    # config), mixed layer_types raise.
+    uniform_layer_window(cfg)
     n_stages = mesh.shape[axis]
     M = n_microbatches
     L = cfg.num_hidden_layers
@@ -384,10 +388,13 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
     """
     from flax import nnx
 
-    from ..models.llama import make_causal_mask, rope_cos_sin
+    from ..models.llama import make_causal_mask, rope_cos_sin, uniform_layer_window
     from ..models.scan import stack_decoder_layers
 
     cfg = model.config
+    # Sliding-window models pipeline fine when every layer shares the
+    # window (Mistral); mixed layer_types raise here (shared stage body).
+    window = uniform_layer_window(cfg)
     n_stages = mesh.shape[axis]
     L = cfg.num_hidden_layers
     assert L % n_stages == 0, f"{L} layers not divisible into {n_stages} stages"
@@ -429,7 +436,7 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
         x = embed(input_ids)
         pos = jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(params["inv_freq"], pos, x.dtype)
-        mask = make_causal_mask(s, s, jnp.float32)[None, None]
+        mask = make_causal_mask(s, s, jnp.float32, window=window)[None, None]
         x = pipeline_apply(
             stage_fn, params["staged"], x, mesh, n_microbatches,
             axis=axis, consts=(cos, sin, mask), data_axis=data_axis,

@@ -39,6 +39,11 @@ def fake_quantize_linear_weights(model, qconfig: QLinearConfig):
         def fq(path, leaf):
             if not hasattr(leaf, "ndim") or leaf.dtype != jnp.bfloat16:
                 return leaf
+            if any(getattr(k, "key", None) == "gate" for k in path):
+                # The MoE router stays high-precision at inference (a
+                # quantization bin-flip changes WHICH experts run) — QAT
+                # must train under the same routing numerics it serves.
+                return leaf
             if leaf.ndim == 2:
                 return fake_quantize(leaf, w_cfg.elem_dtype_name, w_cfg.block_size)
             if leaf.ndim == 3 and any(
