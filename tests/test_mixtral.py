@@ -238,7 +238,7 @@ def test_group_tokens_layout():
     T, k, E, tm = 50, 2, 4, 8
     top_idx = jnp.asarray(rng.randint(0, E, (T, k)), jnp.int32)
     x = jnp.asarray(rng.randn(T, 16), jnp.bfloat16)
-    xs, tile_expert, dest = group_tokens(x, top_idx, tm, E)
+    xs, tile_expert, tile_rows, dest = group_tokens(x, top_idx, tm, E)
     R = plan_group_layout(T, k, E, tm)
     assert xs.shape == (R, 16) and tile_expert.shape == (R // tm,)
     d = np.asarray(dest)
@@ -269,9 +269,9 @@ def test_grouped_matmul_matches_per_expert(elem):
     w = jnp.asarray(rng.randn(E, K, N), jnp.bfloat16)
     top_idx = jnp.asarray(rng.randint(0, E, (T, k)), jnp.int32)
     x = jnp.asarray(rng.randn(T, K), jnp.bfloat16)
-    xs, tile_expert, dest = group_tokens(x, top_idx, tm, E)
+    xs, tile_expert, tile_rows, dest = group_tokens(x, top_idx, tm, E)
     if elem is None:
-        out = grouped_matmul(xs, w, tile_expert, tm=tm, bn=128, bk=128)
+        out = grouped_matmul(xs, w, tile_expert, tile_rows, tm=tm, bn=128, bk=128)
         w_eff = w
     else:
         # Quantize along K (the contraction dim — same axis the linear
@@ -280,7 +280,7 @@ def test_grouped_matmul_matches_per_expert(elem):
         w_codes = wq.swapaxes(1, 2)
         w_scale = ws.swapaxes(1, 2)
         out = grouped_matmul(
-            xs, w_codes, tile_expert, tm=tm, bn=128, bk=128,
+            xs, w_codes, tile_expert, tile_rows, tm=tm, bn=128, bk=128,
             w_scale=w_scale, elem_name=elem,
         )
         w_eff = dequantize_mx(wq, ws, elem, 32, jnp.bfloat16, 2).swapaxes(1, 2)
@@ -415,7 +415,15 @@ def test_qat_keeps_the_router_high_precision():
         raise AssertionError("gate leaf not found")
 
 
-def test_quantize_rejects_grouped_block():
+def test_quantize_routes_grouped_blocks_to_stacked_class():
+    """quantize_llm_ on a grouped-routing model builds the stacked-MX
+    grouped block (one-byte formats); the per-expert class's own grouped
+    seam stays a clear error."""
+    from torchmx_tpu.layers.mx_mixtral_moe import (
+        MXInferenceMixtralMoeBlock,
+        MXInferenceMixtralMoeBlockGrouped,
+    )
+
     model = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(14))
     for layer in model.model.layers:
         layer.mlp.grouped = True
@@ -423,5 +431,88 @@ def test_quantize_rejects_grouped_block():
         weights_config=MXConfig("float8_e4m3"),
         activations_config=MXConfig("float8_e4m3"),
     )
-    with pytest.raises(NotImplementedError, match="stacked"):
-        quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
+    quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
+    blk = model.model.layers[0].mlp
+    assert isinstance(blk, MXInferenceMixtralMoeBlockGrouped)
+    # The per-expert class rejects its (unsupported) grouped seam clearly.
+    dense = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(14))
+    quantize_llm_(dense, QAttentionConfig(projection_config=qlin), qlin)
+    per_expert = dense.model.layers[0].mlp
+    assert isinstance(per_expert, MXInferenceMixtralMoeBlock)
+    with pytest.raises(NotImplementedError, match="grouped"):
+        per_expert._expert_ffn_grouped(None, None, None, 8)
+
+
+def test_grouped_mx_block_matches_per_expert_bitwise():
+    """quantize_llm_ on a grouped-routing model builds the stacked-MX
+    grouped block; its forward is BIT-IDENTICAL to the per-expert fused
+    block under the same qconfig (same weight grid along K, same act fq,
+    fp32 accumulation — only the kernel organization differs)."""
+    from torchmx_tpu.layers.mx_mixtral_moe import (
+        MXInferenceMixtralMoeBlock,
+        MXInferenceMixtralMoeBlockGrouped,
+    )
+
+    qlin = QLinearConfig(
+        weights_config=MXConfig("int8"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    ids = jnp.asarray(np.random.RandomState(15).randint(0, 256, (1, 16)), jnp.int32)
+    m_dense = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(15))
+    m_grp = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(15))
+    for layer in m_grp.model.layers:
+        layer.mlp.grouped = True
+        layer.mlp.grouped_tm = 8
+    quantize_llm_(m_dense, QAttentionConfig(projection_config=qlin), qlin)
+    quantize_llm_(m_grp, QAttentionConfig(projection_config=qlin), qlin)
+    assert isinstance(m_dense.model.layers[0].mlp, MXInferenceMixtralMoeBlock)
+    assert isinstance(m_grp.model.layers[0].mlp, MXInferenceMixtralMoeBlockGrouped)
+    a, _ = m_dense(ids)
+    b, _ = m_grp(ids)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Decode through it (MX KV cache) runs.
+    out = generate(m_grp, ids, 4, kv_cache_config=MXConfig("int8"))
+    assert out.shape == (1, 4)
+
+
+def test_grouped_mx_block_rejects_fp4():
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float4_e2m1"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    m = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(16))
+    for layer in m.model.layers:
+        layer.mlp.grouped = True
+    with pytest.raises(NotImplementedError, match="one-byte"):
+        quantize_llm_(m, QAttentionConfig(projection_config=qlin), qlin)
+
+
+def test_grouped_mx_import_weight_quantizes_stacked():
+    """The streaming-load hook quantizes stacked hp checkpoint weights
+    straight into the stacked codes (bit-equal to from_float)."""
+    from torchmx_tpu.layers.mx_mixtral_moe import MXInferenceMixtralMoeBlockGrouped
+
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float8_e4m3"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    blk = MixtralSparseMoeBlock(tiny_config(), rngs=nnx.Rngs(17))
+    blk.grouped = True
+    ref = MXInferenceMixtralMoeBlockGrouped.from_float(blk, qlin)
+    # Build a zero-init grouped block, then stream the hp weights in
+    # (torch-layout (E, out, in), as the checkpoint stacker yields them).
+    zero = MixtralSparseMoeBlock(tiny_config())
+    zero.grouped = True
+    target = MXInferenceMixtralMoeBlockGrouped.from_float(zero, qlin)
+    for name in ("w1", "w2", "w3"):
+        hp = getattr(blk, name).get_value().swapaxes(1, 2)  # (E, out, in)
+        assert target.import_weight(name, hp)
+    for name in ("w1", "w2", "w3"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(target, f"{name}_codes").get_value()),
+            np.asarray(getattr(ref, f"{name}_codes").get_value()),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(target, f"{name}_scale").get_value()),
+            np.asarray(getattr(ref, f"{name}_scale").get_value()),
+        )

@@ -12,6 +12,7 @@ _LAZY = {
     "MXInferenceMistralAttention": ".mx_mistral_attention",
     "MXInferenceMistralMLP": ".mx_mistral_attention",
     "MXInferenceMixtralMoeBlock": ".mx_mixtral_moe",
+    "MXInferenceMixtralMoeBlockGrouped": ".mx_mixtral_moe",
     "MXInferenceQwen2Attention": ".mx_qwen2_attention",
     "MXInferenceQwen2MLP": ".mx_qwen2_attention",
 }

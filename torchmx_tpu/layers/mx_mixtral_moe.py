@@ -71,12 +71,10 @@ class MXInferenceMixtralMoeBlock(MixtralSparseMoeBlock):
             f"mod must be a MixtralSparseMoeBlock, got {type(mod)}"
         )
         if getattr(mod, "grouped", False):
-            raise NotImplementedError(
-                "grouped routing on the quantized MoE block needs stacked "
-                "MX expert weights; set mlp.grouped = False before "
-                "quantize_llm_ (the quantized block serves dense-exact / "
-                "capacity modes)"
-            )
+            # Grouped routing quantizes to STACKED MX codes so the dropless
+            # kernel decodes them in VMEM (and, at decode sizes, reads only
+            # the routed experts' weights).
+            return MXInferenceMixtralMoeBlockGrouped.from_float(mod, qconfig)
         e = mod.config.num_local_experts
         # The plain block stores K-major (E, in, out); from_weights wants
         # torch layout (out, in).
@@ -124,11 +122,11 @@ class MXInferenceMixtralMoeBlock(MixtralSparseMoeBlock):
     def _router_logits(self, x_t):
         return x_t @ self.gate_weight.get_value().T
 
-    def _expert_ffn_grouped(self, x_sorted, tile_expert, tm):
+    def _expert_ffn_grouped(self, x_sorted, tile_expert, tile_rows, tm):
         raise NotImplementedError(
-            "grouped routing on the quantized MoE block needs stacked MX "
-            "expert weights; use the dense-exact or capacity modes, or the "
-            "op-level ops/pallas_moe.grouped_matmul with w_scale"
+            "this block serves the dense-exact / capacity modes; grouped "
+            "routing quantizes into MXInferenceMixtralMoeBlockGrouped "
+            "(set mlp.grouped = True BEFORE quantize_llm_)"
         )
 
     def _expert_ffn_all(self, x_t):
@@ -148,3 +146,129 @@ class MXInferenceMixtralMoeBlock(MixtralSparseMoeBlock):
             act = (jax.nn.silu(h1) * h3).astype(xe.dtype)
             outs.append(self.experts_w2[i](act))
         return jnp.stack(outs, axis=0)  # (E, C, H)
+
+
+class MXInferenceMixtralMoeBlockGrouped(MixtralSparseMoeBlock):
+    """Grouped-routing quantized MoE block: STACKED MX expert weights.
+
+    Expert weights live as stacked one-byte MX codes ``(E, K, N)`` + E8M0
+    scales ``(E, K/32, N)`` — exactly the layout the dropless grouped GEMM
+    kernel consumes (``ops/pallas_moe.grouped_matmul``), which decodes them
+    in VMEM with the same integer bit-surgery the dense fused matmul uses.
+    Because dead trailing tiles skip their weight DMA, a decode step reads
+    ONLY the routed experts' packed weights (k/E of the MoE bytes — the MoE
+    bandwidth win quantization exists to multiply).
+
+    Dynamic activation quantization applies the standard per-token MX
+    fake-quantize on the kernel inputs (bit-identical to the in-prologue
+    quantization of the fused linear kernels — exhaustively tested); the
+    router stays high-precision like the per-expert block.  One-byte weight
+    formats only (fp8/fp6/int8); fp4's nibble packing needs a dedicated
+    decode and raises.
+    """
+
+    def __init__(self, config, gate_weight, codes, scales, qconfig: QLinearConfig):
+        self.config = config
+        self.qconfig = qconfig
+        self.capacity_factor = None
+        self.grouped = True
+        self.grouped_tm = 128
+        self.gate_weight = nnx.Param(gate_weight)
+        # codes/scales: dicts proj -> stacked arrays.
+        self.w1_codes = nnx.Param(codes["w1"])
+        self.w1_scale = nnx.Param(scales["w1"])
+        self.w3_codes = nnx.Param(codes["w3"])
+        self.w3_scale = nnx.Param(scales["w3"])
+        self.w2_codes = nnx.Param(codes["w2"])
+        self.w2_scale = nnx.Param(scales["w2"])
+
+    _SUPPORTED = ("float8_e4m3", "float6_e3m2", "float6_e2m3", "int8")
+
+    @classmethod
+    def _quantize_stacked(cls, w_km, elem_name):
+        """(E, K, N) bf16 -> codes (E, K, N), scales (E, K/32, N), blocked
+        along K (the contraction dim, the linear kernels' grid)."""
+        from ..mx_array import quantize_mx
+
+        s, q = quantize_mx(w_km.swapaxes(1, 2), elem_name, 32)
+        return q.swapaxes(1, 2), s.swapaxes(1, 2)
+
+    @classmethod
+    def from_float(
+        cls, mod: MixtralSparseMoeBlock, qconfig: QLinearConfig
+    ) -> "MXInferenceMixtralMoeBlockGrouped":
+        elem = qconfig.weights_config.elem_dtype_name
+        if elem not in cls._SUPPORTED:
+            raise NotImplementedError(
+                f"grouped MX MoE supports one-byte weight formats "
+                f"{cls._SUPPORTED}; got {elem} (fp4's nibble packing needs "
+                "a dedicated grouped decode)"
+            )
+        assert qconfig.weights_config.block_size == 32
+        codes, scales = {}, {}
+        for name in ("w1", "w3", "w2"):
+            q, s = cls._quantize_stacked(getattr(mod, name).get_value(), elem)
+            codes[name], scales[name] = q, s
+        return cls(mod.config, mod.gate.weight.get_value(), codes, scales, qconfig)
+
+    @property
+    def gate(self):
+        return _RouterAlias(self.gate_weight)
+
+    def import_weight(self, leaf: str, value) -> bool:
+        """Streaming-load hook: stacked hp (E, out, in) checkpoint weights
+        quantize straight into the stacked codes (never kept hp)."""
+        if leaf not in ("w1", "w2", "w3"):
+            return False
+        elem = self.qconfig.weights_config.elem_dtype_name
+        km = jnp.asarray(value, jnp.bfloat16).swapaxes(1, 2)  # (E, K, N)
+        q, s = self._quantize_stacked(km, elem)
+        getattr(self, f"{leaf}_codes").set_value(q)
+        getattr(self, f"{leaf}_scale").set_value(s)
+        return True
+
+    def _router_logits(self, x_t):
+        return x_t @ self.gate_weight.get_value().T
+
+    def _act_fq(self, x):
+        a_cfg = self.qconfig.activations_config
+        if a_cfg is None:
+            return x
+        from ..ops import mx_fake_quantize
+
+        return mx_fake_quantize(x, a_cfg.elem_dtype, a_cfg.block_size)
+
+    def _expert_ffn_grouped(self, x_sorted, tile_expert, tile_rows, tm):
+        from ..models.mixtral import _gemm_tile
+        from ..ops.pallas_moe import grouped_matmul
+
+        elem = self.qconfig.weights_config.elem_dtype_name
+        w1c = self.w1_codes.get_value()
+        h, i = w1c.shape[1], w1c.shape[2]
+        bn1, bk1 = _gemm_tile(i), _gemm_tile(h)
+        xq = self._act_fq(x_sorted)
+        h1 = grouped_matmul(
+            xq, w1c, tile_expert, tile_rows, tm=tm, bn=bn1, bk=bk1,
+            w_scale=self.w1_scale.get_value(), elem_name=elem,
+        )
+        h3 = grouped_matmul(
+            xq, self.w3_codes.get_value(), tile_expert, tile_rows,
+            tm=tm, bn=bn1, bk=bk1,
+            w_scale=self.w3_scale.get_value(), elem_name=elem,
+        )
+        act = (jax.nn.silu(h1.astype(jnp.float32)) * h3.astype(jnp.float32)).astype(
+            x_sorted.dtype
+        )
+        return grouped_matmul(
+            self._act_fq(act), self.w2_codes.get_value(), tile_expert, tile_rows,
+            tm=tm, bn=bk1, bk=bn1,
+            w_scale=self.w2_scale.get_value(), elem_name=elem,
+        )
+
+    def _expert_ffn_all(self, x_t):
+        raise NotImplementedError(
+            "this block is grouped-only (stacked MX codes); use the "
+            "per-expert MXInferenceMixtralMoeBlock for dense/capacity modes"
+        )
+
+    _expert_ffn_batched = _expert_ffn_all

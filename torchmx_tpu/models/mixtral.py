@@ -173,7 +173,7 @@ class MixtralSparseMoeBlock(nnx.Module):
             "eci,eih->ech", act, w2, preferred_element_type=jnp.float32
         ).astype(xe.dtype)
 
-    def _expert_ffn_grouped(self, x_sorted: jax.Array, tile_expert: jax.Array, tm: int) -> jax.Array:
+    def _expert_ffn_grouped(self, x_sorted: jax.Array, tile_expert: jax.Array, tile_rows: jax.Array, tm: int) -> jax.Array:
         """(R, H) expert-sorted padded rows -> (R, H) via the grouped GEMM
         kernel (dropless; each row tile contracts its own expert's weights)."""
         from ..ops.pallas_moe import grouped_matmul
@@ -183,12 +183,12 @@ class MixtralSparseMoeBlock(nnx.Module):
         w2 = self.w2.get_value()
         h, i = w1.shape[1], w1.shape[2]
         bn1, bk1 = _gemm_tile(i), _gemm_tile(h)
-        h1 = grouped_matmul(x_sorted, w1, tile_expert, tm=tm, bn=bn1, bk=bk1)
-        h3 = grouped_matmul(x_sorted, w3, tile_expert, tm=tm, bn=bn1, bk=bk1)
+        h1 = grouped_matmul(x_sorted, w1, tile_expert, tile_rows, tm=tm, bn=bn1, bk=bk1)
+        h3 = grouped_matmul(x_sorted, w3, tile_expert, tile_rows, tm=tm, bn=bn1, bk=bk1)
         act = (jax.nn.silu(h1.astype(jnp.float32)) * h3.astype(jnp.float32)).astype(
             x_sorted.dtype
         )
-        return grouped_matmul(act, w2, tile_expert, tm=tm, bn=bk1, bk=bn1)
+        return grouped_matmul(act, w2, tile_expert, tile_rows, tm=tm, bn=bk1, bk=bn1)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         b, s, h = x.shape
@@ -202,10 +202,10 @@ class MixtralSparseMoeBlock(nnx.Module):
 
             top_vals, top_idx = route_topk_raw(self._router_logits(x_t), k)
             tm = self.grouped_tm
-            x_sorted, tile_expert, dest = group_tokens(
+            x_sorted, tile_expert, tile_rows, dest = group_tokens(
                 x_t, top_idx, tm, self.config.num_local_experts
             )
-            y_sorted = self._expert_ffn_grouped(x_sorted, tile_expert, tm)
+            y_sorted = self._expert_ffn_grouped(x_sorted, tile_expert, tile_rows, tm)
             y = combine_tokens(y_sorted, dest, top_vals)
             return y.astype(x.dtype).reshape(b, s, h)
         cw = route_topk(self._router_logits(x_t), k)  # (T, E) f32

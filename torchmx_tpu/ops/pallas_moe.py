@@ -51,43 +51,49 @@ from .pallas_matmul import (
 )
 
 
-def _grouped_kernel_bf16(te_ref, x_ref, w_ref, o_ref, acc_ref):
+def _grouped_kernel_bf16(te_ref, rows_ref, x_ref, w_ref, o_ref, acc_ref):
+    t = pl.program_id(0)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    @pl.when(rows_ref[t] > 0)
+    def _():
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], w_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _grouped_kernel_mx(te_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, elem_name):
+def _grouped_kernel_mx(te_ref, rows_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, elem_name):
+    t = pl.program_id(0)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    codes = w_ref[0].astype(jnp.int32)
-    se = _expand_scale(s_ref[0].astype(jnp.int32), BLOCK)
-    if elem_name == "int8":
-        w = decode_int8_to_bf16(codes, se)
-    else:
-        w = decode_codes_to_bf16(
-            codes, se, dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name],
-            dot_operand=True,
+    @pl.when(rows_ref[t] > 0)
+    def _():
+        codes = w_ref[0].astype(jnp.int32)
+        se = _expand_scale(s_ref[0].astype(jnp.int32), BLOCK)
+        if elem_name == "int8":
+            w = decode_int8_to_bf16(codes, se)
+        else:
+            w = decode_codes_to_bf16(
+                codes, se, dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name],
+                dot_operand=True,
+            )
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -99,6 +105,7 @@ def grouped_matmul(
     x_sorted: jax.Array,
     w_stacked: jax.Array,
     tile_expert: jax.Array,
+    tile_rows: jax.Array,
     *,
     tm: int,
     bn: int,
@@ -110,37 +117,44 @@ def grouped_matmul(
 
     Row tile ``t`` contracts against expert ``tile_expert[t]`` (scalar-
     prefetched — the weight DMA address is computed from it before the tile
-    body runs).  ``w_scale``/``elem_name`` switch the MX-decode variant
-    (one-byte codes (E, K, N) + scales (E, K/32, N))."""
+    body runs).  ``tile_rows[t]`` is the tile's live row count: dead
+    trailing tiles carry the LAST live tile's expert index (their weight
+    blocks are already resident, so Pallas skips the DMA) and the kernel
+    skips their dots — at decode sizes the kernel therefore reads exactly
+    the routed experts' weights and nothing else.  ``w_scale``/
+    ``elem_name`` switch the MX-decode variant (one-byte codes (E, K, N) +
+    scales (E, K/32, N))."""
     R, K = x_sorted.shape
     E, _, N = w_stacked.shape
     assert R % tm == 0 and K % bk == 0 and N % bn == 0
     grid = (R // tm, N // bn, K // bk)
 
-    x_spec = pl.BlockSpec((tm, bk), lambda t, j, k, te: (t, k), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec(
+        (tm, bk), lambda t, j, k, te, rows: (t, k), memory_space=pltpu.VMEM
+    )
     w_spec = pl.BlockSpec(
-        (1, bk, bn), lambda t, j, k, te: (te[t], k, j), memory_space=pltpu.VMEM
+        (1, bk, bn), lambda t, j, k, te, rows: (te[t], k, j), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (tm, bn), lambda t, j, k, te: (t, j), memory_space=pltpu.VMEM
+        (tm, bn), lambda t, j, k, te, rows: (t, j), memory_space=pltpu.VMEM
     )
     if w_scale is None:
         kernel = _grouped_kernel_bf16
         in_specs = [x_spec, w_spec]
-        args = (tile_expert, x_sorted, w_stacked)
+        args = (tile_expert, tile_rows, x_sorted, w_stacked)
         w_bytes = 2
     else:
         kernel = functools.partial(_grouped_kernel_mx, elem_name=elem_name)
         s_spec = pl.BlockSpec(
             (1, bk // BLOCK, bn),
-            lambda t, j, k, te: (te[t], k, j),
+            lambda t, j, k, te, rows: (te[t], k, j),
             memory_space=pltpu.VMEM,
         )
         in_specs = [x_spec, w_spec, s_spec]
-        args = (tile_expert, x_sorted, w_stacked, w_scale)
+        args = (tile_expert, tile_rows, x_sorted, w_stacked, w_scale)
         w_bytes = 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -185,9 +199,12 @@ def group_tokens(
         tm: row-tile size of the grouped kernel.
         num_experts: E.
 
-    Returns ``(x_sorted (R, H), tile_expert (R/tm,), dest (T*k,))`` where
-    ``dest`` maps assignment ``a = t*k + i`` to its row in the padded
-    layout (for gathering the kernel output back).
+    Returns ``(x_sorted (R, H), tile_expert (R/tm,), tile_rows (R/tm,),
+    dest (T*k,))``: ``dest`` maps assignment ``a = t*k + i`` to its row in
+    the padded layout (for gathering the kernel output back);
+    ``tile_rows`` counts each tile's live rows, with DEAD trailing tiles
+    pinned to the last live tile's expert so their weight blocks are
+    already resident and the kernel skips both the DMA and the dots.
     """
     T, k = top_idx.shape
     E = num_experts
@@ -213,14 +230,24 @@ def group_tokens(
         x_t[token_of_a]
     )
     # Tile t covers rows [t*tm, (t+1)*tm): its expert is the one whose
-    # padded span contains the tile start (padding tiles past the last
-    # group clamp to E-1; their rows are zero and never gathered back).
+    # padded span contains the tile start.  Trailing DEAD tiles (beyond
+    # every group) inherit the LAST live tile's expert — the weight block
+    # index then never changes across them, so Pallas skips their DMA and
+    # the kernel skips their dots via tile_rows == 0.
     tile_starts = jnp.arange(R // tm, dtype=jnp.int32) * tm
     group_end = jnp.cumsum(padded)  # (E,)
-    tile_expert = jnp.minimum(
+    total = group_end[-1]
+    te_raw = jnp.minimum(
         jnp.searchsorted(group_end, tile_starts, side="right"), E - 1
     ).astype(jnp.int32)
-    return x_sorted, tile_expert, dest
+    te_last = jnp.minimum(
+        jnp.searchsorted(group_end, jnp.maximum(total - 1, 0), side="right"),
+        E - 1,
+    ).astype(jnp.int32)
+    live = tile_starts < total
+    tile_expert = jnp.where(live, te_raw, te_last)
+    tile_rows = jnp.clip(total - tile_starts, 0, tm).astype(jnp.int32)
+    return x_sorted, tile_expert, tile_rows, dest
 
 
 def combine_tokens(
