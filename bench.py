@@ -130,6 +130,51 @@ def _serving_toks():
     return out
 
 
+def _moe_grouped(E=8, K_=4096, N_=14336, T=8, k=2, tm=8, bn=512, bk=512):
+    """Grouped-MX MoE GEMM at a Mixtral-8x7B decode shape: routed top-2
+    of 8 experts vs all-experts compute through the SAME kernel.  The
+    routed/all ratio shows the dead-tile DMA skip working (the kernel
+    reads only the routed experts' packed weights)."""
+    import numpy as _np
+
+    from torchmx_tpu.mx_array import quantize_mx
+    from torchmx_tpu.ops.pallas_moe import group_tokens, grouped_matmul
+    rng = _np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((E, N_, K_)) * 0.02, jnp.bfloat16)
+    ws, wq = quantize_mx(w, "int8", 32)  # blocked along K
+    w_codes = jax.device_put(wq.swapaxes(1, 2))  # (E, K, N)
+    w_scale = jax.device_put(ws.swapaxes(1, 2))
+    del w, wq, ws
+    x = jnp.asarray(rng.standard_normal((T, K_)) * 0.3, jnp.bfloat16)
+
+    def trial(top_idx):
+        xs, te, rows, _ = group_tokens(x, top_idx, tm, E)
+        xs, te, rows = jax.device_put((xs, te, rows))
+
+        def step(xs_, te_, rows_):
+            return grouped_matmul(
+                xs_, w_codes, te_, rows_, tm=tm, bn=bn, bk=bk,
+                w_scale=w_scale, elem_name="int8",
+            )
+
+        return _timed_loop(step, xs, te, rows)
+
+    # Routed: all T tokens pick the same 2 experts (decode worst/best case
+    # for locality); All: tokens spread over every expert.
+    routed = jnp.tile(jnp.asarray([[0, 1]], jnp.int32), (T, 1))
+    spread = jnp.stack(
+        [jnp.arange(T, dtype=jnp.int32) % E, (jnp.arange(T, dtype=jnp.int32) + 1) % E],
+        axis=1,
+    )
+    t_routed, t_all = _paired(trial(routed), trial(spread))
+    return {
+        "shape": {"E": E, "K": K_, "N": N_, "T": T, "k": k},
+        "routed2_ms": round(t_routed * 1e3, 3),
+        "all8_ms": round(t_all * 1e3, 3),
+        "dead_tile_skip_ratio": round(t_all / t_routed, 2),
+    }
+
+
 def main():
     from torchmx_tpu.mx_array import MXArray
     from torchmx_tpu.ops import mx_matmul
@@ -220,6 +265,13 @@ def main():
     except Exception as e:  # noqa: BLE001 — never break the headline metric
         serving["error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # Grouped-MX MoE decode GEMM (round 3; guarded the same way).
+    moe = None
+    try:
+        moe = _moe_grouped()
+    except Exception as e:  # noqa: BLE001
+        moe = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     ratio = t_bf16 / t_mx
     flops = 2.0 * M * K * N
     print(
@@ -251,6 +303,7 @@ def main():
                         ),
                     },
                     "serving_8b": serving,
+                    "moe_grouped": moe,
                 },
             }
         )
