@@ -516,3 +516,45 @@ def test_grouped_mx_import_weight_quantizes_stacked():
             np.asarray(getattr(target, f"{name}_scale").get_value()),
             np.asarray(getattr(ref, f"{name}_scale").get_value()),
         )
+
+
+def test_mixtral_composes_with_pipeline_and_context_parallel():
+    """The MoE block is pipeline- and CP-transparent: stacked expert
+    weights stage over pipeline stages like any layer param, and ring
+    attention never touches the MLP.  Logits match the sequential model to
+    bf16 reorder tolerance with agreeing argmax."""
+    from torchmx_tpu.parallel.context import context_parallel
+    from torchmx_tpu.parallel.mesh import create_mesh
+    from torchmx_tpu.parallel.pipeline import pipeline_model
+
+    model = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(18))
+    ids = jnp.asarray(np.random.RandomState(18).randint(0, 256, (4, 16)), jnp.int32)
+    ref, _ = model(ids)
+
+    mesh = create_mesh((1, 2), devices=jax.devices()[:2])
+    fwd, params = pipeline_model(model, mesh, n_microbatches=2)
+    with mesh:
+        pp = jax.jit(fwd)(params, ids)
+    np.testing.assert_allclose(
+        np.asarray(pp, np.float32), np.asarray(ref, np.float32), atol=2e-1, rtol=2e-1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(pp[:, -1], -1)), np.asarray(jnp.argmax(ref[:, -1], -1))
+    )
+
+    mesh4 = create_mesh((1, 4), devices=jax.devices()[:4])
+    gd, state = nnx.split(model)
+    with mesh4, context_parallel(mesh4, "model"):
+
+        @jax.jit
+        def cp_fwd(state, ids):
+            logits, _ = nnx.merge(gd, state)(ids)
+            return logits
+
+        cp = cp_fwd(state, ids)
+    np.testing.assert_allclose(
+        np.asarray(cp, np.float32), np.asarray(ref, np.float32), atol=2e-1, rtol=2e-1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(cp[:, -1], -1)), np.asarray(jnp.argmax(ref[:, -1], -1))
+    )
