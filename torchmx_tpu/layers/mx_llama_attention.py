@@ -34,11 +34,14 @@ class MXInferenceLlamaMLP(nnx.Module):
     """Llama MLP with MX-quantized gate/up/down projections
     (reference ``mx_llama_attention.py:20-60``)."""
 
-    def __init__(self, gate_proj, up_proj, down_proj, qconfig: QLinearConfig):
+    def __init__(self, gate_proj, up_proj, down_proj, qconfig: QLinearConfig, act=None):
+        import jax
+
         self.gate_proj = gate_proj
         self.up_proj = up_proj
         self.down_proj = down_proj
         self.qconfig = qconfig
+        self.act = act if act is not None else jax.nn.silu
 
     @classmethod
     def from_float(cls, mod: LlamaMLP, qconfig: QLinearConfig) -> "MXInferenceLlamaMLP":
@@ -48,6 +51,7 @@ class MXInferenceLlamaMLP(nnx.Module):
             MXInferenceLinear.from_float(mod.up_proj, qconfig),
             MXInferenceLinear.from_float(mod.down_proj, qconfig),
             qconfig,
+            act=getattr(mod, "act", None),  # GeGLU for Gemma, silu otherwise
         )
 
     def __call__(self, x):
@@ -59,11 +63,11 @@ class MXInferenceLlamaMLP(nnx.Module):
         # prefill sizes (see shared_activation_fq).
         x_fq = shared_activation_fq(x, self.gate_proj, self.up_proj)
         if x_fq is not None:
-            h = jax.nn.silu(self.gate_proj.apply_prequantized(x_fq)) * (
+            h = self.act(self.gate_proj.apply_prequantized(x_fq)) * (
                 self.up_proj.apply_prequantized(x_fq)
             )
         else:
-            h = jax.nn.silu(self.gate_proj(x)) * self.up_proj(x)
+            h = self.act(self.gate_proj(x)) * self.up_proj(x)
         return self.down_proj(h)
 
 

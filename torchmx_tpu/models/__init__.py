@@ -1,4 +1,4 @@
-"""Model families (JAX/NNX): Llama, Qwen2, Mistral and Mixtral (MoE), with HF checkpoint import."""
+"""Model families (JAX/NNX): Llama, Qwen2, Mistral, Mixtral (MoE) and Gemma, with HF checkpoint import."""
 
 from .llama import (  # noqa: F401
     LayerKVCache,
@@ -16,6 +16,13 @@ from . import evaluate, serve  # noqa: F401
 from .generate import generate  # noqa: F401
 from .serve import DecodeEngine  # noqa: F401
 from .speculate import generate_speculative  # noqa: F401
+from .gemma import (  # noqa: F401
+    GemmaAttention,
+    GemmaConfig,
+    GemmaForCausalLM,
+    GemmaMLP,
+    GemmaModel,
+)
 from .mistral import (  # noqa: F401
     MistralAttention,
     MistralConfig,

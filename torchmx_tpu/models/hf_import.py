@@ -1,4 +1,4 @@
-"""HF checkpoint import: load Llama/Qwen2/Mistral weights into the NNX models.
+"""HF checkpoint import: load Llama/Qwen2/Mistral/Mixtral/Gemma weights into the NNX models.
 
 Two entry points:
 
@@ -19,6 +19,7 @@ import numpy as np
 from flax import nnx
 
 from ..utils import get_logger
+from .gemma import GemmaConfig, GemmaForCausalLM
 from .llama import LlamaConfig, LlamaForCausalLM
 from .mistral import MistralConfig, MistralForCausalLM
 from .mixtral import MixtralConfig, MixtralForCausalLM
@@ -31,6 +32,7 @@ _ARCH_MAP = {
     "Qwen2ForCausalLM": (Qwen2Config, Qwen2ForCausalLM),
     "MistralForCausalLM": (MistralConfig, MistralForCausalLM),
     "MixtralForCausalLM": (MixtralConfig, MixtralForCausalLM),
+    "GemmaForCausalLM": (GemmaConfig, GemmaForCausalLM),
 }
 
 
@@ -137,8 +139,15 @@ def _assign_params(model, named_arrays, strict: bool = True):
     if skipped:
         msg = f"skipped {len(skipped)} weights: {skipped[:8]}..."
         if strict:
-            # rotary inv_freq buffers etc. are fine to skip
-            real = [s for s in skipped if "inv_freq" not in s]
+            # rotary inv_freq buffers are fine to skip, as is the (tied)
+            # lm_head copy some checkpoints carry (Gemma).
+            tied = getattr(model, "lm_head", object()) is None
+            real = [
+                s
+                for s in skipped
+                if "inv_freq" not in s
+                and not (tied and s == "lm_head.weight")
+            ]
             if real:
                 raise ValueError(msg)
         logger.info(msg)

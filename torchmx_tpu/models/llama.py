@@ -46,6 +46,12 @@ class LlamaConfig:
     mlp_bias: bool = False
     tie_word_embeddings: bool = False
     attention_dropout: float = 0.0
+    # MLP activation ("silu" Llama-family; "gelu_pytorch_tanh" Gemma).
+    hidden_act: str = "silu"
+    # Gemma conventions: RMSNorm multiplies by (1 + weight) (checkpoint
+    # weights are deltas around 1), and embeddings scale by sqrt(hidden).
+    rms_norm_offset: float = 0.0
+    scale_embeddings: bool = False
     # Sliding-window attention (Mistral semantics): query at position p sees
     # keys in (p - sliding_window, p].  None = full causal.
     sliding_window: Optional[int] = None
@@ -97,6 +103,11 @@ class LlamaConfig:
             ),
             layer_types=(
                 tuple(get("layer_types")) if get("layer_types") else None
+            ),
+            # Gemma checkpoints carry hidden_activation (preferred) or
+            # hidden_act; Llama-family carries hidden_act="silu".
+            hidden_act=(
+                get("hidden_activation") or get("hidden_act") or "silu"
             ),
         )
 
@@ -403,15 +414,32 @@ class MXLayerKVCache:
 
 
 class RMSNorm(nnx.Module):
-    def __init__(self, dim: int, eps: float, dtype=jnp.bfloat16):
-        self.weight = nnx.Param(jnp.ones((dim,), dtype))
+    """RMS norm; ``offset`` implements Gemma's (offset + weight) convention
+    (checkpoint weights are deltas around 1, so init goes to zeros)."""
+
+    def __init__(self, dim: int, eps: float, dtype=jnp.bfloat16, offset: float = 0.0):
+        init = jnp.zeros if offset else jnp.ones
+        self.weight = nnx.Param(init((dim,), dtype))
         self.eps = eps
+        self.offset = offset
 
     def __call__(self, x: Array) -> Array:
         xf = x.astype(jnp.float32)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         xf = xf * jax.lax.rsqrt(var + self.eps)
-        return (xf * self.weight.get_value().astype(jnp.float32)).astype(x.dtype)
+        w = self.weight.get_value().astype(jnp.float32) + self.offset
+        return (xf * w).astype(x.dtype)
+
+
+def resolve_act(name: str):
+    """MLP activation by HF name."""
+    if name == "silu":
+        return jax.nn.silu
+    if name in ("gelu_pytorch_tanh", "gelu_new"):
+        return functools.partial(jax.nn.gelu, approximate=True)
+    if name == "gelu":
+        return functools.partial(jax.nn.gelu, approximate=False)
+    raise ValueError(f"unsupported hidden_act {name!r}")
 
 
 class LlamaMLP(nnx.Module):
@@ -421,9 +449,10 @@ class LlamaMLP(nnx.Module):
         self.gate_proj = Linear(h, i, use_bias=config.mlp_bias, rngs=rngs)
         self.up_proj = Linear(h, i, use_bias=config.mlp_bias, rngs=rngs)
         self.down_proj = Linear(i, h, use_bias=config.mlp_bias, rngs=rngs)
+        self.act = resolve_act(config.hidden_act)
 
     def __call__(self, x: Array) -> Array:
-        return self.down_proj(jax.nn.silu(self.gate_proj(x)) * self.up_proj(x))
+        return self.down_proj(self.act(self.gate_proj(x)) * self.up_proj(x))
 
 
 class LlamaAttention(nnx.Module):
@@ -672,8 +701,11 @@ class LlamaDecoderLayer(nnx.Module):
         mlp_cls = type(self).mlp_cls or LlamaMLP
         self.self_attn = attention_cls(config, layer_idx, rngs=rngs)
         self.mlp = mlp_cls(config, rngs=rngs)
-        self.input_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps)
-        self.post_attention_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps)
+        off = config.rms_norm_offset
+        self.input_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, offset=off)
+        self.post_attention_layernorm = RMSNorm(
+            config.hidden_size, config.rms_norm_eps, offset=off
+        )
 
     def __call__(self, x, *, cos, sin, attention_mask, cache=None, cache_position=None):
         attn_out, new_cache = self.self_attn(
@@ -711,7 +743,9 @@ class LlamaModel(nnx.Module):
         self.layers = nnx.List(
             [layer_cls(config, i, rngs=rngs) for i in range(config.num_hidden_layers)]
         )
-        self.norm = RMSNorm(config.hidden_size, config.rms_norm_eps)
+        self.norm = RMSNorm(
+            config.hidden_size, config.rms_norm_eps, offset=config.rms_norm_offset
+        )
         self.inv_freq = nnx.Variable(compute_rope_inv_freq(config))
 
     def __call__(
@@ -725,6 +759,11 @@ class LlamaModel(nnx.Module):
     ):
         b, s = input_ids.shape
         x = self.embed_tokens(input_ids)
+        if self.config.scale_embeddings:
+            # Gemma: embeddings scale by sqrt(hidden); HF casts the scalar
+            # to the activation dtype BEFORE multiplying (bf16 rounding is
+            # part of the checkpoint contract).
+            x = x * jnp.asarray(math.sqrt(self.config.hidden_size), x.dtype)
         if position_ids is None:
             position_ids = jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(self.inv_freq.get_value(), position_ids, x.dtype)

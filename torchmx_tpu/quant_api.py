@@ -22,9 +22,11 @@ from flax import nnx
 from .config import QAttentionConfig, QLinearConfig
 from .layers.linear import Linear, MXInferenceLinear
 from .layers.mx_llama_attention import MXInferenceLlamaAttention, MXInferenceLlamaMLP
+from .layers.mx_gemma_attention import MXInferenceGemmaAttention, MXInferenceGemmaMLP
 from .layers.mx_mistral_attention import MXInferenceMistralAttention, MXInferenceMistralMLP
 from .layers.mx_mixtral_moe import MXInferenceMixtralMoeBlock
 from .layers.mx_qwen2_attention import MXInferenceQwen2Attention, MXInferenceQwen2MLP
+from .models.gemma import GemmaAttention, GemmaMLP
 from .models.llama import LlamaAttention, LlamaMLP
 from .models.mistral import MistralAttention, MistralMLP
 from .models.mixtral import MixtralSparseMoeBlock
@@ -39,12 +41,14 @@ logger = get_logger(__name__)
 ATTENTION_LAYERS: Dict[Type, Type] = {
     Qwen2Attention: MXInferenceQwen2Attention,
     MistralAttention: MXInferenceMistralAttention,
+    GemmaAttention: MXInferenceGemmaAttention,
     LlamaAttention: MXInferenceLlamaAttention,
 }
 
 MLP_LAYERS: Dict[Type, Type] = {
     Qwen2MLP: MXInferenceQwen2MLP,
     MistralMLP: MXInferenceMistralMLP,
+    GemmaMLP: MXInferenceGemmaMLP,
     MixtralSparseMoeBlock: MXInferenceMixtralMoeBlock,
     LlamaMLP: MXInferenceLlamaMLP,
 }
