@@ -118,3 +118,116 @@ def test_gemma_quantize_and_generate():
     ids = jnp.asarray(np.random.RandomState(2).randint(0, 256, (1, 10)), jnp.int32)
     out = generate(model, ids, 4, kv_cache_config=MXConfig("int8"))
     assert out.shape == (1, 4)
+
+
+def test_hf_parity_gemma2():
+    """Gemma2: sandwich norms, query_pre_attn_scalar scaling, attention +
+    final logit soft caps, ALTERNATING sliding layers (layer_types) — all
+    against HF eager."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from torchmx_tpu.models.gemma import Gemma2ForCausalLM
+    from torchmx_tpu.models.hf_import import from_hf_torch
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128, sliding_window=8,
+        query_pre_attn_scalar=64.0, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, attn_implementation="eager",
+    )
+    hf = transformers.Gemma2ForCausalLM(hf_cfg).to(torch.float32).eval()
+    ids = np.random.RandomState(0).randint(0, 256, (2, 24))  # > window
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(ids)).logits.numpy()
+    model, cfg = from_hf_torch(hf)
+    assert isinstance(model, Gemma2ForCausalLM)
+    assert cfg.layer_types == (
+        "sliding_attention", "full_attention",
+        "sliding_attention", "full_attention",
+    )
+    assert cfg.query_pre_attn_scalar == 64.0
+    logits, _ = model(jnp.asarray(ids, jnp.int32))
+    corr = np.corrcoef(np.asarray(logits, np.float32).ravel(), hf_logits.ravel())[0, 1]
+    assert corr > 0.999, f"gemma2 corr {corr}"
+    # The caps must bite: at random-init logit scale 50/30 are near-identity
+    # (30·tanh(x/30) ≈ x for |x| ~ 2), so squeeze them hard and expect
+    # divergence — proving the cap plumbing is live end to end.
+    import dataclasses
+
+    model.config = dataclasses.replace(
+        model.config, attn_logit_softcapping=0.2, final_logit_softcapping=0.5
+    )
+    for layer in model.model.layers:
+        layer.self_attn.attn_softcap = 0.2
+    squeezed, _ = model(jnp.asarray(ids, jnp.int32))
+    assert float(jnp.max(jnp.abs(squeezed - logits))) > 0.05
+    assert float(jnp.max(jnp.abs(squeezed))) <= 0.5 + 1e-3  # final cap bound
+
+
+def test_gemma2_fused_softcap_matches_eager():
+    """The in-kernel attention soft cap (applied before masking) matches
+    the eager dequantize path over an MX cache."""
+    import math
+
+    from torchmx_tpu import env_variables as env
+    from torchmx_tpu.models.llama import MXLayerKVCache, repeat_kv
+    from torchmx_tpu.ops import pallas_attention as pa
+
+    old = env.TORCHMX_FUSED_ATTENTION
+    env.TORCHMX_FUSED_ATTENTION = "pallas"
+    try:
+        b, hq, hkv, d, L, cap = 2, 8, 4, 128, 256, 20.0
+        rng = np.random.RandomState(3)
+        cache = MXLayerKVCache.create(b, hkv, L, d, "int8", 32)
+        kv_len = 200
+        k = jnp.asarray(rng.randn(b, hkv, kv_len, d), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(b, hkv, kv_len, d), jnp.bfloat16)
+        cache = cache.write(k, v, 0)
+        q = jnp.asarray(rng.randn(b, hq, 1, d), jnp.bfloat16)
+        sm = 1.0 / math.sqrt(d)
+        out = pa.cached_attention_any(q, cache, kv_len - 1, kv_len, sm, softcap=cap)
+        assert out is not None
+        kd, vd = cache.dequantize()
+        kk, vv = repeat_kv(kd, 2), repeat_kv(vd, 2)
+        s = jnp.matmul(q, kk.swapaxes(-2, -1), preferred_element_type=jnp.float32)
+        s = cap * jnp.tanh(s.astype(jnp.float32) * sm / cap)
+        j = jnp.arange(L)
+        mask = jnp.where(j < kv_len, 0.0, jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(s + mask[None, None, None], axis=-1).astype(jnp.bfloat16)
+        ref = jnp.matmul(p, vv, preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+    finally:
+        env.TORCHMX_FUSED_ATTENTION = old
+
+
+def test_gemma2_quantize_and_generate():
+    from torchmx_tpu.layers.mx_gemma_attention import (
+        MXInferenceGemma2Attention,
+        MXInferenceGemma2MLP,
+    )
+    from torchmx_tpu.models.gemma import Gemma2Config, Gemma2ForCausalLM
+
+    cfg = Gemma2Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128,
+        query_pre_attn_scalar=64.0, sliding_window=8,
+        layer_types=("sliding_attention", "full_attention"),
+    )
+    model = Gemma2ForCausalLM(cfg, rngs=nnx.Rngs(3))
+    qlin = QLinearConfig(
+        weights_config=MXConfig("float8_e4m3"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
+    layer = model.model.layers[0]
+    assert isinstance(layer.self_attn, MXInferenceGemma2Attention)
+    assert isinstance(layer.mlp, MXInferenceGemma2MLP)
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, 256, (1, 10)), jnp.int32)
+    out = generate(model, ids, 4, kv_cache_config=MXConfig("int8"))
+    assert out.shape == (1, 4)

@@ -9,6 +9,8 @@ from .linear import Linear, MXInferenceLinear  # noqa: F401
 _LAZY = {
     "MXInferenceLlamaAttention": ".mx_llama_attention",
     "MXInferenceLlamaMLP": ".mx_llama_attention",
+    "MXInferenceGemma2Attention": ".mx_gemma_attention",
+    "MXInferenceGemma2MLP": ".mx_gemma_attention",
     "MXInferenceGemmaAttention": ".mx_gemma_attention",
     "MXInferenceGemmaMLP": ".mx_gemma_attention",
     "MXInferenceMistralAttention": ".mx_mistral_attention",

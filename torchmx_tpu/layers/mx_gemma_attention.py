@@ -19,3 +19,11 @@ class MXInferenceGemmaMLP(MXInferenceLlamaMLP):
 
 class MXInferenceGemmaAttention(MXInferenceLlamaAttention):
     pass
+
+
+class MXInferenceGemma2MLP(MXInferenceLlamaMLP):
+    pass
+
+
+class MXInferenceGemma2Attention(MXInferenceLlamaAttention):
+    pass

@@ -17,6 +17,8 @@ from .generate import generate  # noqa: F401
 from .serve import DecodeEngine  # noqa: F401
 from .speculate import generate_speculative  # noqa: F401
 from .gemma import (  # noqa: F401
+    Gemma2Config,
+    Gemma2ForCausalLM,
     GemmaAttention,
     GemmaConfig,
     GemmaForCausalLM,

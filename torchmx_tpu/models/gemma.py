@@ -63,3 +63,80 @@ class GemmaModel(LlamaModel):
 
 class GemmaForCausalLM(LlamaForCausalLM):
     model_cls = GemmaModel
+
+
+@dataclasses.dataclass
+class Gemma2Config(GemmaConfig):
+    # Gemma2 defaults: alternating sliding layers (from_hf fills
+    # layer_types), decoupled attention scale, logit soft caps.
+    query_pre_attn_scalar: float = 256.0
+    attn_logit_softcapping: float = 50.0
+    final_logit_softcapping: float = 30.0
+
+    @classmethod
+    def from_hf(cls, hf_config: Any) -> "Gemma2Config":
+        cfg = GemmaConfig.from_hf(hf_config)
+        kw = dataclasses.asdict(cfg)
+        return cls(**kw)
+
+
+class Gemma2Attention(LlamaAttention):
+    pass
+
+
+class Gemma2MLP(LlamaMLP):
+    pass
+
+
+class Gemma2DecoderLayer(LlamaDecoderLayer):
+    """Gemma2 sandwich-norm layer: post-attention and post-feedforward
+    norms sit INSIDE the residual branches (4 norms per layer)."""
+
+    attention_cls = Gemma2Attention
+    mlp_cls = Gemma2MLP
+
+    def __init__(self, config, layer_idx, rngs=None):
+        super().__init__(config, layer_idx, rngs=rngs)
+        from .llama import RMSNorm
+
+        off = config.rms_norm_offset
+        self.pre_feedforward_layernorm = RMSNorm(
+            config.hidden_size, config.rms_norm_eps, offset=off
+        )
+        self.post_feedforward_layernorm = RMSNorm(
+            config.hidden_size, config.rms_norm_eps, offset=off
+        )
+
+    def __call__(self, x, *, cos, sin, attention_mask, cache=None, cache_position=None):
+        attn_out, new_cache = self.self_attn(
+            self.input_layernorm(x),
+            cos=cos,
+            sin=sin,
+            attention_mask=attention_mask,
+            cache=cache,
+            cache_position=cache_position,
+        )
+        x = x + self.post_attention_layernorm(attn_out)
+        x = x + self.post_feedforward_layernorm(
+            self.mlp(self.pre_feedforward_layernorm(x))
+        )
+        return x, new_cache
+
+
+class Gemma2Model(LlamaModel):
+    layer_cls = Gemma2DecoderLayer
+
+
+class Gemma2ForCausalLM(LlamaForCausalLM):
+    model_cls = Gemma2Model
+
+    def __call__(self, input_ids, **kwargs):
+        import jax.numpy as jnp
+
+        logits, new_caches = super().__call__(input_ids, **kwargs)
+        cap = self.config.final_logit_softcapping
+        if cap is not None:
+            logits = (
+                cap * jnp.tanh(logits.astype(jnp.float32) / cap)
+            ).astype(logits.dtype)
+        return logits, new_caches

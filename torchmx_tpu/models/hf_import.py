@@ -19,7 +19,7 @@ import numpy as np
 from flax import nnx
 
 from ..utils import get_logger
-from .gemma import GemmaConfig, GemmaForCausalLM
+from .gemma import Gemma2Config, Gemma2ForCausalLM, GemmaConfig, GemmaForCausalLM
 from .llama import LlamaConfig, LlamaForCausalLM
 from .mistral import MistralConfig, MistralForCausalLM
 from .mixtral import MixtralConfig, MixtralForCausalLM
@@ -33,6 +33,7 @@ _ARCH_MAP = {
     "MistralForCausalLM": (MistralConfig, MistralForCausalLM),
     "MixtralForCausalLM": (MixtralConfig, MixtralForCausalLM),
     "GemmaForCausalLM": (GemmaConfig, GemmaForCausalLM),
+    "Gemma2ForCausalLM": (Gemma2Config, Gemma2ForCausalLM),
 }
 
 

@@ -48,6 +48,13 @@ class LlamaConfig:
     attention_dropout: float = 0.0
     # MLP activation ("silu" Llama-family; "gelu_pytorch_tanh" Gemma).
     hidden_act: str = "silu"
+    # Attention score scale = 1/sqrt(query_pre_attn_scalar or head_dim)
+    # (Gemma2 decouples the scalar from head_dim).
+    query_pre_attn_scalar: Optional[float] = None
+    # Gemma2 soft caps: s -> cap * tanh(s / cap) on attention logits
+    # (before masking) and on the final LM logits.
+    attn_logit_softcapping: Optional[float] = None
+    final_logit_softcapping: Optional[float] = None
     # Gemma conventions: RMSNorm multiplies by (1 + weight) (checkpoint
     # weights are deltas around 1), and embeddings scale by sqrt(hidden).
     rms_norm_offset: float = 0.0
@@ -109,6 +116,9 @@ class LlamaConfig:
             hidden_act=(
                 get("hidden_activation") or get("hidden_act") or "silu"
             ),
+            query_pre_attn_scalar=get("query_pre_attn_scalar"),
+            attn_logit_softcapping=get("attn_logit_softcapping"),
+            final_logit_softcapping=get("final_logit_softcapping"),
         )
 
 
@@ -466,6 +476,8 @@ class LlamaAttention(nnx.Module):
         self.num_key_value_heads = config.num_key_value_heads
         self.num_key_value_groups = self.num_heads // self.num_key_value_heads
         self.head_dim = config.head_dim
+        self.sm_scale = 1.0 / math.sqrt(config.query_pre_attn_scalar or config.head_dim)
+        self.attn_softcap = config.attn_logit_softcapping
         qkv_bias = config.attention_bias or config.attention_qkv_bias
         self.q_proj = Linear(h, self.num_heads * self.head_dim, use_bias=qkv_bias, rngs=rngs)
         self.k_proj = Linear(h, self.num_key_value_heads * self.head_dim, use_bias=qkv_bias, rngs=rngs)
@@ -532,6 +544,13 @@ class LlamaAttention(nnx.Module):
                         "attention are not supported (the ring masks "
                         "causally only); run without context_parallel"
                     )
+                if self.attn_softcap is not None:
+                    raise NotImplementedError(
+                        "context-parallel forwards with attention logit "
+                        "softcapping are not supported (the ring merges "
+                        "partial softmaxes pre-cap); run without "
+                        "context_parallel"
+                    )
                 # Context-parallel prefill/scoring: the sequence is sharded
                 # over cp's mesh axis and ring attention masks causally from
                 # global offsets — no dense (L, L) mask anywhere.
@@ -553,7 +572,7 @@ class LlamaAttention(nnx.Module):
                 # told so it can skip fully-masked chunk-pairs.
                 out = _cpmod.ring_attention(
                     q.astype(jnp.bfloat16), k, v, mesh, axis=axis_name,
-                    sm_scale=1.0 / math.sqrt(self.head_dim),
+                    sm_scale=self.sm_scale,
                     layout=cp_layout,
                 )
                 out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, -1)
@@ -596,9 +615,10 @@ class LlamaAttention(nnx.Module):
                     new_cache,
                     cache_position,
                     cache_position + q_len,
-                    1.0 / math.sqrt(self.head_dim),
+                    self.sm_scale,
                     window=window,
                     ring=ring,
+                    softcap=self.attn_softcap,
                 )
                 if fused is not None:
                     out = fused.transpose(0, 2, 1, 3).reshape(bsz, q_len, -1)
@@ -635,7 +655,11 @@ class LlamaAttention(nnx.Module):
         q, k, v = self._quantize_qkv(q, k, v)
 
         # (b, h, q_len, kv_len)
-        attn_weights = self._matmul(q, _swap_last2(k)) / math.sqrt(self.head_dim)
+        attn_weights = self._matmul(q, _swap_last2(k)) * self.sm_scale
+        if self.attn_softcap is not None:
+            # Gemma2: soft cap BEFORE masking (HF order).
+            cap = self.attn_softcap
+            attn_weights = (cap * jnp.tanh(attn_weights.astype(jnp.float32) / cap)).astype(attn_weights.dtype)
         if attention_mask is not None:
             attn_weights = attn_weights + attention_mask
 

@@ -131,6 +131,7 @@ def _attn_kernel(
     sqt: int,
     window: Optional[int] = None,
     ring: bool = False,
+    softcap: Optional[float] = None,
 ):
     # "bfloat16" selects the no-decode baseline variant: K/V tiles are read
     # as bf16 directly (scale refs carry dummies).  This is the honest
@@ -198,6 +199,9 @@ def _attn_kernel(
                 q, kf, dn_qk, preferred_element_type=jnp.float32
             )
         s = s * sm_scale
+        if softcap is not None:
+            # Gemma2 attention soft cap, applied BEFORE masking (HF order).
+            s = softcap * jnp.tanh(s / softcap)
         # Causal + prefix mask, computed from indices.
         q_pos = q_off + qt * sqt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 0) // g
         kv_pos = kt * lt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 1)
@@ -254,11 +258,13 @@ def _attn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("elem_name", "sm_scale", "lt", "g", "sqt", "window", "ring"),
+    static_argnames=(
+        "elem_name", "sm_scale", "lt", "g", "sqt", "window", "ring", "softcap"
+    ),
 )
 def _mx_cached_attention(
     q4, k_data, k_scale, v_data, v_scale, q_off, kv_len, elem_name, sm_scale, lt, g, sqt,
-    window=None, ring=False,
+    window=None, ring=False, softcap=None,
 ):
     b, hkv, rows, d = q4.shape
     L = k_data.shape[2]
@@ -268,7 +274,7 @@ def _mx_cached_attention(
     grid = (b, hkv, rows // rows_t, L // lt)
     kernel = functools.partial(
         _attn_kernel, elem_name=elem_name, sm_scale=sm_scale, g=g, sqt=sqt,
-        window=window, ring=ring,
+        window=window, ring=ring, softcap=softcap,
     )
     return pl.pallas_call(
         kernel,
@@ -500,6 +506,7 @@ def _attn_kernel_dmajor(
     sqt: int,
     window: Optional[int] = None,
     ring: bool = False,
+    softcap: Optional[float] = None,
 ):
     """Blockwise online-softmax attention over a d-major MX KV cache.
 
@@ -542,6 +549,8 @@ def _attn_kernel_dmajor(
             q, kf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (rows, lt)
         s = s * sm_scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
         q_pos = q_off + qt * sqt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 0) // g
         kv_pos = kt * lt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 1)
         if ring:
@@ -580,11 +589,13 @@ def _attn_kernel_dmajor(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("elem_name", "sm_scale", "lt", "g", "sqt", "window", "ring"),
+    static_argnames=(
+        "elem_name", "sm_scale", "lt", "g", "sqt", "window", "ring", "softcap"
+    ),
 )
 def _mx_cached_attention_dmajor(
     q4, k_data, k_scale, v_data, v_scale, q_off, kv_len, elem_name, sm_scale, lt, g, sqt,
-    window=None, ring=False,
+    window=None, ring=False, softcap=None,
 ):
     b, hkv, rows, d = q4.shape
     dp = k_data.shape[2]  # payload rows: d, or d/2 for halves-packed fp4
@@ -594,7 +605,7 @@ def _mx_cached_attention_dmajor(
     grid = (b, hkv, rows // rows_t, L // lt)
     kernel = functools.partial(
         _attn_kernel_dmajor, elem_name=elem_name, sm_scale=sm_scale, g=g, sqt=sqt,
-        window=window, ring=ring,
+        window=window, ring=ring, softcap=softcap,
     )
     return pl.pallas_call(
         kernel,
@@ -886,7 +897,7 @@ def plan_cached_attention(
 
 
 def cached_attention_any(
-    q, cache, q_off, kv_len, sm_scale, window=None, ring=False
+    q, cache, q_off, kv_len, sm_scale, window=None, ring=False, softcap=None
 ) -> Optional[jax.Array]:
     """Fused causal attention over an MX-quantized KV cache.
 
@@ -913,6 +924,8 @@ def cached_attention_any(
         return None
     if ring and window is None:
         return None
+    if softcap is not None:
+        softcap = float(softcap)
     needed = ("k_data", "k_scale", "v_data", "v_scale", "elem_dtype_name", "block_size")
     if not all(hasattr(cache, f) for f in needed):
         return None
@@ -935,7 +948,7 @@ def cached_attention_any(
     g = hq // hkv
 
     if layout == "dmajor":
-        if window is None and not ring and use_int8dot(cache, sq, d):
+        if window is None and not ring and softcap is None and use_int8dot(cache, sq, d):
             return _int8dot_attention(q, cache, q_off, kv_len, sm_scale, lt)
         q4 = (
             q.astype(jnp.bfloat16)
@@ -960,12 +973,13 @@ def cached_attention_any(
             sqt,
             window,
             ring,
+            softcap,
         )
         return (
             out.reshape(b, hkv, sq, g, d).transpose(0, 1, 3, 2, 4).reshape(b, hq, sq, d)
         )
 
-    if window is None and not ring and use_chunkdot(cache.elem_dtype_name, sq, d):
+    if window is None and not ring and softcap is None and use_chunkdot(cache.elem_dtype_name, sq, d):
         return _chunkdot_attention(q, cache, q_off, kv_len, sm_scale, lt)
 
     # (b, hq, sq, d) -> (b, hkv, sq*g, d), rows ordered (q position, head).
@@ -992,6 +1006,7 @@ def cached_attention_any(
         sqt,
         window,
         ring,
+        softcap,
     )
     return (
         out.reshape(b, hkv, sq, g, d).transpose(0, 1, 3, 2, 4).reshape(b, hq, sq, d)

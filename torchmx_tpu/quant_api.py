@@ -22,11 +22,16 @@ from flax import nnx
 from .config import QAttentionConfig, QLinearConfig
 from .layers.linear import Linear, MXInferenceLinear
 from .layers.mx_llama_attention import MXInferenceLlamaAttention, MXInferenceLlamaMLP
-from .layers.mx_gemma_attention import MXInferenceGemmaAttention, MXInferenceGemmaMLP
+from .layers.mx_gemma_attention import (
+    MXInferenceGemma2Attention,
+    MXInferenceGemma2MLP,
+    MXInferenceGemmaAttention,
+    MXInferenceGemmaMLP,
+)
 from .layers.mx_mistral_attention import MXInferenceMistralAttention, MXInferenceMistralMLP
 from .layers.mx_mixtral_moe import MXInferenceMixtralMoeBlock
 from .layers.mx_qwen2_attention import MXInferenceQwen2Attention, MXInferenceQwen2MLP
-from .models.gemma import GemmaAttention, GemmaMLP
+from .models.gemma import Gemma2Attention, Gemma2MLP, GemmaAttention, GemmaMLP
 from .models.llama import LlamaAttention, LlamaMLP
 from .models.mistral import MistralAttention, MistralMLP
 from .models.mixtral import MixtralSparseMoeBlock
@@ -41,6 +46,7 @@ logger = get_logger(__name__)
 ATTENTION_LAYERS: Dict[Type, Type] = {
     Qwen2Attention: MXInferenceQwen2Attention,
     MistralAttention: MXInferenceMistralAttention,
+    Gemma2Attention: MXInferenceGemma2Attention,
     GemmaAttention: MXInferenceGemmaAttention,
     LlamaAttention: MXInferenceLlamaAttention,
 }
@@ -48,6 +54,7 @@ ATTENTION_LAYERS: Dict[Type, Type] = {
 MLP_LAYERS: Dict[Type, Type] = {
     Qwen2MLP: MXInferenceQwen2MLP,
     MistralMLP: MXInferenceMistralMLP,
+    Gemma2MLP: MXInferenceGemma2MLP,
     GemmaMLP: MXInferenceGemmaMLP,
     MixtralSparseMoeBlock: MXInferenceMixtralMoeBlock,
     LlamaMLP: MXInferenceLlamaMLP,
