@@ -231,3 +231,51 @@ def test_gemma2_quantize_and_generate():
     ids = jnp.asarray(np.random.RandomState(3).randint(0, 256, (1, 10)), jnp.int32)
     out = generate(model, ids, 4, kv_cache_config=MXConfig("int8"))
     assert out.shape == (1, 4)
+
+
+def test_scan_applies_final_softcap():
+    """The scan-over-layers head must apply Gemma2's final soft cap (it
+    reimplements the LM head): scan logits == plain model logits."""
+    from torchmx_tpu.models.gemma import Gemma2Config, Gemma2ForCausalLM
+    from torchmx_tpu.models.scan import ScanLlamaForCausalLM
+
+    cfg = Gemma2Config(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128,
+        query_pre_attn_scalar=64.0, sliding_window=None,
+        final_logit_softcapping=0.5,  # small enough to bite at init scale
+    )
+    model = Gemma2ForCausalLM(cfg, rngs=nnx.Rngs(4))
+    ids = jnp.asarray(np.random.RandomState(4).randint(0, 256, (1, 12)), jnp.int32)
+    ref, _ = model(ids)
+    assert float(jnp.max(jnp.abs(ref))) <= 0.5 + 1e-3
+    scan = ScanLlamaForCausalLM(model)
+    out, _ = scan(ids)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    assert float(jnp.max(jnp.abs(out))) <= 0.5 + 1e-3
+
+
+def test_pipeline_applies_gemma_conventions():
+    """pipeline_model reimplements the embed/head steps: it must scale
+    embeddings by sqrt(h) (and would apply the final cap) — staged logits
+    match the sequential Gemma."""
+    import jax as J
+
+    from torchmx_tpu.parallel.mesh import create_mesh
+    from torchmx_tpu.parallel.pipeline import pipeline_model
+
+    model = GemmaForCausalLM(tiny_config(), rngs=nnx.Rngs(5))
+    ids = jnp.asarray(np.random.RandomState(5).randint(0, 256, (4, 12)), jnp.int32)
+    ref, _ = model(ids)
+    mesh = create_mesh((1, 2), devices=J.devices()[:2])
+    fwd, params = pipeline_model(model, mesh, n_microbatches=2)
+    with mesh:
+        out = J.jit(fwd)(params, ids)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )

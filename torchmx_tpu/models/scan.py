@@ -44,6 +44,24 @@ from .llama import (
 Array = jax.Array
 
 
+def _apply_final_softcap(logits, config):
+    """Gemma2 final-logit soft cap (None on other families)."""
+    cap = getattr(config, "final_logit_softcapping", None)
+    if cap is None:
+        return logits
+    return (cap * jnp.tanh(logits.astype(jnp.float32) / cap)).astype(logits.dtype)
+
+
+def _scale_embeddings(x, config):
+    """Gemma sqrt(hidden) embedding scale (identity on other families);
+    every path that reimplements the embed step must apply it."""
+    if not getattr(config, "scale_embeddings", False):
+        return x
+    import math
+
+    return x * jnp.asarray(math.sqrt(config.hidden_size), x.dtype)
+
+
 def stack_decoder_layers(layers):
     """Stack homogeneous per-layer NNX modules into (graphdef, stacked_state).
 
@@ -112,7 +130,7 @@ class ScanLlamaForCausalLM(nnx.Module):
         cache_position: Optional[Array] = None,
     ):
         b, s = input_ids.shape
-        x = self.embed_tokens(input_ids)
+        x = _scale_embeddings(self.embed_tokens(input_ids), self.config)
         if position_ids is None:
             position_ids = jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(self.inv_freq.get_value(), position_ids, x.dtype)
@@ -157,6 +175,7 @@ class ScanLlamaForCausalLM(nnx.Module):
             logits = hidden @ self.embed_tokens.weight.get_value().T
         else:
             logits = self.lm_head(hidden)
+        logits = _apply_final_softcap(logits, self.config)
         return logits, new_caches
 
     def init_cache(self, batch: int, max_len: int, kv_cache_config=None, ring: bool = False):

@@ -331,7 +331,9 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
         assert b % M == 0, (b, M)
         mb = b // M
         embed = nnx.merge(embed_gd, params["embed"])
-        x = embed(input_ids)
+        from ..models.scan import _scale_embeddings
+
+        x = _scale_embeddings(embed(input_ids), cfg)
         cos, sin = rope_cos_sin(params["inv_freq"], position_ids, x.dtype)
         # position_ids may broadcast over the batch ((1, s)): expand so the
         # RoPE tables split into microbatches alongside the activations.
@@ -363,7 +365,9 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
             logits = hidden @ embed.weight.get_value().T
         else:
             logits = nnx.merge(head_gd, params["head"])(hidden)
-        return logits, new_caches
+        from ..models.scan import _apply_final_softcap
+
+        return _apply_final_softcap(logits, cfg), new_caches
 
     return fwd, params, init_caches
 
@@ -433,7 +437,9 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
     def fwd(params, input_ids):
         b, s = input_ids.shape
         embed = nnx.merge(embed_gd, params["embed"])
-        x = embed(input_ids)
+        from ..models.scan import _scale_embeddings
+
+        x = _scale_embeddings(embed(input_ids), cfg)
         pos = jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(params["inv_freq"], pos, x.dtype)
         mask = make_causal_mask(s, s, jnp.float32, window=window)[None, None]
@@ -447,6 +453,8 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
             logits = hidden @ embed.weight.get_value().T
         else:
             logits = nnx.merge(head_gd, params["head"])(hidden)
-        return logits
+        from ..models.scan import _apply_final_softcap
+
+        return _apply_final_softcap(logits, cfg)
 
     return fwd, params
