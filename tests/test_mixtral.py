@@ -475,16 +475,43 @@ def test_grouped_mx_block_matches_per_expert_bitwise():
     assert out.shape == (1, 4)
 
 
-def test_grouped_mx_block_rejects_fp4():
+def test_grouped_mx_fp4_recodes_to_int8_domain():
+    """fp4 grouped blocks quantize on the FP4 grid then re-code exactly
+    into int8 codes: the stored weights dequantize bit-equal to fp4
+    quantization, and the forward matches the per-expert fp4 block."""
+    from torchmx_tpu.layers.mx_mixtral_moe import MXInferenceMixtralMoeBlockGrouped
+    from torchmx_tpu.mx_array import MXArray, dequantize_mx
+
     qlin = QLinearConfig(
         weights_config=MXConfig("float4_e2m1"),
         activations_config=MXConfig("float8_e4m3"),
     )
-    m = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(16))
-    for layer in m.model.layers:
+    m_grp = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(16))
+    m_dense = MixtralForCausalLM(tiny_config(), rngs=nnx.Rngs(16))
+    w1_hp = m_grp.model.layers[0].mlp.w1.get_value()
+    for layer in m_grp.model.layers:
         layer.mlp.grouped = True
-    with pytest.raises(NotImplementedError, match="one-byte"):
-        quantize_llm_(m, QAttentionConfig(projection_config=qlin), qlin)
+        layer.mlp.grouped_tm = 8
+    quantize_llm_(m_grp, QAttentionConfig(projection_config=qlin), qlin)
+    quantize_llm_(m_dense, QAttentionConfig(projection_config=qlin), qlin)
+    blk = m_grp.model.layers[0].mlp
+    assert isinstance(blk, MXInferenceMixtralMoeBlockGrouped)
+    assert blk.kernel_elem == "int8"
+    # Stored int8-domain codes dequantize bit-equal to fp4 quantization.
+    got = dequantize_mx(
+        blk.w1_codes.get_value().swapaxes(1, 2),
+        blk.w1_scale.get_value().swapaxes(1, 2),
+        "int8", 32, jnp.bfloat16, 2,
+    )
+    want = MXArray.to_mx(w1_hp.swapaxes(1, 2), "float4_e2m1", 32).to_dtype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # Forward matches the per-expert fp4 path (identical values decode).
+    ids = jnp.asarray(np.random.RandomState(16).randint(0, 256, (1, 12)), jnp.int32)
+    a, _ = m_grp(ids)
+    b, _ = m_dense(ids)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-2, rtol=5e-2
+    )
 
 
 def test_grouped_mx_import_weight_quantizes_stacked():

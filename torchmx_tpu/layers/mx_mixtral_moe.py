@@ -162,17 +162,25 @@ class MXInferenceMixtralMoeBlockGrouped(MixtralSparseMoeBlock):
     Dynamic activation quantization applies the standard per-token MX
     fake-quantize on the kernel inputs (bit-identical to the in-prologue
     quantization of the fused linear kernels — exhaustively tested); the
-    router stays high-precision like the per-expert block.  One-byte weight
-    formats only (fp8/fp6/int8); fp4's nibble packing needs a dedicated
-    decode and raises.
+    router stays high-precision like the per-expert block.  fp8/fp6/int8
+    codes store natively; fp4 and fp6_e2m3 quantize on THEIR grid then
+    re-code EXACTLY into the int8 domain (bit-equal dequantization, one
+    byte per code — the dense turbo path's trick), so every weight format
+    serves through the grouped kernel.
     """
 
-    def __init__(self, config, gate_weight, codes, scales, qconfig: QLinearConfig):
+    def __init__(self, config, gate_weight, codes, scales, qconfig: QLinearConfig,
+                 kernel_elem: str):
         self.config = config
         self.qconfig = qconfig
         self.capacity_factor = None
         self.grouped = True
         self.grouped_tm = 128
+        # The element format the KERNEL decodes: equals the qconfig weight
+        # format for one-byte formats; fp4/fp6_e2m3 re-code EXACTLY into the
+        # int8 domain (same values, 1 byte/code — the dense turbo path's
+        # trick, ``MXArray.to_int8_domain``).
+        self.kernel_elem = kernel_elem
         self.gate_weight = nnx.Param(gate_weight)
         # codes/scales: dicts proj -> stacked arrays.
         self.w1_codes = nnx.Param(codes["w1"])
@@ -182,14 +190,22 @@ class MXInferenceMixtralMoeBlockGrouped(MixtralSparseMoeBlock):
         self.w2_codes = nnx.Param(codes["w2"])
         self.w2_scale = nnx.Param(scales["w2"])
 
-    _SUPPORTED = ("float8_e4m3", "float6_e3m2", "float6_e2m3", "int8")
+    _SUPPORTED = ("float8_e4m3", "float6_e3m2", "float6_e2m3", "float4_e2m1", "int8")
+    _INT8_DOMAIN = ("float4_e2m1", "float6_e2m3")
 
     @classmethod
     def _quantize_stacked(cls, w_km, elem_name):
         """(E, K, N) bf16 -> codes (E, K, N), scales (E, K/32, N), blocked
-        along K (the contraction dim, the linear kernels' grid)."""
-        from ..mx_array import quantize_mx
+        along K (the contraction dim, the linear kernels' grid).  fp4 /
+        fp6_e2m3 quantize on THEIR grid then re-code exactly into int8
+        (bit-equal dequantization; quality = the requested format)."""
+        from ..mx_array import MXArray, quantize_mx
 
+        if elem_name in cls._INT8_DOMAIN:
+            arr = MXArray.to_mx(
+                jnp.asarray(w_km, jnp.bfloat16).swapaxes(1, 2), elem_name, 32
+            ).to_int8_domain()
+            return arr.data.swapaxes(1, 2), arr.scale_e8m0.swapaxes(1, 2)
         s, q = quantize_mx(w_km.swapaxes(1, 2), elem_name, 32)
         return q.swapaxes(1, 2), s.swapaxes(1, 2)
 
@@ -200,16 +216,19 @@ class MXInferenceMixtralMoeBlockGrouped(MixtralSparseMoeBlock):
         elem = qconfig.weights_config.elem_dtype_name
         if elem not in cls._SUPPORTED:
             raise NotImplementedError(
-                f"grouped MX MoE supports one-byte weight formats "
-                f"{cls._SUPPORTED}; got {elem} (fp4's nibble packing needs "
-                "a dedicated grouped decode)"
+                f"grouped MX MoE supports weight formats {cls._SUPPORTED}; "
+                f"got {elem}"
             )
         assert qconfig.weights_config.block_size == 32
+        kernel_elem = "int8" if elem in cls._INT8_DOMAIN else elem
         codes, scales = {}, {}
         for name in ("w1", "w3", "w2"):
             q, s = cls._quantize_stacked(getattr(mod, name).get_value(), elem)
             codes[name], scales[name] = q, s
-        return cls(mod.config, mod.gate.weight.get_value(), codes, scales, qconfig)
+        return cls(
+            mod.config, mod.gate.weight.get_value(), codes, scales, qconfig,
+            kernel_elem,
+        )
 
     @property
     def gate(self):
@@ -242,7 +261,7 @@ class MXInferenceMixtralMoeBlockGrouped(MixtralSparseMoeBlock):
         from ..models.mixtral import _gemm_tile
         from ..ops.pallas_moe import grouped_matmul
 
-        elem = self.qconfig.weights_config.elem_dtype_name
+        elem = self.kernel_elem
         w1c = self.w1_codes.get_value()
         h, i = w1c.shape[1], w1c.shape[2]
         bn1, bk1 = _gemm_tile(i), _gemm_tile(h)
