@@ -476,7 +476,12 @@ class LlamaAttention(nnx.Module):
         self.num_key_value_heads = config.num_key_value_heads
         self.num_key_value_groups = self.num_heads // self.num_key_value_heads
         self.head_dim = config.head_dim
-        self.sm_scale = 1.0 / math.sqrt(config.query_pre_attn_scalar or config.head_dim)
+        # Fused kernels multiply by sm_scale; the eager path DIVIDES by
+        # sm_divisor — the historical expression, preserved because the
+        # engine/generate bit-exact serving gates compare separately
+        # compiled programs and an ulp-level change reshuffles near-ties.
+        self.sm_divisor = math.sqrt(config.query_pre_attn_scalar or config.head_dim)
+        self.sm_scale = 1.0 / self.sm_divisor
         self.attn_softcap = config.attn_logit_softcapping
         qkv_bias = config.attention_bias or config.attention_qkv_bias
         self.q_proj = Linear(h, self.num_heads * self.head_dim, use_bias=qkv_bias, rngs=rngs)
@@ -655,7 +660,7 @@ class LlamaAttention(nnx.Module):
         q, k, v = self._quantize_qkv(q, k, v)
 
         # (b, h, q_len, kv_len)
-        attn_weights = self._matmul(q, _swap_last2(k)) * self.sm_scale
+        attn_weights = self._matmul(q, _swap_last2(k)) / self.sm_divisor
         if self.attn_softcap is not None:
             # Gemma2: soft cap BEFORE masking (HF order).
             cap = self.attn_softcap
