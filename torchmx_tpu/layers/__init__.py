@@ -19,6 +19,8 @@ _LAZY = {
     "MXInferenceMixtralMoeBlockGrouped": ".mx_mixtral_moe",
     "MXInferenceQwen2Attention": ".mx_qwen2_attention",
     "MXInferenceQwen2MLP": ".mx_qwen2_attention",
+    "MXInferenceQwen3Attention": ".mx_qwen3_attention",
+    "MXInferenceQwen3MLP": ".mx_qwen3_attention",
 }
 
 

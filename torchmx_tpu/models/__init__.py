@@ -1,4 +1,4 @@
-"""Model families (JAX/NNX): Llama, Qwen2, Mistral, Mixtral (MoE) and Gemma, with HF checkpoint import."""
+"""Model families (JAX/NNX): Llama, Qwen2/3, Mistral, Mixtral (MoE), Gemma and Phi-3, with HF checkpoint import."""
 
 from .llama import (  # noqa: F401
     LayerKVCache,
@@ -45,4 +45,12 @@ from .qwen2 import (  # noqa: F401
     Qwen2ForCausalLM,
     Qwen2MLP,
     Qwen2Model,
+)
+from .qwen3 import (  # noqa: F401
+    Qwen3Attention,
+    Qwen3Config,
+    Qwen3DecoderLayer,
+    Qwen3ForCausalLM,
+    Qwen3MLP,
+    Qwen3Model,
 )

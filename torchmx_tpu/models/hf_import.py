@@ -24,12 +24,14 @@ from .llama import LlamaConfig, LlamaForCausalLM
 from .mistral import MistralConfig, MistralForCausalLM
 from .mixtral import MixtralConfig, MixtralForCausalLM
 from .qwen2 import Qwen2Config, Qwen2ForCausalLM
+from .qwen3 import Qwen3Config, Qwen3ForCausalLM
 
 logger = get_logger(__name__)
 
 _ARCH_MAP = {
     "LlamaForCausalLM": (LlamaConfig, LlamaForCausalLM),
     "Qwen2ForCausalLM": (Qwen2Config, Qwen2ForCausalLM),
+    "Qwen3ForCausalLM": (Qwen3Config, Qwen3ForCausalLM),
     "MistralForCausalLM": (MistralConfig, MistralForCausalLM),
     "MixtralForCausalLM": (MixtralConfig, MixtralForCausalLM),
     "GemmaForCausalLM": (GemmaConfig, GemmaForCausalLM),

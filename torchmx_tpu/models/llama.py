@@ -500,6 +500,11 @@ class LlamaAttention(nnx.Module):
     def _quantize_qkv(self, q: Array, k: Array, v: Array):
         return q, k, v
 
+    def _norm_qk(self, q: Array, k: Array):
+        """Per-head Q/K normalization seam on (b, h, s, d), applied before
+        RoPE (identity for Llama; Qwen3's QK-RMSNorm hooks in here)."""
+        return q, k
+
     def _quantize_attn_weights(self, attn_weights):
         return attn_weights
 
@@ -536,6 +541,7 @@ class LlamaAttention(nnx.Module):
         k = k.reshape(bsz, q_len, self.num_key_value_heads, self.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(bsz, q_len, self.num_key_value_heads, self.head_dim).transpose(0, 2, 1, 3)
 
+        q, k = self._norm_qk(q, k)
         q, k = apply_rotary_pos_emb(q, k, cos, sin)
 
         if cache is None and attention_mask is None:
