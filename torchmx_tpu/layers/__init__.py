@@ -21,6 +21,8 @@ _LAZY = {
     "MXInferenceQwen2MLP": ".mx_qwen2_attention",
     "MXInferenceQwen3Attention": ".mx_qwen3_attention",
     "MXInferenceQwen3MLP": ".mx_qwen3_attention",
+    "MXInferencePhi3Attention": ".mx_phi3_attention",
+    "MXInferencePhi3MLP": ".mx_phi3_attention",
 }
 
 

@@ -46,6 +46,14 @@ from .qwen2 import (  # noqa: F401
     Qwen2MLP,
     Qwen2Model,
 )
+from .phi3 import (  # noqa: F401
+    Phi3Attention,
+    Phi3Config,
+    Phi3DecoderLayer,
+    Phi3ForCausalLM,
+    Phi3MLP,
+    Phi3Model,
+)
 from .qwen3 import (  # noqa: F401
     Qwen3Attention,
     Qwen3Config,

@@ -24,6 +24,7 @@ from .llama import LlamaConfig, LlamaForCausalLM
 from .mistral import MistralConfig, MistralForCausalLM
 from .mixtral import MixtralConfig, MixtralForCausalLM
 from .qwen2 import Qwen2Config, Qwen2ForCausalLM
+from .phi3 import Phi3Config, Phi3ForCausalLM
 from .qwen3 import Qwen3Config, Qwen3ForCausalLM
 
 logger = get_logger(__name__)
@@ -36,6 +37,7 @@ _ARCH_MAP = {
     "MixtralForCausalLM": (MixtralConfig, MixtralForCausalLM),
     "GemmaForCausalLM": (GemmaConfig, GemmaForCausalLM),
     "Gemma2ForCausalLM": (Gemma2Config, Gemma2ForCausalLM),
+    "Phi3ForCausalLM": (Phi3Config, Phi3ForCausalLM),
 }
 
 
@@ -76,6 +78,31 @@ def _stack_expert_weights(named_arrays, num_experts: int):
         )
 
 
+def _split_fused_projections(named_arrays, config):
+    """Split Phi-3-style fused checkpoint projections into the per-projection
+    weights the shared Llama modules hold: ``self_attn.qkv_proj`` rows are
+    ``[q | k | v]`` (``num_heads*head_dim`` then 2x ``num_kv_heads*head_dim``),
+    ``mlp.gate_up_proj`` rows are ``[gate | up]`` (``intermediate_size``
+    each).  Biases (absent in shipped Phi-3 checkpoints) split identically
+    on their leading axis; all other names pass through."""
+    q_rows = config.num_attention_heads * config.head_dim
+    kv_rows = config.num_key_value_heads * config.head_dim
+    inter = config.intermediate_size
+    for name, arr in named_arrays:
+        parts = name.rsplit(".", 2)
+        if len(parts) == 3 and parts[1] == "qkv_proj":
+            base, _, leaf = parts
+            yield f"{base}.q_proj.{leaf}", arr[:q_rows]
+            yield f"{base}.k_proj.{leaf}", arr[q_rows : q_rows + kv_rows]
+            yield f"{base}.v_proj.{leaf}", arr[q_rows + kv_rows :]
+        elif len(parts) == 3 and parts[1] == "gate_up_proj":
+            base, _, leaf = parts
+            yield f"{base}.gate_proj.{leaf}", arr[:inter]
+            yield f"{base}.up_proj.{leaf}", arr[inter:]
+        else:
+            yield name, arr
+
+
 def _assign_params(model, named_arrays, strict: bool = True):
     """Assign HF-named weights (model.layers.N.self_attn.q_proj.weight, ...)
     onto the NNX module tree.
@@ -92,6 +119,8 @@ def _assign_params(model, named_arrays, strict: bool = True):
     num_experts = getattr(getattr(model, "config", None), "num_local_experts", None)
     if num_experts:
         named_arrays = _stack_expert_weights(named_arrays, num_experts)
+    if getattr(model, "fused_hf_projections", False):
+        named_arrays = _split_fused_projections(named_arrays, model.config)
 
     assigned, skipped = 0, []
     for name, arr in named_arrays:

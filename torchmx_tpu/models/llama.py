@@ -134,6 +134,20 @@ def compute_rope_inv_freq(config: LlamaConfig) -> jnp.ndarray:
         config.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
     )
     rs = config.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "longrope":
+        # Phi-3 LongRoPE: per-dim rescale factors.  HF switches short/long
+        # by the runtime sequence length; under static shapes the choice is
+        # made once from the configured capacity (serving allocates caches
+        # to max_position_embeddings) — identical whenever the capacity
+        # exceeds original_max_position_embeddings, the deployed case.
+        orig = (
+            getattr(config, "original_max_position_embeddings", None)
+            or rs.get("original_max_position_embeddings")
+            or config.max_position_embeddings
+        )
+        key = "long_factor" if config.max_position_embeddings > orig else "short_factor"
+        ext = jnp.asarray(rs[key], jnp.float32)
+        return inv_freq / ext
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
         factor = rs["factor"]
         low_factor = rs["low_freq_factor"]
@@ -151,6 +165,29 @@ def compute_rope_inv_freq(config: LlamaConfig) -> jnp.ndarray:
             jnp.where(wavelen > low_wavelen, scaled, smoothed),
         )
     return inv_freq
+
+
+def rope_attention_scaling(config: LlamaConfig) -> float:
+    """LongRoPE post-scaling on cos/sin (HF ``_compute_longrope_parameters``):
+    ``sqrt(1 + ln(factor)/ln(original_max))`` when extending past the
+    pretraining context; 1.0 otherwise (and for every other rope type)."""
+    rs = config.rope_scaling
+    if not rs or rs.get("rope_type", rs.get("type")) != "longrope":
+        return 1.0
+    af = rs.get("attention_factor")
+    if af is not None:
+        return float(af)
+    orig = (
+        getattr(config, "original_max_position_embeddings", None)
+        or rs.get("original_max_position_embeddings")
+        or config.max_position_embeddings
+    )
+    factor = rs.get("factor")
+    if orig:
+        factor = config.max_position_embeddings / orig
+    if not factor or factor <= 1.0:
+        return 1.0
+    return math.sqrt(1 + math.log(factor) / math.log(orig))
 
 
 def rope_cos_sin(
@@ -782,6 +819,7 @@ class LlamaModel(nnx.Module):
             config.hidden_size, config.rms_norm_eps, offset=config.rms_norm_offset
         )
         self.inv_freq = nnx.Variable(compute_rope_inv_freq(config))
+        self.rope_scale = rope_attention_scaling(config)  # static float
 
     def __call__(
         self,
@@ -802,6 +840,10 @@ class LlamaModel(nnx.Module):
         if position_ids is None:
             position_ids = jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(self.inv_freq.get_value(), position_ids, x.dtype)
+        if self.rope_scale != 1.0:
+            # LongRoPE attention factor (applied to cos/sin, HF convention).
+            cos = cos * jnp.asarray(self.rope_scale, cos.dtype)
+            sin = sin * jnp.asarray(self.rope_scale, sin.dtype)
         # Per-layer cacheless masks: layers can mix full and sliding
         # attention (Qwen2's max_window_layers gating via layer_types), so
         # each kind gets its own dense mask; a single window value builds

@@ -100,6 +100,7 @@ class ScanLlamaForCausalLM(nnx.Module):
         self.embed_tokens = inner.embed_tokens
         self.norm = inner.norm
         self.inv_freq = inner.inv_freq
+        self.rope_scale = getattr(inner, "rope_scale", 1.0)  # LongRoPE factor
         self.lm_head = model.lm_head
         graphdef, stacked = stack_decoder_layers(inner.layers)
         self._layer_graphdef = graphdef
@@ -134,6 +135,9 @@ class ScanLlamaForCausalLM(nnx.Module):
         if position_ids is None:
             position_ids = jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(self.inv_freq.get_value(), position_ids, x.dtype)
+        if getattr(self, "rope_scale", 1.0) != 1.0:
+            cos = cos * jnp.asarray(self.rope_scale, cos.dtype)
+            sin = sin * jnp.asarray(self.rope_scale, sin.dtype)
         if attention_mask is None and caches is None:
             from ..parallel import context as _cpmod
 

@@ -214,6 +214,9 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
     from ..models.scan import stack_decoder_layers
 
     cfg = model.config
+    from ..models.llama import rope_attention_scaling as _ras
+
+    _rope_scale = _ras(cfg)
     # One stacked graphdef serves every staged layer (layer_idx pins to 0):
     # a uniform window is fine (the cached path reads it from the shared
     # config), mixed layer_types raise.
@@ -335,6 +338,9 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
 
         x = _scale_embeddings(embed(input_ids), cfg)
         cos, sin = rope_cos_sin(params["inv_freq"], position_ids, x.dtype)
+        if _rope_scale != 1.0:  # LongRoPE attention factor (static)
+            cos = cos * jnp.asarray(_rope_scale, cos.dtype)
+            sin = sin * jnp.asarray(_rope_scale, sin.dtype)
         # position_ids may broadcast over the batch ((1, s)): expand so the
         # RoPE tables split into microbatches alongside the activations.
         cos = jnp.broadcast_to(cos, (b,) + cos.shape[1:])
@@ -396,6 +402,9 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
     from ..models.scan import stack_decoder_layers
 
     cfg = model.config
+    from ..models.llama import rope_attention_scaling as _ras
+
+    _rope_scale = _ras(cfg)
     # Sliding-window models pipeline fine when every layer shares the
     # window (Mistral); mixed layer_types raise here (shared stage body).
     window = uniform_layer_window(cfg)
@@ -442,6 +451,9 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
         x = _scale_embeddings(embed(input_ids), cfg)
         pos = jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(params["inv_freq"], pos, x.dtype)
+        if _rope_scale != 1.0:  # LongRoPE attention factor (static)
+            cos = cos * jnp.asarray(_rope_scale, cos.dtype)
+            sin = sin * jnp.asarray(_rope_scale, sin.dtype)
         mask = make_causal_mask(s, s, jnp.float32, window=window)[None, None]
         x = pipeline_apply(
             stage_fn, params["staged"], x, mesh, n_microbatches,

@@ -31,12 +31,14 @@ from .layers.mx_gemma_attention import (
 from .layers.mx_mistral_attention import MXInferenceMistralAttention, MXInferenceMistralMLP
 from .layers.mx_mixtral_moe import MXInferenceMixtralMoeBlock
 from .layers.mx_qwen2_attention import MXInferenceQwen2Attention, MXInferenceQwen2MLP
+from .layers.mx_phi3_attention import MXInferencePhi3Attention, MXInferencePhi3MLP
 from .layers.mx_qwen3_attention import MXInferenceQwen3Attention, MXInferenceQwen3MLP
 from .models.gemma import Gemma2Attention, Gemma2MLP, GemmaAttention, GemmaMLP
 from .models.llama import LlamaAttention, LlamaMLP
 from .models.mistral import MistralAttention, MistralMLP
 from .models.mixtral import MixtralSparseMoeBlock
 from .models.qwen2 import Qwen2Attention, Qwen2MLP
+from .models.phi3 import Phi3Attention, Phi3MLP
 from .models.qwen3 import Qwen3Attention, Qwen3MLP
 from .mx_array import MXArray
 from .utils import get_logger
@@ -48,6 +50,7 @@ logger = get_logger(__name__)
 ATTENTION_LAYERS: Dict[Type, Type] = {
     Qwen2Attention: MXInferenceQwen2Attention,
     Qwen3Attention: MXInferenceQwen3Attention,
+    Phi3Attention: MXInferencePhi3Attention,
     MistralAttention: MXInferenceMistralAttention,
     Gemma2Attention: MXInferenceGemma2Attention,
     GemmaAttention: MXInferenceGemmaAttention,
@@ -57,6 +60,7 @@ ATTENTION_LAYERS: Dict[Type, Type] = {
 MLP_LAYERS: Dict[Type, Type] = {
     Qwen2MLP: MXInferenceQwen2MLP,
     Qwen3MLP: MXInferenceQwen3MLP,
+    Phi3MLP: MXInferencePhi3MLP,
     MistralMLP: MXInferenceMistralMLP,
     Gemma2MLP: MXInferenceGemma2MLP,
     GemmaMLP: MXInferenceGemmaMLP,
