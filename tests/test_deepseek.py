@@ -1,0 +1,279 @@
+"""DeepSeek-V3 family: MLA attention (HF parity, absorbed cached decode ==
+full forward), the noaux-tc sigmoid router, YaRN rope, the MX latent cache,
+and quantization-surgery dispatch.
+
+The reference ships Llama and Qwen2 families only
+(rain-neuromorphics/torchmx ``torchmx/quant_api.py:150-158``); DeepSeek-V3
+(MLA + shared-expert MoE) is a TPU-build extension through the same
+type-dispatch seams — and the compressed-latent KV cache quantized with MX
+(``MXMLACache``) is exactly the cache-bandwidth story the reference left as
+a TODO (``mx_llama_attention.py:180``).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from torchmx_tpu.config import MXConfig, QAttentionConfig, QLinearConfig
+from torchmx_tpu.models.deepseek import (
+    DeepseekV3Config,
+    DeepseekV3ForCausalLM,
+    DeepseekV3MoE,
+    MLAAttention,
+    MXMLACache,
+)
+from torchmx_tpu.models.generate import generate
+from torchmx_tpu.quant_api import quantize_llm_
+
+
+def tiny_config(**kw):
+    base = dict(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, q_lora_rank=64, kv_lora_rank=64,
+        qk_rope_head_dim=32, qk_nope_head_dim=32, v_head_dim=32,
+        n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=2,
+        moe_intermediate_size=64, n_group=2, topk_group=1,
+        routed_scaling_factor=1.5, first_k_dense_replace=1,
+    )
+    base.update(kw)
+    return DeepseekV3Config(**base)
+
+
+def _hf_pair(seed=0, **kw):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from torchmx_tpu.models.hf_import import from_hf_torch
+
+    torch.manual_seed(seed)
+    base = dict(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        moe_intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=64, kv_lora_rank=64, qk_rope_head_dim=32,
+        qk_nope_head_dim=32, v_head_dim=32, n_routed_experts=8,
+        n_shared_experts=1, num_experts_per_tok=2, n_group=2, topk_group=1,
+        routed_scaling_factor=1.5, first_k_dense_replace=1,
+        norm_topk_prob=True, max_position_embeddings=128,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    base.update(kw)
+    hf_cfg = transformers.DeepseekV3Config(**base)
+    hf = transformers.DeepseekV3ForCausalLM(hf_cfg).to(torch.float32).eval()
+    # Fresh-init correction biases are zeros; perturb them so the
+    # choice-only-bias semantics actually bite in the parity check.
+    with torch.no_grad():
+        for layer in hf.model.layers[hf_cfg.first_k_dense_replace:]:
+            layer.mlp.gate.e_score_correction_bias.copy_(
+                torch.randn(hf_cfg.n_routed_experts) * 0.1
+            )
+    model, cfg = from_hf_torch(hf)
+    return torch, hf, model, cfg
+
+
+def test_hf_parity_deepseek_v3():
+    """Full MLA + MoE forward tracks HF DeepseekV3 (eager, fp32)."""
+    torch, hf, model, cfg = _hf_pair()
+    assert isinstance(model, DeepseekV3ForCausalLM)
+    assert cfg.kv_lora_rank == 64 and cfg.qk_head_dim == 64
+    assert cfg.head_dim == cfg.qk_rope_head_dim  # rope tables at rotary width
+    ids = np.random.RandomState(0).randint(0, 256, (2, 16))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(ids)).logits.numpy()
+    logits, _ = model(jnp.asarray(ids, jnp.int32))
+    corr = np.corrcoef(np.asarray(logits, np.float32).ravel(), hf_logits.ravel())[0, 1]
+    assert corr > 0.999, f"deepseek corr {corr}"
+
+
+def test_hf_parity_deepseek_no_qlora():
+    """q_lora_rank=None uses the plain q_proj (DeepSeek-V3-Lite layout)."""
+    torch, hf, model, cfg = _hf_pair(seed=1, q_lora_rank=None)
+    assert cfg.q_lora_rank is None
+    assert not hasattr(model.model.layers[0].self_attn, "q_a_proj")
+    ids = np.random.RandomState(1).randint(0, 256, (2, 12))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(ids)).logits.numpy()
+    logits, _ = model(jnp.asarray(ids, jnp.int32))
+    corr = np.corrcoef(np.asarray(logits, np.float32).ravel(), hf_logits.ravel())[0, 1]
+    assert corr > 0.999, f"deepseek no-qlora corr {corr}"
+
+
+def test_router_matches_hf_semantics():
+    """Sigmoid scores; correction bias steers CHOICE only; group-limited
+    top-k; renormalize; times routed_scaling_factor (HF DeepseekV3TopkRouter)."""
+    cfg = tiny_config()
+    moe = DeepseekV3MoE(cfg, rngs=nnx.Rngs(0))
+    rng = np.random.RandomState(0)
+    bias = rng.randn(8).astype(np.float32) * 0.5
+    moe.gate.e_score_correction_bias.set_value(jnp.asarray(bias))
+    x = jnp.asarray(rng.randn(16, 128) * 0.5, jnp.float32)
+    top_w, top_idx = moe._route_raw(x)
+    w = np.asarray(moe.gate.weight.get_value(), np.float32)
+    scores = 1.0 / (1.0 + np.exp(-(np.asarray(x) @ w.T)))
+    choice = scores + bias[None, :]
+    for t in range(16):
+        g = choice[t].reshape(2, 4)
+        g_scores = np.sort(g, axis=-1)[:, -2:].sum(-1)
+        keep_g = np.argmax(g_scores)
+        masked = np.where(
+            np.repeat(np.arange(2) == keep_g, 4), choice[t], 0.0
+        )
+        want_idx = set(np.argsort(-masked)[:2])
+        assert set(np.asarray(top_idx[t])) == want_idx
+        ws = scores[t][sorted(want_idx)]
+        ws = ws / (ws.sum() + 1e-20) * 1.5
+        np.testing.assert_allclose(
+            np.sort(np.asarray(top_w[t])), np.sort(ws), rtol=2e-5
+        )
+    # Every row's total routed weight is the scaling factor.
+    np.testing.assert_allclose(np.asarray(top_w).sum(-1), 1.5, rtol=1e-5)
+
+
+def test_absorbed_decode_matches_full_forward():
+    """Greedy cached decode (absorbed MQA over the latent) emits the same
+    tokens as step-by-step full forwards (expanded form), for the hp latent
+    cache AND the MX int8 latent cache."""
+    model = DeepseekV3ForCausalLM(tiny_config(), rngs=nnx.Rngs(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 256, (2, 12)), jnp.int32)
+    cur = np.asarray(ids)
+    want = []
+    for _ in range(5):
+        lg, _ = model(jnp.asarray(cur, jnp.int32))
+        nxt = np.asarray(jnp.argmax(lg[:, -1, :], -1))
+        want.append(nxt)
+        cur = np.concatenate([cur, nxt[:, None]], 1)
+    want = np.stack(want, 1)
+    toks_hp = generate(model, ids, max_new_tokens=5)
+    np.testing.assert_array_equal(np.asarray(toks_hp), want)
+    toks_mx = generate(model, ids, max_new_tokens=5, kv_cache_config=MXConfig("int8"))
+    np.testing.assert_array_equal(np.asarray(toks_mx), want)
+
+
+def test_mx_latent_cache_roundtrip():
+    """MXMLACache write/read == quantize-dequantize of the written slices,
+    at scalar and per-row positions; capacity bytes are ~8x under bf16 MHA."""
+    from torchmx_tpu.mx_array import dequantize_mx, quantize_mx
+
+    rng = np.random.RandomState(0)
+    cache = MXMLACache.create(2, 32, 64, 32, "float8_e4m3", 32)
+    lat = jnp.asarray(rng.randn(2, 4, 64), jnp.bfloat16)
+    rot = jnp.asarray(rng.randn(2, 4, 32), jnp.bfloat16)
+    cache = cache.write(lat, rot, 3)
+    lat_r, rot_r = cache.read()
+    s, q = quantize_mx(lat, "float8_e4m3", 32)
+    want = dequantize_mx(q, s, "float8_e4m3", 32, jnp.bfloat16, 2)
+    np.testing.assert_array_equal(
+        np.asarray(lat_r[:, 3:7], np.float32), np.asarray(want, np.float32)
+    )
+    # Per-row positions (continuous batching).
+    cache2 = cache.write(lat[:, :1], rot[:, :1], jnp.asarray([10, 20]))
+    lat2, _ = cache2.read()
+    np.testing.assert_array_equal(
+        np.asarray(lat2[0, 10], np.float32), np.asarray(want[0, 0], np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lat2[1, 20], np.float32), np.asarray(want[1, 0], np.float32)
+    )
+
+
+def test_yarn_rope_matches_hf():
+    """Our YaRN inverse frequencies and attention factor match HF's
+    ``_compute_yarn_parameters`` (DeepSeek long-context convention:
+    mscale == mscale_all_dim folds the factor into attention scaling)."""
+    torch = pytest.importorskip("torch")
+    from transformers.modeling_rope_utils import _compute_yarn_parameters
+
+    from torchmx_tpu.models.llama import (
+        compute_rope_inv_freq,
+        rope_attention_scaling,
+    )
+
+    rs = {
+        "rope_type": "yarn", "factor": 40.0, "beta_fast": 32.0,
+        "beta_slow": 1.0, "mscale": 1.0, "mscale_all_dim": 1.0,
+        "original_max_position_embeddings": 64,
+    }
+    cfg = tiny_config(rope_scaling=rs, max_position_embeddings=2048)
+
+    class _HFShim:
+        rope_theta = cfg.rope_theta
+        hidden_size = cfg.hidden_size
+        num_attention_heads = cfg.num_attention_heads
+        head_dim = cfg.qk_rope_head_dim
+        max_position_embeddings = 2048
+        rope_scaling = rs
+
+    hf_inv, hf_att = _compute_yarn_parameters(_HFShim(), torch.device("cpu"))
+    ours = np.asarray(compute_rope_inv_freq(cfg))
+    np.testing.assert_allclose(ours, hf_inv.numpy(), rtol=1e-6)
+    assert abs(rope_attention_scaling(cfg) - hf_att) < 1e-6
+    # mscale_all_dim also folds mscale^2 into the attention scaling.
+    attn = MLAAttention(cfg)
+    import math
+    want = (64 ** -0.5) * (0.1 * math.log(40.0) + 1.0) ** 2
+    assert abs(attn.scaling - want) < 1e-9
+
+
+def test_deepseek_surgery_and_mx_decode():
+    """quantize_llm_ dispatches the MLA/MoE types; the quantized model
+    decodes through the MX latent cache with internal stream/scan
+    exactness; QKV-quantization configs are rejected with guidance."""
+    from torchmx_tpu.layers.mx_deepseek_attention import (
+        MXInferenceDeepseekV3MoE,
+        MXInferenceMLAAttention,
+    )
+    from torchmx_tpu.layers.mx_llama_attention import MXInferenceLlamaMLP
+
+    model = DeepseekV3ForCausalLM(tiny_config(), rngs=nnx.Rngs(2))
+    lin = QLinearConfig(
+        weights_config=MXConfig("float6_e3m2"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    quantize_llm_(model, QAttentionConfig(projection_config=lin), lin)
+    layers = model.model.layers
+    assert all(type(l.self_attn) is MXInferenceMLAAttention for l in layers)
+    assert type(layers[0].mlp) is MXInferenceLlamaMLP  # dense first layer
+    assert all(type(l.mlp) is MXInferenceDeepseekV3MoE for l in layers[1:])
+
+    ids = jnp.asarray(np.random.RandomState(2).randint(0, 256, (1, 10)), jnp.int32)
+    kv = MXConfig("int8")
+    toks = generate(model, ids, max_new_tokens=4, kv_cache_config=kv)
+    toks_stream = generate(
+        model, ids, max_new_tokens=4, kv_cache_config=kv, stream=True
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_stream))
+
+    # QKV configs don't map onto latent-space contractions: reject loudly.
+    model2 = DeepseekV3ForCausalLM(tiny_config(), rngs=nnx.Rngs(3))
+    qkv = QAttentionConfig(
+        projection_config=lin,
+        query_config=MXConfig("float8_e4m3"),
+        key_config=MXConfig("float8_e4m3"),
+        value_config=MXConfig("float8_e4m3"),
+        attention_weights_config=MXConfig("float8_e4m3"),
+    )
+    with pytest.raises(NotImplementedError, match="latent"):
+        quantize_llm_(model2, qkv, lin)
+
+
+def test_deepseek_grouped_moe_path():
+    """The dropless grouped GEMM path serves the DeepSeek router too (the
+    routing seam feeds the same expert machinery): argmax-stable vs the
+    dense-exact path."""
+    model = DeepseekV3ForCausalLM(tiny_config(num_hidden_layers=2), rngs=nnx.Rngs(4))
+    ids = jnp.asarray(np.random.RandomState(4).randint(0, 256, (2, 16)), jnp.int32)
+    exact, _ = model(ids)
+    for layer in model.model.layers:
+        if isinstance(layer.mlp, DeepseekV3MoE):
+            layer.mlp.grouped = True
+            layer.mlp.grouped_tm = 8
+    grouped, _ = model(ids)
+    np.testing.assert_allclose(
+        np.asarray(exact, np.float32), np.asarray(grouped, np.float32),
+        atol=1e-1, rtol=1e-1,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(exact[:, -1], -1)),
+        np.asarray(jnp.argmax(grouped[:, -1], -1)),
+    )

@@ -1,4 +1,5 @@
-"""Model families (JAX/NNX): Llama, Qwen2/3, Mistral, Mixtral (MoE), Gemma and Phi-3, with HF checkpoint import."""
+"""Model families (JAX/NNX): Llama, Qwen2/3, Mistral, Mixtral (MoE), Gemma,
+Phi-3 and DeepSeek-V3 (MLA + MoE), with HF checkpoint import."""
 
 from .llama import (  # noqa: F401
     LayerKVCache,
@@ -53,6 +54,14 @@ from .phi3 import (  # noqa: F401
     Phi3ForCausalLM,
     Phi3MLP,
     Phi3Model,
+)
+from .deepseek import (  # noqa: F401
+    DeepseekV3Config,
+    DeepseekV3ForCausalLM,
+    DeepseekV3MoE,
+    MLAAttention,
+    MLACache,
+    MXMLACache,
 )
 from .qwen3 import (  # noqa: F401
     Qwen3Attention,

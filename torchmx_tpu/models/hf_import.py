@@ -26,11 +26,13 @@ from .mixtral import MixtralConfig, MixtralForCausalLM
 from .qwen2 import Qwen2Config, Qwen2ForCausalLM
 from .phi3 import Phi3Config, Phi3ForCausalLM
 from .qwen3 import Qwen3Config, Qwen3ForCausalLM
+from .deepseek import DeepseekV3Config, DeepseekV3ForCausalLM
 
 logger = get_logger(__name__)
 
 _ARCH_MAP = {
     "LlamaForCausalLM": (LlamaConfig, LlamaForCausalLM),
+    "DeepseekV3ForCausalLM": (DeepseekV3Config, DeepseekV3ForCausalLM),
     "Qwen2ForCausalLM": (Qwen2Config, Qwen2ForCausalLM),
     "Qwen3ForCausalLM": (Qwen3Config, Qwen3ForCausalLM),
     "MistralForCausalLM": (MistralConfig, MistralForCausalLM),
@@ -46,12 +48,26 @@ def _to_bf16_jnp(arr: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(arr).astype(jnp.bfloat16)
 
 
+# Per-expert projection names -> the stacked attribute the MoE blocks store.
+# Mixtral checkpoints use w1 (gate) / w3 (up) / w2 (down); DeepSeek-V3 (and
+# Qwen3-MoE) name them like dense MLPs.
+_EXPERT_PROJ_MAP = {
+    "w1": "w1",
+    "w2": "w2",
+    "w3": "w3",
+    "gate_proj": "w1",
+    "up_proj": "w3",
+    "down_proj": "w2",
+}
+
+
 def _stack_expert_weights(named_arrays, num_experts: int):
     """Rewrite per-expert MoE weights (``...block_sparse_moe.experts.N.w1.
-    weight``) into stacked (E, ...) tensors at ``...block_sparse_moe.w1`` —
-    the layout ``MixtralSparseMoeBlock`` stores (one array per projection,
-    expert-parallel-shardable on the leading axis).  Streams: buffers at
-    most one layer's expert set at a time; all other names pass through."""
+    weight`` / ``...mlp.experts.N.gate_proj.weight``) into stacked (E, ...)
+    tensors at ``...<moe>.w1`` — the layout ``MixtralSparseMoeBlock`` stores
+    (one array per projection, expert-parallel-shardable on the leading
+    axis).  Streams: buffers at most one layer's expert set at a time; all
+    other names pass through."""
     pending: dict = {}
     for name, arr in named_arrays:
         parts = name.split(".")
@@ -59,10 +75,10 @@ def _stack_expert_weights(named_arrays, num_experts: int):
             len(parts) >= 5
             and parts[-1] == "weight"
             and parts[-4] == "experts"
-            and parts[-2] in ("w1", "w2", "w3")
+            and parts[-2] in _EXPERT_PROJ_MAP
         ):
-            prefix = ".".join(parts[:-4])  # ...block_sparse_moe
-            proj = parts[-2]
+            prefix = ".".join(parts[:-4])  # ...block_sparse_moe / ...mlp
+            proj = _EXPERT_PROJ_MAP[parts[-2]]
             eid = int(parts[-3])
             bucket = pending.setdefault((prefix, proj), {})
             bucket[eid] = np.asarray(arr)

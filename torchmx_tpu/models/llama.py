@@ -148,6 +148,37 @@ def compute_rope_inv_freq(config: LlamaConfig) -> jnp.ndarray:
         key = "long_factor" if config.max_position_embeddings > orig else "short_factor"
         ext = jnp.asarray(rs[key], jnp.float32)
         return inv_freq / ext
+    if rs and rs.get("rope_type", rs.get("type")) == "yarn":
+        # YaRN (HF ``_compute_yarn_parameters``): NTK-by-parts — low
+        # frequencies interpolate (divide by factor), high frequencies
+        # extrapolate (unchanged), a linear ramp blends between the
+        # beta_fast/beta_slow correction dims.  DeepSeek-V2/V3 long-context
+        # checkpoints ship this.
+        factor = rs["factor"]
+        beta_fast = rs.get("beta_fast") or 32
+        beta_slow = rs.get("beta_slow") or 1
+        orig = rs.get("original_max_position_embeddings") or config.max_position_embeddings
+        base = config.rope_theta
+
+        def correction_dim(num_rotations):
+            return (d * math.log(orig / (num_rotations * 2 * math.pi))) / (
+                2 * math.log(base)
+            )
+
+        low = correction_dim(beta_fast)
+        high = correction_dim(beta_slow)
+        if rs.get("truncate", True):
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, d - 1)
+        if low == high:
+            high += 0.001  # HF's singularity guard
+        ramp = jnp.clip(
+            (jnp.arange(d // 2, dtype=jnp.float32) - low) / (high - low), 0, 1
+        )
+        extrapolation_factor = 1.0 - ramp
+        return inv_freq / factor * (1 - extrapolation_factor) + inv_freq * (
+            extrapolation_factor
+        )
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
         factor = rs["factor"]
         low_factor = rs["low_freq_factor"]
@@ -172,6 +203,23 @@ def rope_attention_scaling(config: LlamaConfig) -> float:
     ``sqrt(1 + ln(factor)/ln(original_max))`` when extending past the
     pretraining context; 1.0 otherwise (and for every other rope type)."""
     rs = config.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "yarn":
+        # YaRN attention factor (HF): explicit, or 0.1*mscale*ln(f)+1 —
+        # with mscale/mscale_all_dim given, the ratio of the two mscales
+        # (DeepSeek convention; its checkpoints set both equal, giving 1.0,
+        # and fold the mscale into the attention ``scaling`` instead).
+        af = rs.get("attention_factor")
+        if af is not None:
+            return float(af)
+        factor = rs["factor"]
+
+        def get_mscale(scale, m=1.0):
+            return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+        ms, msad = rs.get("mscale"), rs.get("mscale_all_dim")
+        if ms and msad:
+            return float(get_mscale(factor, ms) / get_mscale(factor, msad))
+        return float(get_mscale(factor))
     if not rs or rs.get("rope_type", rs.get("type")) != "longrope":
         return 1.0
     af = rs.get("attention_factor")

@@ -80,13 +80,22 @@ def route_topk_raw(router_logits: jax.Array, k: int):
     return top_vals, top_idx.astype(jnp.int32)
 
 
+def dense_combine_weights(
+    top_vals: jax.Array, top_idx: jax.Array, num_experts: int
+) -> jax.Array:
+    """Scatter sparse routing ``(top_vals, top_idx)`` (T, k) into dense
+    combine weights (T, E) — zero for unselected experts."""
+    T = top_vals.shape[0]
+    cw = jnp.zeros((T, num_experts), top_vals.dtype)
+    t = jnp.arange(T)[:, None]
+    return cw.at[t, top_idx].set(top_vals)
+
+
 def route_topk(router_logits: jax.Array, k: int) -> jax.Array:
     """Dense form of :func:`route_topk_raw`: combine weights (T, E), zero
     for unselected experts."""
     top_vals, top_idx = route_topk_raw(router_logits, k)
-    cw = jnp.zeros(router_logits.shape, top_vals.dtype)
-    t = jnp.arange(router_logits.shape[0])[:, None]
-    return cw.at[t, top_idx].set(top_vals)
+    return dense_combine_weights(top_vals, top_idx, router_logits.shape[-1])
 
 
 def _gemm_tile(dim: int) -> int:
@@ -190,17 +199,25 @@ class MixtralSparseMoeBlock(nnx.Module):
         )
         return grouped_matmul(act, w2, tile_expert, tile_rows, tm=tm, bn=bk1, bk=bn1)
 
+    def _route_raw(self, x_t: jax.Array):
+        """Routing seam: sparse ``(top_vals (T, k) f32, top_idx (T, k) i32)``.
+        Mixtral semantics here (softmax-all → top-k → renormalize); sibling
+        families override it (DeepSeek-V3's sigmoid noaux-tc router plugs in
+        through this seam and inherits every compute path below)."""
+        return route_topk_raw(
+            self._router_logits(x_t), self.config.num_experts_per_tok
+        )
+
     def __call__(self, x: jax.Array) -> jax.Array:
         b, s, h = x.shape
         x_t = x.reshape(b * s, h)
-        k = self.config.num_experts_per_tok
         if self.grouped:
             # Dropless grouped GEMM path (prefill-shaped T; see
             # ops/pallas_moe.py).  FLOPs ∝ the actual assignments plus at
             # most one row tile of padding per expert.
             from ..ops.pallas_moe import combine_tokens, group_tokens
 
-            top_vals, top_idx = route_topk_raw(self._router_logits(x_t), k)
+            top_vals, top_idx = self._route_raw(x_t)
             tm = self.grouped_tm
             x_sorted, tile_expert, tile_rows, dest = group_tokens(
                 x_t, top_idx, tm, self.config.num_local_experts
@@ -208,7 +225,10 @@ class MixtralSparseMoeBlock(nnx.Module):
             y_sorted = self._expert_ffn_grouped(x_sorted, tile_expert, tile_rows, tm)
             y = combine_tokens(y_sorted, dest, top_vals)
             return y.astype(x.dtype).reshape(b, s, h)
-        cw = route_topk(self._router_logits(x_t), k)  # (T, E) f32
+        top_vals, top_idx = self._route_raw(x_t)
+        cw = dense_combine_weights(
+            top_vals, top_idx, self.config.num_local_experts
+        )  # (T, E) f32
         if self.capacity_factor is None:
             y_all = self._expert_ffn_all(x_t)  # (E, T, H)
             y = jnp.einsum(
@@ -237,10 +257,14 @@ class MixtralSparseMoeBlock(nnx.Module):
         dispf = disp.astype(x_t.dtype)
         xe = jnp.einsum("tec,th->ech", dispf, x_t)  # (E, C, H)
         ye = self._expert_ffn_batched(xe)  # (E, C, H)
-        # Renormalize combine weights over the experts that kept the token.
+        # Renormalize combine weights over the experts that kept the token,
+        # PRESERVING the token's total routed weight (Mixtral's sums to 1 so
+        # this is the classic renormalize; DeepSeek-V3's sums to its
+        # routed_scaling_factor, which must survive drops).
         cw_kept = jnp.where(keep, cw, 0.0)
+        full = jnp.sum(cw, axis=-1, keepdims=True)
         denom = jnp.sum(cw_kept, axis=-1, keepdims=True)
-        cw_kept = jnp.where(denom > 0, cw_kept / denom, 0.0)
+        cw_kept = jnp.where(denom > 0, cw_kept * (full / denom), 0.0)
         comb = dispf * cw_kept.astype(x_t.dtype)[:, :, None]  # (T, E, C)
         return jnp.einsum(
             "tec,ech->th",

@@ -28,11 +28,16 @@ from .layers.mx_gemma_attention import (
     MXInferenceGemmaAttention,
     MXInferenceGemmaMLP,
 )
+from .layers.mx_deepseek_attention import (
+    MXInferenceDeepseekV3MoE,
+    MXInferenceMLAAttention,
+)
 from .layers.mx_mistral_attention import MXInferenceMistralAttention, MXInferenceMistralMLP
 from .layers.mx_mixtral_moe import MXInferenceMixtralMoeBlock
 from .layers.mx_qwen2_attention import MXInferenceQwen2Attention, MXInferenceQwen2MLP
 from .layers.mx_phi3_attention import MXInferencePhi3Attention, MXInferencePhi3MLP
 from .layers.mx_qwen3_attention import MXInferenceQwen3Attention, MXInferenceQwen3MLP
+from .models.deepseek import DeepseekV3MoE, MLAAttention
 from .models.gemma import Gemma2Attention, Gemma2MLP, GemmaAttention, GemmaMLP
 from .models.llama import LlamaAttention, LlamaMLP
 from .models.mistral import MistralAttention, MistralMLP
@@ -54,6 +59,7 @@ ATTENTION_LAYERS: Dict[Type, Type] = {
     MistralAttention: MXInferenceMistralAttention,
     Gemma2Attention: MXInferenceGemma2Attention,
     GemmaAttention: MXInferenceGemmaAttention,
+    MLAAttention: MXInferenceMLAAttention,
     LlamaAttention: MXInferenceLlamaAttention,
 }
 
@@ -65,6 +71,7 @@ MLP_LAYERS: Dict[Type, Type] = {
     Gemma2MLP: MXInferenceGemma2MLP,
     GemmaMLP: MXInferenceGemmaMLP,
     MixtralSparseMoeBlock: MXInferenceMixtralMoeBlock,
+    DeepseekV3MoE: MXInferenceDeepseekV3MoE,
     LlamaMLP: MXInferenceLlamaMLP,
 }
 
