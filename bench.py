@@ -1,25 +1,49 @@
 """Headline benchmark: MX fused dequant-matmul throughput vs bf16 matmul.
 
 Llama-3-8B MLP shape (M=1024 tokens, K=4096, N=14336) with MXFP4 weights and
-MXFP8 activations — the BASELINE.json north-star configuration.  Prints ONE
-JSON line:
+MXFP8 activations — the BASELINE.json north-star configuration.  Prints the
+headline JSON line
 
     {"metric": "mxfp4w_fp8a_matmul_frac_of_bf16", "value": r, "unit": "ratio",
      "vs_baseline": r / 0.80}
 
-where ``value`` is (bf16 matmul time) / (MX dequant-matmul time) on the same
-shape and ``vs_baseline`` normalizes by the >=0.80-of-bf16 target.
+IMMEDIATELY after the matmul measurement (value = bf16 time / MX time;
+vs_baseline normalizes by the >=0.80-of-bf16 target), then runs the detail
+sections (decode attention, 8B serving, grouped MoE, composition smoke) each
+gated on the remaining wall-clock budget, and prints ONE updated final line
+with the same headline metric plus the detail fields.  Both the first and the
+last JSON line on stdout are therefore valid headline records, and a timeout
+mid-section can no longer void the run (the round-3 failure mode:
+BENCH_r03.json rc=124, parsed null, because the only print was at the very
+end).
+
+Budget: ``BENCH_BUDGET_S`` env (default 480s of wall clock).  A section only
+starts if its estimated cost fits in the remaining budget; otherwise it is
+recorded as ``{"skipped": "time budget"}``.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
 M, K, N = 1024, 4096, 14336
 REPS_LO, REPS_HI, TRIALS = 40, 120, 7
+
+
+def _left() -> float:
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def _note(msg: str) -> None:
+    print(f"bench[{time.perf_counter() - T_START:5.0f}s] {msg}", file=sys.stderr)
 
 
 def _timed_loop(step_fn, x, *consts):
@@ -79,45 +103,131 @@ def _paired(trial_a, trial_b, trials: int = TRIALS):
     return float(np.median(a)), float(np.median(b))
 
 
-def _serving_toks():
-    """8B-shape greedy-decode tok/s at b=1 and b=32 (short runs; compile
-    dominates the wall clock, steady-state timing uses repeat calls)."""
-    import os
-    import sys
+def _headline(rng):
+    from torchmx_tpu.mx_array import MXArray
+    from torchmx_tpu.ops import mx_dynamic_matmul
 
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((N, K)) * 0.02, jnp.bfloat16)
+
+    # K-major kernel layout with fp4 halves packing, as stored by
+    # MXInferenceLinear.
+    w_mx = MXArray.to_mx(w, "float4_e2m1", 32).T.to_fp4_halves()
+    w_mx = jax.tree_util.tree_map(jax.device_put, w_mx)
+
+    def bf16_step(x, w):
+        return jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+
+    def mx_step(x, w_mx):
+        # Dynamic activation quantization fused into the matmul kernel
+        # (exactly what MXInferenceLinear runs per forward).
+        return mx_dynamic_matmul(x, w_mx, "float8_e4m3", 32, out_dtype=jnp.bfloat16)
+
+    t_bf16, t_mx = _paired(_timed_loop(bf16_step, x, w), _timed_loop(mx_step, x, w_mx))
+    return t_bf16, t_mx
+
+
+def _decode_attention(rng):
+    """Fused MX-KV-cache decode attention vs a bf16 cache
+    (b=4 hq=32 hkv=8 d=128 L=8192 fp8; the serving hot path)."""
+    import math
+
+    from torchmx_tpu.models.llama import MXLayerKVCache, repeat_kv
+    from torchmx_tpu.ops import pallas_attention as pa
+
+    B, HQ, HKV, D, L = 4, 32, 8, 128, 8192
+    qd = jnp.asarray(rng.standard_normal((B, HQ, 1, D)) * 0.3, jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
+    sm = 1.0 / math.sqrt(D)
+
+    def fused_trial(ename):
+        cache0 = MXLayerKVCache.create(B, HKV, L, D, ename, 32).write(kc, vc, 0)
+
+        def step(q, kd, ks, vd, vs):
+            cache = MXLayerKVCache(
+                k_data=kd, k_scale=ks, v_data=vd, v_scale=vs,
+                elem_dtype_name=ename, block_size=32,
+            )
+            return pa.cached_attention_any(q, cache, L - 1, L, sm)
+
+        return _timed_loop(
+            step, qd, cache0.k_data, cache0.k_scale, cache0.v_data, cache0.v_scale
+        )
+
+    def bf16_attn_step(q, kf, vf):
+        kk = repeat_kv(kf, HQ // HKV)
+        vv = repeat_kv(vf, HQ // HKV)
+        s = jnp.matmul(q, kk.swapaxes(-2, -1), preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s.astype(jnp.float32) * sm, axis=-1).astype(jnp.bfloat16)
+        return jnp.matmul(p, vv, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    t_attn_mx, t_attn_bf16 = _paired(
+        fused_trial("float8_e4m3"), _timed_loop(bf16_attn_step, qd, kc, vc)
+    )
+    # int8 cache: same bytes as fp8 but ~3x cheaper VPU decode — the
+    # recommended serving format (docs/results.md).
+    t_attn_int8, _ = _paired(fused_trial("int8"), fused_trial("float8_e4m3"))
+
+    # Honest iso-kernel baseline: the SAME blockwise kernel with bf16 K/V
+    # tiles (no decode).  The eager bf16 path above overstates the MX
+    # speedup; the MX-vs-fused-bf16 ratio is the defensible number.
+    def bf16_fused_step(q, kf, vf):
+        return pa.bf16_cached_attention(q, kf, vf, L - 1, L, sm)
+
+    t_attn_bf16_fused, t_attn_int8_b = _paired(
+        _timed_loop(bf16_fused_step, qd, kc, vc), fused_trial("int8")
+    )
+    return {
+        "shape": {"b": B, "hq": HQ, "hkv": HKV, "d": D, "L": L},
+        "fused_mx_fp8_cache_ms": round(t_attn_mx * 1e3, 3),
+        "fused_mx_int8_cache_ms": round(t_attn_int8 * 1e3, 3),
+        "bf16_cache_ms": round(t_attn_bf16 * 1e3, 3),
+        "fused_bf16_cache_ms": round(t_attn_bf16_fused * 1e3, 3),
+        "speedup_vs_bf16_cache": round(t_attn_bf16 / t_attn_mx, 2),
+        "int8_speedup_vs_bf16_cache": round(t_attn_bf16 / t_attn_int8, 2),
+        "int8_speedup_vs_fused_bf16": round(t_attn_bf16_fused / t_attn_int8_b, 2),
+    }
+
+
+def _serving_toks():
+    """8B-shape greedy-decode tok/s (scan-over-layers model, single-dispatch
+    lax.scan decode; tok/s counts prefill+decode wall clock at 32 new
+    tokens, so it is conservative vs the docs' steady-state table)."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     from bench_8b_decode import LLAMA3_8B, build_zeros_quantized
 
     from torchmx_tpu import MXConfig
     from torchmx_tpu.models.generate import generate
     from torchmx_tpu.models.llama import LlamaConfig
-
-    import sys as _sys
+    from torchmx_tpu.models.scan import ScanLlamaForCausalLM
 
     prompt_len, new_tokens = 16, 32
     cfg = LlamaConfig(max_position_embeddings=1024, **LLAMA3_8B)
     t0 = time.perf_counter()
     model = build_zeros_quantized(cfg)
-    from torchmx_tpu.models.scan import ScanLlamaForCausalLM
-
     # Scan-over-layers: the decoder layer compiles ONCE (~17x faster 8B
     # compiles), keeping the serving metric inside the bench time budget.
     model = ScanLlamaForCausalLM.from_model(model)
-    print(f"serving: built 8B in {time.perf_counter() - t0:.0f}s", file=_sys.stderr)
+    _note(f"serving: built 8B in {time.perf_counter() - t0:.0f}s")
     kv = MXConfig("int8")
-    out = {}
+    out = {"config": "mxfp4w_fp8a_int8kv_prompt16_new32"}
     rng = np.random.default_rng(0)
-    for batch, key in ((1, "tok_s_b1"), (32, "tok_s_b32")):
+    # b=1 costs the big compile (~75s); b=32 reuses most of it (~20s).
+    for batch, key, est in ((1, "tok_s_b1", 120.0), (32, "tok_s_b32", 45.0)):
+        if _left() < est:
+            out[key] = None
+            out[f"{key}_skipped"] = "time budget"
+            continue
         prompt = jnp.asarray(
             rng.integers(0, 1000, (batch, prompt_len), np.int64), jnp.int32
         )
         t0 = time.perf_counter()
         toks = generate(model, prompt, max_new_tokens=new_tokens, kv_cache_config=kv)
         int(jnp.sum(toks))  # compile + sync (block_until_ready lies here)
-        print(
-            f"serving: b={batch} compile+first {time.perf_counter() - t0:.0f}s",
-            file=_sys.stderr,
-        )
+        _note(f"serving: b={batch} compile+first {time.perf_counter() - t0:.0f}s")
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -125,7 +235,6 @@ def _serving_toks():
             int(jnp.sum(toks))
             times.append(time.perf_counter() - t0)
         out[key] = round(batch * new_tokens / min(times), 1)
-    out["config"] = "mxfp4w_fp8a_int8kv_prompt16_new32"
     del model
     return out
 
@@ -135,11 +244,10 @@ def _moe_grouped(E=8, K_=4096, N_=14336, T=8, k=2, tm=8, bn=512, bk=512):
     of 8 experts vs all-experts compute through the SAME kernel.  The
     routed/all ratio shows the dead-tile DMA skip working (the kernel
     reads only the routed experts' packed weights)."""
-    import numpy as _np
-
     from torchmx_tpu.mx_array import quantize_mx
     from torchmx_tpu.ops.pallas_moe import group_tokens, grouped_matmul
-    rng = _np.random.default_rng(1)
+
+    rng = np.random.default_rng(1)
     w = jnp.asarray(rng.standard_normal((E, N_, K_)) * 0.02, jnp.bfloat16)
     ws, wq = quantize_mx(w, "int8", 32)  # blocked along K
     w_codes = jax.device_put(wq.swapaxes(1, 2))  # (E, K, N)
@@ -175,139 +283,84 @@ def _moe_grouped(E=8, K_=4096, N_=14336, T=8, k=2, tm=8, bn=512, bk=512):
     }
 
 
+def _compositions():
+    """Compile-and-run smoke of the multi-chip compositions (TP/PP/CP/EP)
+    on a virtual 8-device CPU mesh, in a subprocess so the CPU platform
+    switch cannot disturb this process's TPU backend.  Driver-visible
+    regression canary for the sharding paths (the full story lives in
+    MULTICHIP_r{N}.json)."""
+    import subprocess
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(8)\n"
+        "print('COMPOSITIONS_OK')\n"
+    ) % os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=max(30.0, _left() - 10.0),
+    )
+    ok = "COMPOSITIONS_OK" in proc.stdout
+    res = {"ok": ok, "wall_s": round(time.perf_counter() - t0, 1)}
+    if not ok:
+        res["tail"] = (proc.stderr or proc.stdout)[-300:]
+    return res
+
+
 def main():
-    from torchmx_tpu.mx_array import MXArray
-    from torchmx_tpu.ops import mx_matmul
-
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
-    w = jnp.asarray(rng.standard_normal((N, K)) * 0.02, jnp.bfloat16)
 
-    # K-major kernel layout with fp4 halves packing, as stored by
-    # MXInferenceLinear.
-    w_mx = MXArray.to_mx(w, "float4_e2m1", 32).T.to_fp4_halves()
-    w_mx = jax.tree_util.tree_map(jax.device_put, w_mx)
-
-    def bf16_step(x, w):
-        return jax.lax.dot_general(
-            x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
-
-    def mx_step(x, w_mx):
-        # Dynamic activation quantization fused into the matmul kernel
-        # (exactly what MXInferenceLinear runs per forward).
-        from torchmx_tpu.ops import mx_dynamic_matmul
-
-        return mx_dynamic_matmul(x, w_mx, "float8_e4m3", 32, out_dtype=jnp.bfloat16)
-
-    t_bf16, t_mx = _paired(
-        _timed_loop(bf16_step, x, w), _timed_loop(mx_step, x, w_mx)
-    )
-
-    # Secondary: fused MX-KV-cache decode attention vs a bf16 cache
-    # (b=4 hq=32 hkv=8 d=128 L=8192 fp8; the serving hot path).
-    import math
-
-    from torchmx_tpu.models.llama import LayerKVCache, MXLayerKVCache, repeat_kv
-    from torchmx_tpu.ops import pallas_attention as pa
-
-    B, HQ, HKV, D, L = 4, 32, 8, 128, 8192
-    qd = jnp.asarray(rng.standard_normal((B, HQ, 1, D)) * 0.3, jnp.bfloat16)
-    kc = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
-    vc = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
-    sm = 1.0 / math.sqrt(D)
-
-    def fused_trial(ename):
-        cache0 = MXLayerKVCache.create(B, HKV, L, D, ename, 32).write(kc, vc, 0)
-
-        def step(q, kd, ks, vd, vs):
-            cache = MXLayerKVCache(
-                k_data=kd, k_scale=ks, v_data=vd, v_scale=vs,
-                elem_dtype_name=ename, block_size=32,
-            )
-            return pa.cached_attention_any(q, cache, L - 1, L, sm)
-
-        return _timed_loop(
-            step, qd, cache0.k_data, cache0.k_scale, cache0.v_data, cache0.v_scale
-        )
-
-    def bf16_attn_step(q, kf, vf):
-        kk = repeat_kv(kf, HQ // HKV)
-        vv = repeat_kv(vf, HQ // HKV)
-        s = jnp.matmul(q, kk.swapaxes(-2, -1), preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s.astype(jnp.float32) * sm, axis=-1).astype(jnp.bfloat16)
-        return jnp.matmul(p, vv, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-
-    t_attn_mx, t_attn_bf16 = _paired(
-        fused_trial("float8_e4m3"), _timed_loop(bf16_attn_step, qd, kc, vc)
-    )
-    # int8 cache: same bytes as fp8 but ~3x cheaper VPU decode — the
-    # recommended serving format (docs/results.md).
-    t_attn_int8, _t_fp8_again = _paired(fused_trial("int8"), fused_trial("float8_e4m3"))
-
-    # Honest iso-kernel baseline: the SAME blockwise kernel with bf16 K/V
-    # tiles (no decode).  The eager bf16 path above overstates the MX
-    # speedup; the MX-vs-fused-bf16 ratio is the defensible number.
-    def bf16_fused_step(q, kf, vf):
-        return pa.bf16_cached_attention(q, kf, vf, L - 1, L, sm)
-
-    t_attn_bf16_fused, t_attn_int8_b = _paired(
-        _timed_loop(bf16_fused_step, qd, kc, vc), fused_trial("int8")
-    )
-
-    # 8B-shape serving throughput (decode regressions must move this file):
-    # abstract-init quantized 8B (zeros; kernel timing is data-independent),
-    # short greedy decode at b=1 and b=32, int8 MX KV cache.  Guarded: on
-    # any failure the fields are null and the headline metric still prints.
-    serving = {"tok_s_b1": None, "tok_s_b32": None}
-    try:
-        serving = _serving_toks()
-    except Exception as e:  # noqa: BLE001 — never break the headline metric
-        serving["error"] = f"{type(e).__name__}: {e}"[:200]
-
-    # Grouped-MX MoE decode GEMM (round 3; guarded the same way).
-    moe = None
-    try:
-        moe = _moe_grouped()
-    except Exception as e:  # noqa: BLE001
-        moe = {"error": f"{type(e).__name__}: {e}"[:200]}
-
+    _note(f"budget {BUDGET_S:.0f}s; headline matmul starting")
+    t_bf16, t_mx = _headline(rng)
     ratio = t_bf16 / t_mx
     flops = 2.0 * M * K * N
-    print(
-        json.dumps(
-            {
-                "metric": "mxfp4w_fp8a_matmul_frac_of_bf16",
-                "value": round(ratio, 4),
-                "unit": "ratio",
-                "vs_baseline": round(ratio / 0.80, 4),
-                "detail": {
-                    "bf16_ms": round(t_bf16 * 1e3, 3),
-                    "mx_ms": round(t_mx * 1e3, 3),
-                    "bf16_tflops": round(flops / t_bf16 / 1e12, 1),
-                    "mx_tflops": round(flops / t_mx / 1e12, 1),
-                    "shape": [M, K, N],
-                    "backend": jax.devices()[0].platform,
-                    "decode_attention": {
-                        "shape": {"b": B, "hq": HQ, "hkv": HKV, "d": D, "L": L},
-                        "fused_mx_fp8_cache_ms": round(t_attn_mx * 1e3, 3),
-                        "fused_mx_int8_cache_ms": round(t_attn_int8 * 1e3, 3),
-                        "bf16_cache_ms": round(t_attn_bf16 * 1e3, 3),
-                        "fused_bf16_cache_ms": round(t_attn_bf16_fused * 1e3, 3),
-                        "speedup_vs_bf16_cache": round(t_attn_bf16 / t_attn_mx, 2),
-                        "int8_speedup_vs_bf16_cache": round(
-                            t_attn_bf16 / t_attn_int8, 2
-                        ),
-                        "int8_speedup_vs_fused_bf16": round(
-                            t_attn_bf16_fused / t_attn_int8_b, 2
-                        ),
-                    },
-                    "serving_8b": serving,
-                    "moe_grouped": moe,
-                },
-            }
-        )
+    detail = {
+        "bf16_ms": round(t_bf16 * 1e3, 3),
+        "mx_ms": round(t_mx * 1e3, 3),
+        "bf16_tflops": round(flops / t_bf16 / 1e12, 1),
+        "mx_tflops": round(flops / t_mx / 1e12, 1),
+        "shape": [M, K, N],
+        "backend": jax.devices()[0].platform,
+    }
+    result = {
+        "metric": "mxfp4w_fp8a_matmul_frac_of_bf16",
+        "value": round(ratio, 4),
+        "unit": "ratio",
+        "vs_baseline": round(ratio / 0.80, 4),
+        "detail": detail,
+    }
+    # Headline prints NOW — a timeout in any later section cannot void it.
+    print(json.dumps(result), flush=True)
+    _note("headline printed; running detail sections")
+
+    # (name, fn, estimated cost in seconds) — priority order.  A section
+    # only starts when its estimate fits the remaining budget.
+    sections = (
+        ("decode_attention", lambda: _decode_attention(rng), 150.0),
+        ("serving_8b", _serving_toks, 75.0),  # per-batch guards inside
+        ("moe_grouped", _moe_grouped, 60.0),
+        ("compositions", _compositions, 45.0),
     )
+    for name, fn, est in sections:
+        if _left() < est:
+            detail[name] = {"skipped": "time budget"}
+            _note(f"{name}: skipped ({_left():.0f}s left < {est:.0f}s estimate)")
+            continue
+        try:
+            detail[name] = fn()
+            _note(f"{name}: done")
+        except Exception as e:  # noqa: BLE001 — never break the headline metric
+            detail[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            _note(f"{name}: error {type(e).__name__}")
+
+    # Final line: same headline, full detail.  First and last JSON lines on
+    # stdout both carry the headline fields.
+    print(json.dumps(result), flush=True)
+    _note("done")
 
 
 if __name__ == "__main__":
