@@ -130,24 +130,99 @@ def test_router_matches_hf_semantics():
     np.testing.assert_allclose(np.asarray(top_w).sum(-1), 1.5, rtol=1e-5)
 
 
+def test_absorbed_matches_expanded_fp32():
+    """The absorbed (cached) and expanded (cacheless) MLA forms are the same
+    algebra — prove it in fp32 at the attention-module level, where the only
+    difference is einsum association order.  This is the exactness anchor;
+    the token-level gates below are tie-aware because bf16 model forwards
+    legally round differently across compilations."""
+    import math
+
+    cfg = tiny_config()
+    attn = MLAAttention(cfg, rngs=nnx.Rngs(0))
+    rng = np.random.RandomState(0)
+    b, s = 2, 12
+    x = jnp.asarray(rng.randn(b, s, cfg.hidden_size) * 0.3, jnp.float32)
+    inv = 1.0 / (cfg.rope_theta ** (np.arange(0, 32, 2) / 32))
+    ang = np.arange(s)[:, None] * inv[None, :]
+    cos = jnp.asarray(np.tile(np.cos(ang), 2)[None], jnp.float32)
+    sin = jnp.asarray(np.tile(np.sin(ang), 2)[None], jnp.float32)
+
+    out_exp, _ = attn(x, cos=cos, sin=sin)
+    from torchmx_tpu.models.deepseek import MLACache
+
+    cache = MLACache.create(b, s, cfg.kv_lora_rank, cfg.qk_rope_head_dim,
+                            dtype=jnp.float32)
+    out_abs, _ = attn(x, cos=cos, sin=sin, cache=cache, cache_position=0)
+    np.testing.assert_allclose(
+        np.asarray(out_abs, np.float32), np.asarray(out_exp, np.float32),
+        rtol=2e-4, atol=2e-5,
+    )
+    assert math.isfinite(float(jnp.sum(out_abs)))
+
+
+def _greedy_stream_with_margins(model, ids, new_tokens, kv_cfg=None):
+    """Reference greedy stream via per-step model() calls through the cache
+    (the ``stream=True`` compilation), plus the top-2 logit margin at every
+    step — the tie-aware gates compare other compilations against this."""
+    b, s = ids.shape
+    max_len = s + new_tokens
+    if kv_cfg is not None:
+        max_len = (max_len + 127) // 128 * 128
+    caches = model.init_cache(b, max_len, kv_cfg)
+    logits, caches = model(
+        ids, position_ids=jnp.arange(s)[None, :], caches=caches, cache_position=0
+    )
+    stream, margins = [], []
+    last = np.asarray(logits[:, -1, :], np.float32)
+    for i in range(new_tokens):
+        top2 = np.sort(last, -1)[:, -2:]
+        margins.append(top2[:, 1] - top2[:, 0])
+        tok = np.argmax(last, -1).astype(np.int32)
+        stream.append(tok)
+        if i == new_tokens - 1:
+            break
+        logits, caches = model(
+            jnp.asarray(tok[:, None]),
+            position_ids=jnp.full((b, 1), s + i, jnp.int32),
+            caches=caches,
+            cache_position=jnp.asarray(s + i),
+        )
+        last = np.asarray(logits[:, -1, :], np.float32)
+    return np.stack(stream, 1), np.stack(margins, 1)
+
+
 def test_absorbed_decode_matches_full_forward():
     """Greedy cached decode (absorbed MQA over the latent) emits the same
-    tokens as step-by-step full forwards (expanded form), for the hp latent
-    cache AND the MX int8 latent cache."""
+    tokens as step-by-step full forwards (expanded form) — tie-aware: the
+    two forms associate einsums differently, so bf16 rounding legally flips
+    argmax at near-tie logits on a random-init model (the fp32 algebra
+    identity is pinned by test_absorbed_matches_expanded_fp32).  Round-3
+    lesson: this was an exact-equality gate and flaked on the TPU."""
+    from tests.test_parallel import assert_streams_equal_outside_ties
+
     model = DeepseekV3ForCausalLM(tiny_config(), rngs=nnx.Rngs(0))
     ids = jnp.asarray(np.random.RandomState(0).randint(0, 256, (2, 12)), jnp.int32)
     cur = np.asarray(ids)
-    want = []
+    want, margins = [], []
     for _ in range(5):
         lg, _ = model(jnp.asarray(cur, jnp.int32))
-        nxt = np.asarray(jnp.argmax(lg[:, -1, :], -1))
+        last = np.asarray(lg[:, -1, :], np.float32)
+        top2 = np.sort(last, -1)[:, -2:]
+        margins.append(top2[:, 1] - top2[:, 0])
+        nxt = np.argmax(last, -1)
         want.append(nxt)
         cur = np.concatenate([cur, nxt[:, None]], 1)
     want = np.stack(want, 1)
+    margins = np.stack(margins, 1)
     toks_hp = generate(model, ids, max_new_tokens=5)
-    np.testing.assert_array_equal(np.asarray(toks_hp), want)
+    assert_streams_equal_outside_ties(
+        np.asarray(toks_hp), want, margins, min_compared=0.0
+    )
     toks_mx = generate(model, ids, max_new_tokens=5, kv_cache_config=MXConfig("int8"))
-    np.testing.assert_array_equal(np.asarray(toks_mx), want)
+    assert_streams_equal_outside_ties(
+        np.asarray(toks_mx), want, margins, min_compared=0.0
+    )
 
 
 def test_mx_latent_cache_roundtrip():
@@ -238,11 +313,22 @@ def test_deepseek_surgery_and_mx_decode():
 
     ids = jnp.asarray(np.random.RandomState(2).randint(0, 256, (1, 10)), jnp.int32)
     kv = MXConfig("int8")
+    # Tie-aware: the scan and stream paths are different compilations of
+    # the same math on a random-init model (see
+    # test_absorbed_decode_matches_full_forward).
+    from tests.test_parallel import assert_streams_equal_outside_ties
+
+    ref, margins = _greedy_stream_with_margins(model, ids, 4, kv)
     toks = generate(model, ids, max_new_tokens=4, kv_cache_config=kv)
     toks_stream = generate(
         model, ids, max_new_tokens=4, kv_cache_config=kv, stream=True
     )
-    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_stream))
+    assert_streams_equal_outside_ties(
+        np.asarray(toks), ref, margins, min_compared=0.0
+    )
+    assert_streams_equal_outside_ties(
+        np.asarray(toks_stream), ref, margins, min_compared=0.0
+    )
 
     # QKV configs don't map onto latent-space contractions: reject loudly.
     model2 = DeepseekV3ForCausalLM(tiny_config(), rngs=nnx.Rngs(3))
