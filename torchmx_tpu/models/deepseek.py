@@ -230,12 +230,19 @@ class MXMLACache:
     def write(self, latent_new: Array, k_rot_new: Array, pos) -> "MXMLACache":
         from ..mx_array import quantize_mx
 
-        ls, ld = quantize_mx(
-            latent_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size
+        # One fused quantize over [latent | rope-key]: block_size divides
+        # both widths, so block boundaries align and the split is exact —
+        # halves the quantize dispatches per written token.
+        r = latent_new.shape[-1]
+        cat = jnp.concatenate(
+            [latent_new.astype(jnp.bfloat16), k_rot_new.astype(jnp.bfloat16)],
+            axis=-1,
         )
-        rs, rd = quantize_mx(
-            k_rot_new.astype(jnp.bfloat16), self.elem_dtype_name, self.block_size
-        )
+        s_all, d_all = quantize_mx(cat, self.elem_dtype_name, self.block_size)
+        rc = self.lat_data.shape[-1]  # payload width (r, or r/2 pair-packed)
+        ld, rd = d_all[..., :rc], d_all[..., rc:]
+        nb = r // self.block_size
+        ls, rs = s_all[..., :nb], s_all[..., nb:]
         return dataclasses.replace(
             self,
             lat_data=_lat_scatter(self.lat_data, ld, pos),
@@ -371,26 +378,41 @@ class MLAAttention(nnx.Module):
 
         if cache is not None:
             new_cache = cache.write(latent, k_rot[:, 0], cache_position)
-            lat_full, rot_full = new_cache.read()  # (b, L, r) / (b, L, dr)
-            L = lat_full.shape[1]
-            if attention_mask is None and cache_position is not None:
-                attention_mask = _standard_cache_mask(cache_position, s, L)
             # Absorbed MQA over the latent: W_kb's K-half folds into the
             # query, its V-half folds into the output — per-head K/V never
             # materialize and the cache is contracted at compressed width.
             wkb = self._kv_b_weight().reshape(n, dn + self.v_head_dim, self.kv_lora_rank)
             wk, wv = wkb[:, :dn, :], wkb[:, dn:, :]  # (n, dn, r) / (n, dv, r)
             q_lat = self._einsum("bhsd,hdr->bhsr", q_pass, wk).astype(q_pass.dtype)
-            scores = self._einsum("bhsr,blr->bhsl", q_lat, lat_full)
-            scores = scores + self._einsum("bhsd,bld->bhsl", q_rot, rot_full)
-            scores = scores * self.scaling
-            if attention_mask is not None:
-                scores = scores + attention_mask
-            p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
-                hidden_states.dtype
-            )
-            out_lat = self._einsum("bhsl,blr->bhsr", p, lat_full).astype(p.dtype)
-            out = self._einsum("bhsr,hdr->bhsd", out_lat, wv).astype(p.dtype)
+            out_lat = None
+            if attention_mask is None and cache_position is not None:
+                # Fused blockwise kernel: decodes packed latent tiles in
+                # VMEM and reuses each decoded tile for BOTH dots (it is K
+                # and V) — no full-cache dequantize, no (b, n, s, L) scores
+                # in HBM (``ops/pallas_mla.py``).
+                from ..ops.pallas_mla import mla_cached_attention
+
+                q_off = jnp.asarray(cache_position, jnp.int32)
+                fused = mla_cached_attention(
+                    q_lat, q_rot, new_cache, q_off, q_off + s, self.scaling
+                )
+                if fused is not None:
+                    out_lat = fused.astype(hidden_states.dtype)
+            if out_lat is None:
+                lat_full, rot_full = new_cache.read()  # (b, L, r) / (b, L, dr)
+                L = lat_full.shape[1]
+                if attention_mask is None and cache_position is not None:
+                    attention_mask = _standard_cache_mask(cache_position, s, L)
+                scores = self._einsum("bhsr,blr->bhsl", q_lat, lat_full)
+                scores = scores + self._einsum("bhsd,bld->bhsl", q_rot, rot_full)
+                scores = scores * self.scaling
+                if attention_mask is not None:
+                    scores = scores + attention_mask
+                p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+                    hidden_states.dtype
+                )
+                out_lat = self._einsum("bhsl,blr->bhsr", p, lat_full).astype(p.dtype)
+            out = self._einsum("bhsr,hdr->bhsd", out_lat, wv).astype(out_lat.dtype)
             out = out.transpose(0, 2, 1, 3).reshape(b, s, n * self.v_head_dim)
             return self.o_proj(out), new_cache
 
