@@ -816,3 +816,68 @@ def test_pipeline_decode_composes_with_tp():
             stream.append(np.asarray(tok))
     got = np.stack(stream, axis=1)
     assert_streams_equal_outside_ties(got, ref, margins)
+
+
+def test_pipeline_decode_mixed_periodic_windows():
+    """Gemma2-shaped alternating sliding/full layers through PP decode: the
+    stage body unrolls the period-2 sub-bodies (each graphdef pinning its
+    static window) per scan step, per-stage caches keep local layer-major
+    order, and greedy token streams match the sequential model tie-aware.
+    Prefill logits are additionally gated with a bf16-scale tolerance — a
+    margin-free correctness check on the random-init model (a WRONG window
+    assignment shifts logits by O(1), far past this band)."""
+    from tests.test_scan_model import mixed_model
+    from torchmx_tpu.models.llama import plan_layer_bodies
+    from torchmx_tpu.parallel import pipeline_decode_model
+
+    model = mixed_model(["sliding_attention", "full_attention"] * 2, seed=11)
+    assert plan_layer_bodies(model.config) == ("period", 2)
+    b, s, new_tokens, max_len = 4, 24, 6, 64
+    prompt = jnp.asarray(
+        np.random.RandomState(11).randint(0, 128, (b, s)), jnp.int32
+    )
+    from tests.test_scan_model import _jit_logits
+
+    ref_logits = _jit_logits(model, prompt)
+    ref, margins = _greedy_stream_sequential(model, prompt, new_tokens, None, max_len)
+
+    mesh = create_mesh((4, 2))  # 2 stages x 2 layers (one period-2 group each)
+    fwd, params, init_caches = pipeline_decode_model(model, mesh, n_microbatches=2)
+    with mesh:
+        staged_sh = NamedSharding(mesh, P(MODEL_AXIS))
+        params["staged"] = jax.tree.map(
+            lambda a: jax.device_put(a, staged_sh), params["staged"]
+        )
+        caches = init_caches(b, max_len, None)
+        caches = jax.tree.map(lambda a: jax.device_put(a, staged_sh), caches)
+        fwd_j = jax.jit(fwd, donate_argnums=(1,))
+        logits, caches = fwd_j(
+            params, caches, prompt, jnp.arange(s)[None, :], jnp.zeros((b,), jnp.int32)
+        )
+        from tests.test_scan_model import _assert_close
+
+        _assert_close(np.asarray(logits, np.float32), ref_logits)
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        stream = [np.asarray(tok)]
+        for i in range(new_tokens - 1):
+            pos = jnp.full((b,), s + i, jnp.int32)
+            logits, caches = fwd_j(params, caches, tok[:, None], pos[:, None], pos)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            stream.append(np.asarray(tok))
+    got = np.stack(stream, axis=1)
+    assert_streams_equal_outside_ties(got, ref, margins, min_compared=0.0)
+
+
+def test_pipeline_decode_rejects_aperiodic_mix():
+    """Qwen2-style run gating (windowed prefix + full suffix) does not tile
+    pipeline stages: construction raises with remediation, it does not
+    build silently-wrong stages."""
+    from tests.test_scan_model import mixed_model
+    from torchmx_tpu.parallel import pipeline_decode_model
+
+    model = mixed_model(
+        ["sliding_attention"] * 2 + ["full_attention"] * 2, seed=12
+    )
+    mesh = create_mesh((4, 2))
+    with pytest.raises(NotImplementedError, match="APERIODIC"):
+        pipeline_decode_model(model, mesh, n_microbatches=2)

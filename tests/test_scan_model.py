@@ -111,3 +111,86 @@ def test_scan_engine_mx_cache_matches_unrolled_engine():
         return toks
 
     assert run(scan_model) == run(model)
+
+
+def mixed_model(layer_types, seed=4, window=8, layers=4):
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=layers,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        sliding_window=window,
+        layer_types=list(layer_types),
+    )
+    return LlamaForCausalLM(cfg, rngs=nnx.Rngs(seed))
+
+
+def test_scan_mixed_periodic_windows_matches_unrolled():
+    """Gemma2-shaped alternating sliding/full layers: the scan model groups
+    layers by period (two compiled bodies) and matches the plain model —
+    cacheless logits AND cached greedy decode."""
+    from torchmx_tpu.models.generate import generate
+    from torchmx_tpu.models.llama import plan_layer_bodies
+
+    model = mixed_model(["sliding_attention", "full_attention"] * 2)
+    assert plan_layer_bodies(model.config) == ("period", 2)
+    ids = jnp.asarray(np.random.RandomState(4).randint(0, 128, (2, 24)), jnp.int32)
+    ref = _jit_logits(model, ids)
+    scan_model = ScanLlamaForCausalLM.from_model(model)
+    got = _jit_logits(scan_model, ids)
+    _assert_close(got, ref)
+    prompt = np.random.RandomState(5).randint(0, 128, (1, 12)).astype(np.int32)
+    want = np.asarray(generate(model, jnp.asarray(prompt), max_new_tokens=8))
+    toks = np.asarray(generate(scan_model, jnp.asarray(prompt), max_new_tokens=8))
+    np.testing.assert_array_equal(toks, want)
+
+
+def test_scan_mixed_run_windows_matches_unrolled():
+    """Qwen2-shaped window gating (windowed prefix, full suffix): the scan
+    model splits into per-run scans and matches the plain model."""
+    from torchmx_tpu.models.generate import generate
+    from torchmx_tpu.models.llama import plan_layer_bodies
+
+    model = mixed_model(
+        ["sliding_attention"] * 2 + ["full_attention"] * 2, seed=6
+    )
+    assert plan_layer_bodies(model.config) == ("runs", [(0, 2), (2, 4)])
+    ids = jnp.asarray(np.random.RandomState(6).randint(0, 128, (2, 24)), jnp.int32)
+    ref = _jit_logits(model, ids)
+    scan_model = ScanLlamaForCausalLM.from_model(model)
+    got = _jit_logits(scan_model, ids)
+    _assert_close(got, ref)
+    prompt = np.random.RandomState(7).randint(0, 128, (1, 12)).astype(np.int32)
+    want = np.asarray(generate(model, jnp.asarray(prompt), max_new_tokens=8))
+    toks = np.asarray(generate(scan_model, jnp.asarray(prompt), max_new_tokens=8))
+    np.testing.assert_array_equal(toks, want)
+
+
+def test_scan_mixed_quantized_mx_cache_engine():
+    """Mixed windows + MX quantization + MX KV cache through the serving
+    engine: scan and unrolled engines emit the same stream."""
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    model = mixed_model(["sliding_attention", "full_attention"] * 2, seed=8)
+    qlin = QLinearConfig(
+        weights_config=MXConfig("int8"), activations_config=MXConfig("int8")
+    )
+    quantize_llm_(model, QAttentionConfig(projection_config=qlin), qlin)
+    scan_model = ScanLlamaForCausalLM.from_model(model)
+    kv = MXConfig("int8")
+    prompt = np.random.RandomState(8).randint(0, 128, (7,)).tolist()
+
+    def run(m):
+        eng = DecodeEngine(m, max_batch=2, max_len=64, kv_cache_config=kv)
+        slot = eng.add(prompt)
+        toks = []
+        while len(toks) < 6:
+            out = eng.step()
+            if slot in out:
+                toks.append(out[slot])
+        return toks
+
+    assert run(scan_model) == run(model)

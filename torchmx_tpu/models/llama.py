@@ -991,18 +991,58 @@ class LlamaForCausalLM(nnx.Module):
 def uniform_layer_window(config) -> Optional[int]:
     """The single sliding window shared by EVERY layer, or None (full
     causal everywhere).  Raises when layers mix attention kinds (Qwen2
-    ``layer_types`` gating) — the scan-over-layers and pipeline paths share
-    one mask/graphdef across layers and cannot represent a mix."""
+    ``layer_types`` gating) — callers that share one mask/graphdef across
+    ALL layers cannot represent a mix (the scan and pipeline paths handle
+    mixes via :func:`plan_layer_bodies` instead)."""
     windows = {
         config.layer_window(i) for i in range(config.num_hidden_layers)
     }
     if len(windows) > 1:
         raise NotImplementedError(
             f"layers mix attention kinds (windows {sorted(windows, key=str)}); "
-            "scan-over-layers / pipeline staging share one compiled layer "
-            "body — run the plain per-layer model for mixed layer_types"
+            "this path shares one compiled layer body across all layers — "
+            "run the plain per-layer model for mixed layer_types"
         )
     return windows.pop()
+
+
+def plan_layer_bodies(config, max_period: int = 8):
+    """Compiled-body plan for shared-body execution of models whose layers
+    mix attention kinds (Gemma2 alternates sliding/full; Qwen2 gates the
+    window per layer via ``max_window_layers``).
+
+    The scan-over-layers and pipeline paths compile ONE layer body and
+    sweep it over stacked per-layer params; a body's window is static
+    (``layer_window(layer_idx)`` via its graphdef), so a mix needs one body
+    per attention KIND, grouped so each body still sweeps many layers:
+
+    * ``("uniform", window)`` — every layer agrees; one body.
+    * ``("period", P)`` — windows repeat with period P (Gemma2: P=2): scan
+      groups of P consecutive layers, body j pinned to ``layer_idx == j``.
+    * ``("runs", [(start, stop), ...])`` — maximal runs of equal window
+      (Qwen2 gating: a windowed prefix + full-causal suffix): one scan per
+      run, body pinned to the run's first layer.
+    """
+    n = config.num_hidden_layers
+    windows = [config.layer_window(i) for i in range(n)]
+    if len(set(windows)) == 1:
+        return ("uniform", windows[0])
+    runs = []
+    s0 = 0
+    for i in range(1, n + 1):
+        if i == n or windows[i] != windows[s0]:
+            runs.append((s0, i))
+            s0 = i
+    # P == n would be a degenerate "period" (one scan step unrolling every
+    # layer — no compile win); require a real sweep and prefer whichever
+    # scheme compiles fewer bodies (tie -> period: one scan, no cache
+    # concatenation).
+    for P in range(2, min(max_period, n - 1) + 1):
+        if n % P == 0 and all(w == windows[i % P] for i, w in enumerate(windows)):
+            if P <= len(runs):
+                return ("period", P)
+            break
+    return ("runs", runs)
 
 
 def make_causal_mask(q_len: int, kv_len: int, dtype=jnp.float32, window=None) -> Array:

@@ -76,6 +76,23 @@ def stack_decoder_layers(layers):
     return graphdef, stacked
 
 
+def stack_decoder_layer_groups(layers, period: int):
+    """Stack layers with stride ``period`` for periodic mixed-window models
+    (``plan_layer_bodies`` -> ("period", P)): part j holds layers j, j+P,
+    j+2P, ... so layer g*P+j sits at stacked index g of part j, and part
+    j's graphdef pins ``layer_idx == j`` (its static window).
+
+    Returns (graphdefs, parts): P graphdefs + a tuple of P stacked states.
+    """
+    layers = list(layers)
+    graphdefs, parts = [], []
+    for j in range(period):
+        gd, st = stack_decoder_layers(layers[j::period])
+        graphdefs.append(gd)
+        parts.append(st)
+    return graphdefs, tuple(parts)
+
+
 class ScanLlamaForCausalLM(nnx.Module):
     """Llama forward with ``lax.scan`` over stacked decoder layers.
 
@@ -90,23 +107,49 @@ class ScanLlamaForCausalLM(nnx.Module):
 
     def __init__(self, model):
         self.config = model.config
-        # One graphdef serves every scanned layer (layer_idx pins to 0):
-        # mixed per-layer attention kinds cannot be represented — fail at
-        # construction, not with silently-wrong masks.
-        from .llama import uniform_layer_window
+        # Layers may mix attention kinds (Gemma2 alternating windows, Qwen2
+        # max_window_layers gating): plan one compiled body per KIND —
+        # uniform (one body, the common case), periodic (scan groups of P
+        # layers), or runs (one scan per maximal equal-window run).  A
+        # body's window is static via its graphdef's layer_idx.
+        from .llama import plan_layer_bodies
 
-        uniform_layer_window(model.config)
+        self._plan = plan_layer_bodies(model.config)
         inner = model.model
         self.embed_tokens = inner.embed_tokens
         self.norm = inner.norm
         self.inv_freq = inner.inv_freq
         self.rope_scale = getattr(inner, "rope_scale", 1.0)  # LongRoPE factor
         self.lm_head = model.lm_head
-        graphdef, stacked = stack_decoder_layers(inner.layers)
-        self._layer_graphdef = graphdef
-        # A real module holding the stacked params: shards/checkpoints/splits
-        # like any other (merge does not validate the extra leading dim).
-        self.layers_stacked = nnx.merge(graphdef, stacked)
+        kind = self._plan[0]
+        if kind == "uniform":
+            parts = [list(inner.layers)]
+        elif kind == "period":
+            P = self._plan[1]
+            # Body j sweeps layers j, j+P, j+2P, ... (layer g*P+j lives at
+            # stacked index [g] of part j).
+            parts = [list(inner.layers)[j::P] for j in range(self._plan[1])]
+        else:  # runs
+            parts = [list(inner.layers)[s:e] for s, e in self._plan[1]]
+        graphdefs, merged = [], []
+        for part in parts:
+            graphdef, stacked = stack_decoder_layers(part)
+            graphdefs.append(graphdef)
+            # A real module holding the stacked params: shards/checkpoints/
+            # splits like any other (merge does not validate the extra
+            # leading dim).
+            merged.append(nnx.merge(graphdef, stacked))
+        self._layer_graphdefs = graphdefs
+        self._layer_graphdef = graphdefs[0]  # back-compat alias
+        self.layers_stacked = merged[0] if len(merged) == 1 else nnx.List(merged)
+        #: per-body static window (masks for the cacheless path).
+        c = model.config
+        if kind == "uniform":
+            self._body_windows = [self._plan[1]]
+        elif kind == "period":
+            self._body_windows = [c.layer_window(j) for j in range(self._plan[1])]
+        else:
+            self._body_windows = [c.layer_window(s) for s, _ in self._plan[1]]
 
     @classmethod
     def from_model(cls, model) -> "ScanLlamaForCausalLM":
@@ -138,41 +181,109 @@ class ScanLlamaForCausalLM(nnx.Module):
         if getattr(self, "rope_scale", 1.0) != 1.0:
             cos = cos * jnp.asarray(self.rope_scale, cos.dtype)
             sin = sin * jnp.asarray(self.rope_scale, sin.dtype)
+        body_masks = None
         if attention_mask is None and caches is None:
             from ..parallel import context as _cpmod
 
             if _cpmod.active_cp() is None:
-                from .llama import uniform_layer_window
+                built = {}
 
-                attention_mask = make_causal_mask(
-                    s, s, dtype=jnp.float32,
-                    window=uniform_layer_window(self.config),
-                )[None, None]
+                def mask_for(w):
+                    if w not in built:
+                        built[w] = make_causal_mask(
+                            s, s, dtype=jnp.float32, window=w
+                        )[None, None]
+                    return built[w]
+
+                body_masks = [mask_for(w) for w in self._body_windows]
             # else: context-parallel forward — the per-layer attention rides
             # the ring and masks causally from global offsets; a dense
             # (L, L) mask would both defeat the sharding and (worse) force
             # the eager path, silently disabling CP for the scan model.
 
-        graphdef, stacked_state = nnx.split(self.layers_stacked)
+        kind = self._plan[0]
+        modules = (
+            [self.layers_stacked] if kind == "uniform" else list(self.layers_stacked)
+        )
+        states = [nnx.split(m)[1] for m in modules]
 
-        def body(x, xs):
-            lstate, cache = xs
-            layer = nnx.merge(graphdef, lstate)
-            x, nc = layer(
-                x,
-                cos=cos,
-                sin=sin,
-                attention_mask=attention_mask,
-                cache=cache,
-                cache_position=cache_position,
+        def make_body(graphdef, mask):
+            def body(x, xs):
+                lstate, cache = xs
+                layer = nnx.merge(graphdef, lstate)
+                x, nc = layer(
+                    x,
+                    cos=cos,
+                    sin=sin,
+                    attention_mask=mask,
+                    cache=cache,
+                    cache_position=cache_position,
+                )
+                return x, nc
+
+            return body
+
+        def mask_of(i):
+            return body_masks[i] if body_masks is not None else attention_mask
+
+        new_caches = None
+        if kind == "uniform":
+            body = make_body(self._layer_graphdefs[0], mask_of(0))
+            if caches is None:
+                x, _ = jax.lax.scan(body, x, (states[0], None))
+            else:
+                x, new_caches = jax.lax.scan(body, x, (states[0], caches))
+        elif kind == "period":
+            # Scan over groups of P consecutive layers; body j (graphdef
+            # pinned to layer_idx == j) applies its static window/mask.
+            P = self._plan[1]
+            n = self.config.num_hidden_layers
+            cache_g = (
+                None if caches is None
+                else jax.tree.map(
+                    lambda a: a.reshape((n // P, P) + a.shape[1:]), caches
+                )
             )
-            return x, nc
+            bodies = [
+                make_body(self._layer_graphdefs[j], mask_of(j)) for j in range(P)
+            ]
 
-        if caches is None:
-            x, _ = jax.lax.scan(body, x, (stacked_state, None))
-            new_caches = None
-        else:
-            x, new_caches = jax.lax.scan(body, x, (stacked_state, caches))
+            def group_body(x, xs):
+                sts, cg = xs
+                ncs = []
+                for j in range(P):
+                    cache_j = (
+                        None if cg is None
+                        else jax.tree.map(lambda a, _j=j: a[_j], cg)
+                    )
+                    x, nc = bodies[j](x, (sts[j], cache_j))
+                    ncs.append(nc)
+                if cg is None:
+                    return x, None
+                return x, jax.tree.map(lambda *ys: jnp.stack(ys), *ncs)
+
+            x, new_cache_g = jax.lax.scan(
+                group_body, x, (tuple(states), cache_g)
+            )
+            if caches is not None:
+                new_caches = jax.tree.map(
+                    lambda a: a.reshape((n,) + a.shape[2:]), new_cache_g
+                )
+        else:  # runs: one scan per maximal equal-window run of layers
+            runs = self._plan[1]
+            parts = []
+            for i, (s0, e0) in enumerate(runs):
+                body = make_body(self._layer_graphdefs[i], mask_of(i))
+                cache_r = (
+                    None if caches is None
+                    else jax.tree.map(lambda a, _s=s0, _e=e0: a[_s:_e], caches)
+                )
+                x, nc = jax.lax.scan(body, x, (states[i], cache_r))
+                parts.append(nc)
+            if caches is not None:
+                new_caches = jax.tree.map(
+                    lambda *ys: jnp.concatenate(ys, axis=0), *parts
+                )
 
         hidden = self.norm(x)
         if self.lm_head is None:

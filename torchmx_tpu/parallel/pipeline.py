@@ -210,24 +210,39 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
     """
     from flax import nnx
 
-    from ..models.llama import rope_cos_sin, uniform_layer_window
-    from ..models.scan import stack_decoder_layers
+    from ..models.llama import plan_layer_bodies, rope_cos_sin
+    from ..models.scan import stack_decoder_layer_groups
 
     cfg = model.config
     from ..models.llama import rope_attention_scaling as _ras
 
     _rope_scale = _ras(cfg)
-    # One stacked graphdef serves every staged layer (layer_idx pins to 0):
-    # a uniform window is fine (the cached path reads it from the shared
-    # config), mixed layer_types raise.
-    uniform_layer_window(cfg)
+    # Layers may mix attention kinds with a PERIODIC pattern (Gemma2
+    # alternating sliding/full): the stage body then unrolls P sub-bodies
+    # per scan step, body j's graphdef pinned to layer_idx == j (its static
+    # window).  Aperiodic mixes (Qwen2 run gating) don't tile stages.
+    plan = plan_layer_bodies(cfg)
+    if plan[0] == "runs":
+        raise NotImplementedError(
+            "pipeline stages share one compiled body per stage; an "
+            f"APERIODIC window mix (runs {plan[1]}) does not tile them — "
+            "use the plain or scan model for this config"
+        )
+    period = 1 if plan[0] == "uniform" else plan[1]
     n_stages = mesh.shape[axis]
     M = n_microbatches
     L = cfg.num_hidden_layers
     assert L % n_stages == 0, f"{L} layers not divisible into {n_stages} stages"
-    layer_graphdef, stacked = stack_decoder_layers(model.model.layers)
+    layers_per_stage = L // n_stages
+    assert layers_per_stage % period == 0, (
+        f"window period {period} does not tile {layers_per_stage} layers/stage"
+    )
+    n_groups = layers_per_stage // period
+    layer_graphdefs, parts = stack_decoder_layer_groups(model.model.layers, period)
+    # Part j leaves are (L/P, ...) over global groups; stage s owns groups
+    # [s*n_groups, (s+1)*n_groups).
     staged = jax.tree.map(
-        lambda a: a.reshape(n_stages, L // n_stages, *a.shape[1:]), stacked
+        lambda a: a.reshape(n_stages, n_groups, *a.shape[1:]), parts
     )
 
     embed_gd, embed_state = nnx.split(model.model.embed_tokens)
@@ -276,16 +291,32 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
         mb_loc = xs.shape[1]
 
         def stage_apply(x, mcaches, cos_m, sin_m, cp_m):
-            def layer_body(x, inp2):
-                lstate, lcache = inp2
-                layer = nnx.merge(layer_graphdef, lstate)
-                x, nc = layer(
-                    x, cos=cos_m, sin=sin_m, attention_mask=None,
-                    cache=lcache, cache_position=cp_m,
-                )
-                return x, nc
+            # Scan over layer GROUPS, unrolling the ``period`` sub-bodies
+            # inside each step (body j's graphdef pins its static window).
+            # Cache leaves keep local layer-major order: local layer
+            # ``g * period + j`` is group g's sub-cache j.
+            gcaches = jax.tree.map(
+                lambda c: c.reshape((n_groups, period) + c.shape[1:]), mcaches
+            )
 
-            return jax.lax.scan(layer_body, x, (my_params, mcaches))
+            def group_body(x, inp2):
+                lstates, gcache = inp2
+                ncs = []
+                for j in range(period):
+                    lcache = jax.tree.map(lambda c, _j=j: c[_j], gcache)
+                    layer = nnx.merge(layer_graphdefs[j], lstates[j])
+                    x, nc = layer(
+                        x, cos=cos_m, sin=sin_m, attention_mask=None,
+                        cache=lcache, cache_position=cp_m,
+                    )
+                    ncs.append(nc)
+                return x, jax.tree.map(lambda *ys: jnp.stack(ys), *ncs)
+
+            x, new_g = jax.lax.scan(group_body, x, (my_params, gcaches))
+            new_mc = jax.tree.map(
+                lambda c: c.reshape((n_groups * period,) + c.shape[2:]), new_g
+            )
+            return x, new_mc
 
         n_steps = M + n_stages - 1
 
