@@ -343,6 +343,47 @@ def test_deepseek_surgery_and_mx_decode():
         quantize_llm_(model2, qkv, lin)
 
 
+def test_deepseek_serves_through_decode_engine():
+    """DeepSeek end-to-end in the continuous-batching engine: MLA latent
+    caches scatter per slot (the engine treats cache pytrees generically),
+    per-row cache positions drive the absorbed decode, and the emitted
+    streams match the stepwise reference tie-aware (the engine's per-row
+    decode step is a different compilation of the same math)."""
+    from tests.test_parallel import assert_streams_equal_outside_ties
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    model = DeepseekV3ForCausalLM(tiny_config(), rngs=nnx.Rngs(0))
+    rng = np.random.RandomState(5)
+    prompts = [rng.randint(0, 256, (n,)).tolist() for n in (12, 7)]
+    new_tokens = 5
+    kv = MXConfig("int8")
+
+    refs, margins = [], []
+    for p in prompts:
+        ids = jnp.asarray(np.asarray(p)[None], jnp.int32)
+        r, m = _greedy_stream_with_margins(model, ids, new_tokens, kv)
+        refs.append(r[0])
+        margins.append(m[0])
+
+    engine = DecodeEngine(model, max_batch=2, max_len=64, kv_cache_config=kv)
+    slots = [engine.add(p) for p in prompts]
+    got = {s: [] for s in slots}
+    for _ in range(new_tokens):
+        out = engine.step()
+        for s, t in out.items():
+            got[s].append(t)
+    streams = np.stack([np.asarray(got[s][:new_tokens]) for s in slots])
+    assert_streams_equal_outside_ties(
+        streams, np.stack(refs), np.stack(margins), min_compared=0.0
+    )
+    # Slot reuse after release keeps serving (cache scatter fully replaces
+    # the slot's latent rows).
+    engine.release(slots[0])
+    s2 = engine.add(prompts[1])
+    assert engine.is_active(s2)
+    assert engine.step()
+
+
 def test_deepseek_grouped_moe_path():
     """The dropless grouped GEMM path serves the DeepSeek router too (the
     routing seam feeds the same expert machinery): argmax-stable vs the

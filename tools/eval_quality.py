@@ -145,6 +145,19 @@ def main():
     # rows only — new rows can be measured without re-running the full sweep.
     filt = sys.argv[2] if len(sys.argv) > 2 else None
 
+    # MLA contracts attention in latent space: Q/K/V/attn-W quantization
+    # configs don't map onto it (quantize_llm_ rejects them with guidance),
+    # so the QKV rows drop from the DeepSeek preset's sweep.  The MX
+    # KV-cache rows quantize the compressed LATENT stream there — the
+    # framework's headline cache-bandwidth claim for this family.
+    from torchmx_tpu.models.deepseek import DeepseekV3Config
+
+    if isinstance(CONFIG, DeepseekV3Config):
+        CONFIGS[:] = [
+            row for row in CONFIGS
+            if row[1] is None or row[1].query_config is None
+        ]
+
     base_ppl = base_acc = None
     print(f"| config | val PPL | Δ PPL | choice acc | Δ acc |")
     print(f"|---|---|---|---|---|")
@@ -171,6 +184,11 @@ def main():
     # int8-dot) actually run.  Isolates decode-kernel numerics at a fixed
     # quantization config (MXFP6/FP8 + int8 KV).
     if filt and "decode" not in filt.lower():
+        return
+    if isinstance(CONFIG, DeepseekV3Config):
+        # The decode-path layout/int8-dot toggles drive the Llama KV-cache
+        # kernels; the MLA latent cache has one (fused) decode path, already
+        # exercised by the KV rows above.
         return
     from torchmx_tpu import env_variables as envmod
     from torchmx_tpu.models import evaluate as ev

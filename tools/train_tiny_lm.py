@@ -24,6 +24,7 @@ import optax
 from flax import nnx
 
 from torchmx_tpu import checkpoint as ckpt
+from torchmx_tpu.models.deepseek import DeepseekV3Config, DeepseekV3ForCausalLM
 from torchmx_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 from torchmx_tpu.models.mixtral import MixtralConfig, MixtralForCausalLM
 
@@ -103,11 +104,45 @@ PRESETS = {
             num_experts_per_tok=2,
         ),
     ),
+    # ~7M params, MLA + 4-expert noaux-tc MoE (round-4 DeepSeek family): the
+    # quality sweep's MLA subject — projections quantize through the MLA
+    # seams and the MX LATENT cache rows measure the compressed-cache ΔPPL.
+    # kv_lora_rank 128 / rope dim 64 keep the fused absorbed-MLA kernel
+    # (ops/pallas_mla.py) eligible on real lane widths.
+    # Train: ``python tools/train_tiny_lm.py 1200 mla``.
+    "mla": (
+        "lm_mla",
+        DeepseekV3Config(
+            vocab_size=256,
+            hidden_size=256,
+            intermediate_size=768,
+            num_hidden_layers=4,
+            num_attention_heads=2,
+            num_key_value_heads=2,
+            max_position_embeddings=512,
+            rope_theta=10000.0,
+            q_lora_rank=None,
+            kv_lora_rank=128,
+            qk_rope_head_dim=64,
+            qk_nope_head_dim=64,
+            v_head_dim=64,
+            n_routed_experts=4,
+            n_shared_experts=1,
+            num_experts_per_tok=2,
+            moe_intermediate_size=256,
+            n_group=1,
+            topk_group=1,
+            routed_scaling_factor=1.0,
+            first_k_dense_replace=1,
+        ),
+    ),
 }
 
 
 def model_class(config):
     """The model family a preset config builds (quality tooling uses this)."""
+    if isinstance(config, DeepseekV3Config):
+        return DeepseekV3ForCausalLM
     if isinstance(config, MixtralConfig):
         return MixtralForCausalLM
     return LlamaForCausalLM
