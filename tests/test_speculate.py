@@ -285,3 +285,182 @@ def test_speculative_single_row_and_draft_params():
             model, prompt, max_new_tokens=16, draft_len=k, ngram=g
         )
         np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+# -- rejection-sampling speculation (temperature > 0) -------------------------
+
+
+def _tv(counts_a, counts_b):
+    pa = counts_a / counts_a.sum()
+    pb = counts_b / counts_b.sum()
+    return 0.5 * np.abs(pa - pb).sum()
+
+
+def test_spec_sample_decisions_preserves_distribution():
+    """The acceptance rule is DISTRIBUTION-PRESERVING: with a deterministic
+    draft, `emit = draft if accept else resid` is a faithful sample from the
+    target (temperature-scaled, filtered) distribution — whatever the draft
+    is.  40k independent rows over one logits row; empirical TV distance vs
+    the exact target must be at sampling-noise scale, for a GOOD draft (the
+    argmax), a BAD draft (the least likely token), and a random draft."""
+    import jax
+
+    from torchmx_tpu.models.sampling import filter_logits
+    from torchmx_tpu.models.speculate import spec_sample_decisions
+
+    rng = np.random.RandomState(0)
+    V, B, K = 16, 40_000, 2
+    logits_row = rng.randn(V).astype(np.float32) * 2.0
+    temperature, top_k = 0.9, 0
+    x = jnp.asarray(logits_row, jnp.float32) / temperature
+    target = np.asarray(jax.nn.softmax(filter_logits(x, top_k=top_k)))
+
+    logits = jnp.broadcast_to(
+        jnp.asarray(logits_row), (B, K + 1, V)
+    )
+    for name, draft0 in (
+        ("argmax", int(np.argmax(logits_row))),
+        ("worst", int(np.argmin(logits_row))),
+        ("random", 7),
+    ):
+        drafts = jnp.full((B, K), draft0, jnp.int32)
+        accept, resid, bonus = spec_sample_decisions(
+            logits, drafts, jax.random.PRNGKey(hash(name) % 2**31),
+            jnp.asarray(temperature, jnp.float32), top_k=top_k,
+        )
+        accept, resid = np.asarray(accept), np.asarray(resid)
+        emitted = np.where(accept[:, 0], draft0, resid[:, 0])
+        counts = np.bincount(emitted, minlength=V).astype(np.float64)
+        tv = _tv(counts, target * B)
+        assert tv < 0.02, (name, tv)
+        # Acceptance rate must equal the draft's target probability.
+        acc_rate = accept[:, 0].mean()
+        assert abs(acc_rate - target[draft0]) < 0.02, (name, acc_rate)
+        # Residual samples never return the draft itself.
+        assert not (resid[:, 0][~accept[:, 0]] == draft0).any()
+
+    # The SECOND position, conditioned on the first accepting, follows the
+    # position-1 target too (independent key branches per position).
+    drafts = jnp.full((B, K), int(np.argmax(logits_row)), jnp.int32)
+    accept, resid, bonus = spec_sample_decisions(
+        logits, drafts, jax.random.PRNGKey(3),
+        jnp.asarray(temperature, jnp.float32),
+    )
+    accept, resid, bonus = (np.asarray(a) for a in (accept, resid, bonus))
+    sel = accept[:, 0]
+    emitted2 = np.where(accept[sel, 1], int(np.argmax(logits_row)), resid[sel, 1])
+    counts2 = np.bincount(emitted2, minlength=V).astype(np.float64)
+    assert _tv(counts2, target * sel.sum()) < 0.03
+    # The bonus token (all drafts accepted) also follows its target.
+    sel_all = accept.all(axis=1)
+    counts3 = np.bincount(bonus[sel_all], minlength=V).astype(np.float64)
+    assert _tv(counts3, target * sel_all.sum()) < 0.03
+
+
+def test_spec_sample_decisions_respects_filters():
+    """top-k / top-p filters define the TARGET: neither accepted drafts nor
+    residual/bonus samples may emit a filtered-out token, and a draft
+    OUTSIDE the filter set always rejects (its target probability is 0)."""
+    import jax
+
+    from torchmx_tpu.models.speculate import spec_sample_decisions
+
+    rng = np.random.RandomState(1)
+    V, B, K = 32, 4_000, 1
+    logits_row = rng.randn(V).astype(np.float32)
+    top3 = set(np.argsort(logits_row)[-3:].tolist())
+    out_tok = int(np.argsort(logits_row)[0])  # least likely: outside top-3
+
+    logits = jnp.broadcast_to(jnp.asarray(logits_row), (B, K + 1, V))
+    drafts = jnp.full((B, K), out_tok, jnp.int32)
+    accept, resid, bonus = spec_sample_decisions(
+        logits, drafts, jax.random.PRNGKey(0),
+        jnp.asarray(1.0, jnp.float32), top_k=3,
+    )
+    accept, resid, bonus = (np.asarray(a) for a in (accept, resid, bonus))
+    assert not accept.any()  # p(draft) == 0 under the filtered target
+    assert all(int(t) in top3 for t in resid[:, 0])
+    assert all(int(t) in top3 for t in bonus)
+
+
+def test_generate_speculative_sampling_deterministic_and_valid():
+    """Sampling-mode speculation: same seed -> same stream, different seed
+    -> (overwhelmingly) different stream, every run emits exactly
+    max_new_tokens valid ids, and stats still account the speedup."""
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    prompt = jnp.asarray(np.asarray(corpus[1000:1032])[None], jnp.int32)
+    kw = dict(max_new_tokens=24, temperature=0.8, top_k=40, draft_len=5)
+    a, stats = generate_speculative(model, prompt, return_stats=True, seed=1, **kw)
+    b = generate_speculative(model, prompt, seed=1, **kw)
+    c = generate_speculative(model, prompt, seed=2, **kw)
+    a, b, c = (np.asarray(t) for t in (a, b, c))
+    assert a.shape == (1, 24)
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+    assert ((a >= 0) & (a < cfg.vocab_size)).all()
+    assert stats["steps"] < 24  # speculation accepted something on repo text
+
+
+def test_speculative_sampling_matches_plain_marginal():
+    """End-to-end distribution equivalence on a micro model: the SECOND
+    emitted token (the first to flow through the rejection-sampling verify)
+    must have the same marginal distribution as plain sampled generate()'s
+    second token, over thousands of independent batch rows."""
+    from torchmx_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig(
+        vocab_size=32,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    model = LlamaForCausalLM(cfg, rngs=nnx.Rngs(3))
+    B = 4096
+    prompt = jnp.broadcast_to(
+        jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32), (B, 8)
+    )
+    plain = np.asarray(
+        generate(model, prompt, max_new_tokens=2, temperature=1.0,
+                 rng=__import__('jax').random.PRNGKey(0))
+    )
+    spec = np.asarray(
+        generate_speculative(
+            model, prompt, max_new_tokens=2, temperature=1.0,
+            draft_len=3, seed=1,
+        )
+    )
+    ca = np.bincount(plain[:, 1], minlength=32).astype(np.float64)
+    cb = np.bincount(spec[:, 1], minlength=32).astype(np.float64)
+    assert _tv(ca, cb) < 0.05, _tv(ca, cb)
+
+
+def test_engine_speculative_sampling_runs():
+    """DecodeEngine composes speculation with sampling: emits the requested
+    tokens, the stream is reproducible per seed, and verify dispatches stay
+    below tokens emitted (speculation still pays off under sampling)."""
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    model, cfg, corpus = trained_tiny_quantized(quantize=False)
+    prompt = [int(t) for t in corpus[2000:2024]]
+    n = 24
+
+    def run(seed):
+        engine = DecodeEngine(
+            model, max_batch=2, max_len=128,
+            temperature=0.8, top_k=40, seed=seed,
+            speculative_draft_len=5,
+        )
+        slot = engine.add(prompt)
+        toks, _ = _engine_collect(engine, slot, n)
+        return toks, engine.spec_verify_count
+
+    a, va = run(1)
+    b, _ = run(1)
+    c, _ = run(2)
+    assert a == b
+    assert a != c
+    assert len(a) == n and all(0 <= t < cfg.vocab_size for t in a)
+    assert 0 < va < n, va

@@ -66,15 +66,19 @@ class DecodeEngine:
         top_k: with sampling, restrict to the k highest-probability tokens
             (0 = no restriction).
         seed: PRNG seed for sampling.
-        speculative_draft_len: enable prompt-lookup SPECULATION (greedy
-            only): each forward verifies this many drafted tokens per slot
-            in one (K+1)-token step, accepted tokens queue per slot, and
+        speculative_draft_len: enable prompt-lookup SPECULATION: each
+            forward verifies this many drafted tokens per slot in one
+            (K+1)-token step, accepted tokens queue per slot, and
             ``step()`` pops one per call — steps whose slots all hold queued
             tokens skip the forward entirely, so the average weight sweeps
-            per emitted token drop to ``1/(1 + mean accepted)``.  Emitted
-            streams are exact greedy (every token is the verify pass's own
-            argmax).  Costs ``K+1`` tokens of per-slot cache headroom (a
-            slot drains once ``pos + K + 1`` would exceed ``max_len``).
+            per emitted token drop to ``1/(1 + mean accepted)``.  Greedy
+            streams are exact (every token is the verify pass's own
+            argmax); with ``temperature > 0`` acceptance runs the
+            rejection-sampling rule, so every emitted token is a faithful
+            sample from the engine's filtered target distribution
+            (``models.speculate`` module docstring).  Costs ``K+1`` tokens
+            of per-slot cache headroom (a slot drains once ``pos + K + 1``
+            would exceed ``max_len``).
         speculative_ngram: longest n-gram suffix tried by the draft lookup.
     """
 
@@ -208,10 +212,6 @@ class DecodeEngine:
         self.speculative_ngram = int(speculative_ngram)
         if speculative_draft_len is not None:
             assert speculative_draft_len >= 1
-            assert self.temperature == 0.0, (
-                "speculation is greedy-only (sampling acceptance would need "
-                "rejection sampling)"
-            )
             assert not self.return_logprobs, (
                 "return_logprobs is not supported with speculative decoding "
                 "(accepted tokens' logits live in the verify step)"
@@ -344,10 +344,27 @@ class DecodeEngine:
             token, lp = pick(last, key)
             return token, lp, new_caches
 
-        def verify_step(state, caches, tokens, pos):
-            from .speculate import verify_forward
+        if temp == 0.0:
 
-            return verify_forward(graphdef, state, caches, tokens, pos)
+            def verify_step(state, caches, tokens, pos, key):
+                from .speculate import verify_forward
+
+                preds, new_caches = verify_forward(
+                    graphdef, state, caches, tokens, pos
+                )
+                return (preds,), new_caches
+
+        else:
+
+            def verify_step(state, caches, tokens, pos, key):
+                from .speculate import verify_sample_forward
+
+                accept, resid, bonus, new_caches = verify_sample_forward(
+                    graphdef, state, caches, tokens, pos, key,
+                    jnp.asarray(temp, jnp.float32),
+                    top_k=topk, top_p=topp, min_p=minp,
+                )
+                return (accept, resid, bonus), new_caches
 
         self._prefill_one = jax.jit(prefill_one)
         self._prefill_chunk_fn = jax.jit(prefill_chunk_fn, donate_argnums=(1,))
@@ -625,10 +642,11 @@ class DecodeEngine:
         still take a (K+1)-token write, queue the accepted tokens, pop one
         per slot.  Steps where every slot holds queued tokens skip the
         forward entirely — that skip is the speedup."""
-        from .speculate import _accept_prefix
+        from .speculate import _accept_len, _accept_prefix
 
         K = self.speculative_draft_len
         B = self.max_batch
+        sampling = self.temperature > 0.0
         headroom = self.pos + K + 1 <= self.max_len
         participate = [
             i for i in range(B)
@@ -640,22 +658,33 @@ class DecodeEngine:
                 # History already holds the pending token (= its last entry).
                 tokens[i, 0] = self._next_token[i]
                 tokens[i, 1:] = self._history[i].draft(K)
-            preds, self._caches = self._verify_step(
+            plan, self._caches = self._verify_step(
                 self._state,
                 self._caches,
                 jnp.asarray(tokens),
                 jnp.asarray(self.pos),
+                self._next_key(),
             )
-            preds = np.asarray(preds)
+            plan = tuple(np.asarray(p) for p in plan)
             self.spec_verify_count += 1
             for i in participate:
-                a = _accept_prefix(tokens[i, 1:], preds[i], K)
+                if sampling:
+                    accept_row, resid_row, bonus_row = (p[i] for p in plan)
+                    a = _accept_len(accept_row, K)
+                    nxt = int(resid_row[a]) if a < K else int(bonus_row)
+                    accepted = [int(t) for t in tokens[i, 1 : a + 1]]
+                else:
+                    preds = plan[0][i]
+                    a = _accept_prefix(tokens[i, 1:], preds, K)
+                    nxt = int(preds[a])
+                    accepted = [int(t) for t in preds[:a]]
                 # Emittable now: the pending token (its K/V row was written
-                # by this verify) plus the matched drafts; the bonus
-                # prediction becomes the new pending token.
-                emit = [int(tokens[i, 0])] + [int(t) for t in preds[i, :a]]
+                # by this verify) plus the accepted drafts; the follow-up
+                # token (greedy bonus / rejection-sampling replacement)
+                # becomes the new pending token.
+                emit = [int(tokens[i, 0])] + accepted
                 self.pos[i] += a + 1
-                bonus = int(preds[i, a])
+                bonus = nxt
                 # EOS inside the accepted run: emit up to (not including) it,
                 # then evict once the queue drains (EOS itself never emits).
                 cut = next(
@@ -671,12 +700,10 @@ class DecodeEngine:
                 else:
                     self._next_token[i] = bonus
                     # History holds the pending token already; append the
-                    # accepted drafts and the new pending bonus (evicting
+                    # accepted drafts and the new pending token (evicting
                     # slots never draft again, so their history can go
                     # stale).
-                    self._history[i].extend(
-                        [int(t) for t in preds[i, : a + 1]]
-                    )
+                    self._history[i].extend(accepted + [bonus])
                 self._queue[i].extend(emit)
         out: Dict[int, int] = {}
         for i in range(B):

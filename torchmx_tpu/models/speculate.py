@@ -21,8 +21,18 @@ verify step re-writes the stale cache rows and every query masks by its own
 ``kv_len``, so stale entries are never visible (the same per-row masking
 the continuous-batching engine relies on).
 
-Greedy only: sampling acceptance needs rejection sampling; with
-``temperature == 0`` acceptance is exact argmax prefix-matching.
+Sampling (``temperature > 0``) keeps speculation through REJECTION
+sampling (the standard spec-sampling acceptance rule, specialized to a
+deterministic proposal): prompt lookup proposes a point-mass draft
+``q = delta_x``, so draft ``x`` is accepted with probability ``p(x)``
+(``min(1, p(x)/q(x))``) and a rejection samples from the residual
+``max(p - q, 0)`` renormalized — which for a point mass is exactly ``p``
+with ``x`` excluded.  Every emitted token is therefore distributed as a
+direct sample from the target (temperature-scaled, top-k/top-p/min-p
+filtered) distribution conditioned on the accepted prefix — speculation
+changes throughput, never the sampling distribution (property-tested in
+``tests/test_speculative.py``).  With ``temperature == 0`` acceptance is
+exact argmax prefix-matching.
 """
 
 from __future__ import annotations
@@ -39,14 +49,17 @@ from flax import nnx
 _SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _session(model):
+def _session(model, samp=None):
+    """Compiled (prefill, verify) pair; ``samp`` is None for greedy or the
+    STATIC ``(top_k, top_p, min_p)`` filter tuple for sampling mode (the
+    traced temperature/key ride the call)."""
     graphdef, _ = nnx.split(model)
-    entry = _SESSIONS.get(model)
+    cache = _SESSIONS.setdefault(model, {})
+    entry = cache.get(samp)
     if entry is not None and entry[0] == graphdef:
         return entry[1]
 
-    @functools.partial(jax.jit, static_argnames="max_len")
-    def prefill(state, input_ids, caches, prompt_len, max_len):
+    def _last_logits(state, input_ids, caches, prompt_len):
         m = nnx.merge(graphdef, state)
         b, s = input_ids.shape
         logits, new_caches = m(
@@ -57,14 +70,41 @@ def _session(model):
             cache_position=0,
         )
         last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)
-        return jnp.argmax(last[:, 0, :], -1).astype(jnp.int32), new_caches
+        return last[:, 0, :], new_caches
 
-    @functools.partial(jax.jit, static_argnames="max_len")
-    def verify(state, tokens, pos, caches, max_len):
-        return verify_forward(graphdef, state, caches, tokens, pos)
+    if samp is None:
+
+        @functools.partial(jax.jit, static_argnames="max_len")
+        def prefill(state, input_ids, caches, prompt_len, max_len):
+            last, new_caches = _last_logits(state, input_ids, caches, prompt_len)
+            return jnp.argmax(last, -1).astype(jnp.int32), new_caches
+
+        @functools.partial(jax.jit, static_argnames="max_len")
+        def verify(state, tokens, pos, caches, max_len):
+            return verify_forward(graphdef, state, caches, tokens, pos)
+
+    else:
+        top_k, top_p, min_p = samp
+
+        @functools.partial(jax.jit, static_argnames="max_len")
+        def prefill(state, input_ids, caches, prompt_len, key, temp, max_len):
+            from .sampling import sample_logits
+
+            last, new_caches = _last_logits(state, input_ids, caches, prompt_len)
+            tok = sample_logits(
+                last, key, temp, top_k=top_k, top_p=top_p, min_p=min_p
+            )
+            return tok, new_caches
+
+        @functools.partial(jax.jit, static_argnames="max_len")
+        def verify(state, tokens, pos, caches, key, temp, max_len):
+            return verify_sample_forward(
+                graphdef, state, caches, tokens, pos, key, temp,
+                top_k=top_k, top_p=top_p, min_p=min_p,
+            )
 
     built = (prefill, verify)
-    _SESSIONS[model] = (graphdef, built)
+    cache[samp] = (graphdef, built)
     return built
 
 
@@ -88,6 +128,89 @@ def verify_forward(graphdef, state, caches, tokens, pos):
         cache_position=pos,
     )
     return jnp.argmax(logits, -1).astype(jnp.int32), new_caches
+
+
+def spec_sample_decisions(
+    logits, drafts, key, temperature, *, top_k=0, top_p=1.0, min_p=0.0
+):
+    """Rejection-sampling acceptance plan for a deterministic draft.
+
+    Args:
+        logits: (b, K+1, V) target logits at the verify positions —
+            ``logits[:, j]`` is the next-token distribution conditioned on
+            the pending token plus drafts ``0..j-1``.
+        drafts: (b, K) drafted token ids (``tokens[:, 1:]`` of the verify
+            input).
+        key: PRNG key for this verify step (fold a fresh one per step).
+        temperature: traced scalar > 0.
+        top_k/top_p/min_p: static filters defining the TARGET distribution
+            (must match the plain sampling path's).
+
+    Returns ``(accept, resid, bonus)``:
+        accept: (b, K) bool — draft j accepted iff ``u_j < p_j(draft_j)``
+            (each decision independent; the host takes the accepted PREFIX).
+        resid:  (b, K) int32 — the replacement token to emit if draft j is
+            the first rejection: a sample from ``p_j`` with the draft's
+            mass removed (the point-mass residual), renormalized.
+        bonus:  (b,) int32 — a sample from ``p_K`` (emitted when every
+            draft is accepted).
+
+    Acceptance decisions, residual draws, and the bonus draw use
+    independent key branches, so an emitted token is a faithful sample from
+    the target distribution conditioned on its accepted prefix regardless
+    of where the rejection lands.
+    """
+    from .sampling import filter_logits
+
+    b, k1, _ = logits.shape
+    K = k1 - 1
+    x = logits.astype(jnp.float32) / temperature
+    x = filter_logits(x, top_k=top_k, top_p=top_p, min_p=min_p)
+    kacc, kres, kbon = jax.random.split(key, 3)
+    p = jax.nn.softmax(x[:, :K], axis=-1)  # (b, K, V) target dists
+    p_draft = jnp.take_along_axis(p, drafts[..., None], axis=-1)[..., 0]
+    accept = jax.random.uniform(kacc, (b, K)) < p_draft
+    # Residual: the target with the draft token masked out (renormalized by
+    # the categorical's softmax).  Unreachable when p(draft) == 1 (then the
+    # draft always accepts), so the all-masked edge case cannot emit.
+    onehot = jax.nn.one_hot(drafts, x.shape[-1], dtype=bool)
+    resid_logits = jnp.where(onehot, -jnp.inf, x[:, :K])
+    resid = jax.random.categorical(kres, resid_logits, axis=-1)
+    bonus = jax.random.categorical(kbon, x[:, K], axis=-1)
+    return accept, resid.astype(jnp.int32), bonus.astype(jnp.int32)
+
+
+def verify_sample_forward(
+    graphdef, state, caches, tokens, pos, key, temperature,
+    *, top_k=0, top_p=1.0, min_p=0.0,
+):
+    """Sampling-mode speculative verify: one (K+1)-token forward plus the
+    rejection-sampling plan (see :func:`spec_sample_decisions`).  Returns
+    ``(accept, resid, bonus, new_caches)``; cache semantics are identical
+    to :func:`verify_forward` (stale rows invisible via per-row kv_len)."""
+    m = nnx.merge(graphdef, state)
+    s = tokens.shape[1]
+    logits, new_caches = m(
+        tokens,
+        attention_mask=None,
+        position_ids=pos[:, None] + jnp.arange(s)[None, :],
+        caches=caches,
+        cache_position=pos,
+    )
+    accept, resid, bonus = spec_sample_decisions(
+        logits, tokens[:, 1:], key, temperature,
+        top_k=top_k, top_p=top_p, min_p=min_p,
+    )
+    return accept, resid, bonus, new_caches
+
+
+def _accept_len(accept_row, k: int) -> int:
+    """Number of drafted tokens accepted in sampling mode: the prefix of
+    True acceptance decisions (the first rejection truncates)."""
+    a = 0
+    while a < k and bool(accept_row[a]):
+        a += 1
+    return a
 
 
 def _accept_prefix(drafts_row, preds_row, k: int) -> int:
@@ -173,13 +296,21 @@ def generate_speculative(
     draft_len: int = 7,
     ngram: int = 3,
     return_stats: bool = False,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    min_p: float = 0.0,
+    seed: int = 0,
 ) -> jax.Array | Tuple[jax.Array, dict]:
-    """Greedy generation with prompt-lookup speculation.
+    """Generation with prompt-lookup speculation.
 
-    Emits the same greedy stream as :func:`generate` (modulo the usual
-    cross-compilation bf16 drift between the 1-token and (K+1)-token
-    executables) while running ~``1/(mean accepted + 1)`` as many full
-    weight sweeps.  ``return_stats=True`` also returns
+    At ``temperature == 0`` emits the same greedy stream as
+    :func:`generate` (modulo the usual cross-compilation bf16 drift between
+    the 1-token and (K+1)-token executables); at ``temperature > 0`` each
+    emitted token is a faithful sample from the filtered target
+    distribution via rejection sampling (module docstring).  Either way the
+    run costs ~``1/(mean accepted + 1)`` as many full weight sweeps.
+    ``return_stats=True`` also returns
     ``{"steps": n, "tokens": t, "mean_accepted": a}`` for honest speedup
     accounting.
     """
@@ -187,6 +318,16 @@ def generate_speculative(
     _, state = nnx.split(model)
     b, s = input_ids.shape
     K = draft_len
+    sampling = temperature > 0.0
+    samp = (int(top_k), float(top_p), float(min_p)) if sampling else None
+    temp = jnp.asarray(temperature, jnp.float32)
+    base_key = jax.random.PRNGKey(seed)
+    n_key = 0
+
+    def next_key():
+        nonlocal n_key
+        n_key += 1
+        return jax.random.fold_in(base_key, n_key)
     # Cache headroom: a row's pos can overshoot its quota by up to K in its
     # final accepting step (reaching s + max_new_tokens + K - 1), and a
     # FINISHED row keeps riding later verify batches, writing (harmlessly
@@ -198,8 +339,14 @@ def generate_speculative(
     caches = model.init_cache(b, max_len, kv_cache_config)
     prompt_len = jnp.full((b,), s, jnp.int32)
 
-    prefill, verify = _session(model)
-    token, caches = prefill(state, input_ids, caches, prompt_len, max_len=max_len)
+    prefill, verify = _session(model, samp)
+    if sampling:
+        token, caches = prefill(
+            state, input_ids, caches, prompt_len, next_key(), temp,
+            max_len=max_len,
+        )
+    else:
+        token, caches = prefill(state, input_ids, caches, prompt_len, max_len=max_len)
 
     rows = [LookupIndex(ngram, np.asarray(input_ids[i])) for i in range(b)]
     first = np.asarray(token)
@@ -218,21 +365,38 @@ def generate_speculative(
         tokens_in = jnp.asarray(
             np.concatenate([last[:, None], drafts], axis=1), jnp.int32
         )
-        preds, caches = verify(
-            state, tokens_in, jnp.asarray(pos, jnp.int32), caches, max_len=max_len
-        )
-        preds = np.asarray(preds)  # (b, K+1): greedy after each input token
+        if sampling:
+            accept, resid, bonus, caches = verify(
+                state, tokens_in, jnp.asarray(pos, jnp.int32), caches,
+                next_key(), temp, max_len=max_len,
+            )
+            accept = np.asarray(accept)
+            resid, bonus = np.asarray(resid), np.asarray(bonus)
+        else:
+            preds, caches = verify(
+                state, tokens_in, jnp.asarray(pos, jnp.int32), caches,
+                max_len=max_len,
+            )
+            preds = np.asarray(preds)  # (b, K+1): greedy after each input
         steps += 1
         for i in range(b):
             if done[i]:
                 # Finished rows still ride the batch (their cache rows churn
                 # harmlessly past their last emitted token).
                 continue
-            # Accept drafted tokens while they equal the model's own greedy
-            # prediction; the first non-matching position still yields one
-            # guaranteed token (the model's prediction itself).
-            a = _accept_prefix(drafts[i], preds[i], K)
-            new = [int(t) for t in preds[i, : a + 1]]
+            if sampling:
+                # Accept the prefix of passing rejection-sampling draws; the
+                # step still yields one guaranteed token (the residual
+                # sample at the rejection, or the bonus draw past K).
+                a = _accept_len(accept[i], K)
+                tail = int(resid[i, a]) if a < K else int(bonus[i])
+                new = [int(t) for t in drafts[i, :a]] + [tail]
+            else:
+                # Accept drafted tokens while they equal the model's own
+                # greedy prediction; the first non-matching position still
+                # yields one guaranteed token (the prediction itself).
+                a = _accept_prefix(drafts[i], preds[i], K)
+                new = [int(t) for t in preds[i, : a + 1]]
             out[i].extend(new)
             rows[i].extend(new)
             pos[i] += a + 1
