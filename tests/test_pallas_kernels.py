@@ -740,3 +740,117 @@ def test_fp4_swar_decode_exhaustive():
             )
             rows.append(1)
     assert len(rows) == len(ses) ** 2
+
+
+def test_fp8_swar_decode_exhaustive():
+    """The SWAR two-per-lane fp8 decode must be bit-identical to the generic
+    scalar decode (dot_operand contract) over EVERY (hi code, lo code)
+    combination and a scale sweep of the eligible domain (se >= 10 — the
+    no-underflow precondition MXArray.to_fp8_halves enforces), including
+    subnormal codes (element exponent 0) and zero codes in both halves."""
+    from torchmx_tpu import dtypes as dt
+
+    ses = [10, 11, 16, 64, 127, 200, 252, 254]
+    codes_all = np.arange(256, dtype=np.int32)
+    for sa in ses:
+        for sb in ses:
+            # words (32, 256): row r pairs hi code r*8 % 256 ... simpler:
+            # all 256 codes in the lo half against 32 representative hi
+            # codes per scale pair (subnormals 0..7, normals, negatives).
+            hi = np.asarray(
+                [0, 1, 2, 3, 4, 5, 6, 7, 8, 15, 16, 63, 64, 100, 126, 127,
+                 128, 129, 130, 135, 136, 143, 144, 191, 192, 228, 254, 255,
+                 9, 17, 33, 65], np.int32,
+            )[:, None]
+            w = jnp.asarray((hi << 8) | codes_all[None, :])  # (32, 256)
+            sa_a = jnp.full((1, 256), sa, jnp.int32)
+            sb_a = jnp.full((1, 256), sb, jnp.int32)
+            w_hi, w_lo = pm.decode_fp8_swar_planes(w, sa_a, sb_a)
+            se_a = pm._expand_scale(sa_a, 32)
+            se_b = pm._expand_scale(sb_a, 32)
+            r_hi = pm.decode_codes_to_bf16(
+                jnp.asarray(np.tile(hi, (1, 256))), se_a,
+                dt.float8_e4m3, dot_operand=True,
+            )
+            r_lo = pm.decode_codes_to_bf16(
+                jnp.asarray(np.tile(codes_all[None, :], (32, 1))), se_b,
+                dt.float8_e4m3, dot_operand=True,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(w_hi, np.float32), np.asarray(r_hi, np.float32),
+                err_msg=f"hi sa={sa} sb={sb}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(w_lo, np.float32), np.asarray(r_lo, np.float32),
+                err_msg=f"lo sa={sa} sb={sb}",
+            )
+
+
+def test_fp8_halves_layout_roundtrip_and_matmul():
+    """The fp8 kernel "halves" packing dequantizes identically to the flat
+    layout, and the SWAR halves kernel matches the dequant-then-dot ground
+    truth through matmul_any."""
+    x = rand_bf16(16, (64, 512), spread=1.0)
+    w = (jax.random.normal(jax.random.PRNGKey(17), (128, 512)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    w_km = MXArray.to_mx(w, "float8_e4m3", 32).T  # (K=512, N=128), flat
+    assert int(jnp.min(w_km.scale_e8m0)) >= 10
+    w_h = w_km.to_fp8_halves()
+    assert w_h.fp4_pack == "halves" and w_h.shape == w_km.shape
+    assert w_h.data.dtype == jnp.uint16 and w_h.data.shape == (256, 128)
+    np.testing.assert_array_equal(
+        np.asarray(w_h.to_dtype(jnp.bfloat16)),
+        np.asarray(w_km.to_dtype(jnp.bfloat16)),
+    )
+    out = pm.matmul_any(x, w_h, jnp.bfloat16)
+    assert out is not None
+    gt = jnp.matmul(
+        x, w_km.to_dtype(jnp.bfloat16), preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(gt, np.float32), rtol=2e-2, atol=1e-2
+    )
+    # Fused activation fq rides the halves kernel too (the serving config).
+    out_fq = pm.matmul_any(x[:8], w_h, jnp.bfloat16, act_fq="float8_e4m3")
+    assert out_fq is not None
+    x_fq = MXArray.to_mx(x[:8], "float8_e4m3", 32).to_dtype(jnp.bfloat16)
+    gt_fq = jnp.matmul(
+        x_fq, w_km.to_dtype(jnp.bfloat16), preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out_fq, np.float32), np.asarray(gt_fq, np.float32),
+        rtol=2e-2, atol=1e-2,
+    )
+
+
+def test_fp8_halves_linear_layer_selection():
+    """MXInferenceLinear repacks eligible fp8 weights into the halves layout
+    (env-gated) and the layer forward matches the flat-layout layer."""
+    from torchmx_tpu.config import MXConfig, QLinearConfig
+    from torchmx_tpu.layers.linear import MXInferenceLinear
+
+    K, N = 512, 256
+    w = (jax.random.normal(jax.random.PRNGKey(3), (N, K)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    qcfg = QLinearConfig(
+        weights_config=MXConfig("float8_e4m3"),
+        activations_config=MXConfig("float8_e4m3"),
+    )
+    old = env.TORCHMX_FP8_HALVES
+    try:
+        env.TORCHMX_FP8_HALVES = "1"
+        lin_h = MXInferenceLinear.from_weights(w, None, qcfg)
+        env.TORCHMX_FP8_HALVES = "0"
+        lin_flat = MXInferenceLinear.from_weights(w, None, qcfg)
+    finally:
+        env.TORCHMX_FP8_HALVES = old
+    assert lin_h.weight.get_value().fp4_pack == "halves"
+    assert lin_flat.weight.get_value().fp4_pack == "pair"
+    x = rand_bf16(21, (8, K), spread=1.0)
+    a = lin_h(x)
+    b = lin_flat(x)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-2, atol=2e-2
+    )

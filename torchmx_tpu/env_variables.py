@@ -42,6 +42,14 @@ TORCHMX_FUSED_ATTENTION = os.environ.get("TORCHMX_FUSED_ATTENTION", "auto")
 # (the sub-byte unpack is VPU-bound there; see docs/results.md).
 TORCHMX_FP6_PACK = os.environ.get("TORCHMX_FP6_PACK", "1")
 
+# "1" (default): 2-D K-major fp8_e4m3 weights with every scale >= 10 repack
+# into the u16 "halves" kernel layout at quantize time
+# (``MXArray.to_fp8_halves``): same HBM bytes, but the fused matmul
+# SWAR-decodes two codes per i32 lane — the decode-M latency win that makes
+# MXFP8 weights competitive with bf16 at batch-1 serving.  "0" keeps the
+# flat 1-byte layout (generic per-element decode).
+TORCHMX_FP8_HALVES = os.environ.get("TORCHMX_FP8_HALVES", "1")
+
 # "1": decode attention over an int8 d-major cache runs the ALL-int8
 # MXU-dot kernel — q MXINT8-quantized per 32-block (38 dB) and the softmax
 # weights requantized to 8-bit fixed point per (chunk, row) (~42 dB), so

@@ -59,6 +59,18 @@ class Linear(nnx.Module):
         return out
 
 
+def _concrete_min_ge(arr, bound: int) -> bool:
+    """True iff ``arr`` is a CONCRETE array whose minimum is >= ``bound``.
+
+    Layout decisions gated on scale VALUES (the fp8-halves no-underflow
+    precondition) need a device sync; under tracing/abstract init
+    (``nnx.eval_shape`` — the benchmark's zero-weight 8B build) there is no
+    value to inspect, so the repack conservatively stays off."""
+    if isinstance(arr, jax.core.Tracer) or not isinstance(arr, jax.Array):
+        return False
+    return int(jnp.min(arr)) >= bound
+
+
 class MXInferenceLinear(nnx.Module):
     """Linear with MX-quantized weight and dynamically MX-quantized activations.
 
@@ -100,6 +112,23 @@ class MXInferenceLinear(nnx.Module):
             # the fused matmul read x as contiguous half-tiles (one full-K
             # MXU dot per tile instead of two strided half-K dots).
             weight_mx = weight_mx.to_fp4_halves()
+        if (
+            weight_mx.elem_dtype.name == "float8_e4m3"
+            and weight_mx.fp4_pack == "pair"
+            and weight_mx.ndim == 2
+            and weight_mx.block_dim == 0
+            and weight_mx.padding == 0
+            and weight_mx.shape[0] % 512 == 0  # kernel needs bk >= 512
+            and env.TORCHMX_FP8_HALVES == "1"
+            and _concrete_min_ge(weight_mx.scale_e8m0, 10)
+        ):
+            # fp8 kernel layout: u16 word p holds codes (p, p + K/2), SWAR-
+            # decoded two per i32 lane.  The scale bound (checked eagerly at
+            # quantize time) guarantees no decoded value can underflow the
+            # bf16-normal range, which lets the kernel drop dead-lane
+            # masking (see MXArray.to_fp8_halves); real weight scales sit
+            # far above it (se < 10 means a block max below 2^-117).
+            weight_mx = weight_mx.to_fp8_halves()
         if (
             weight_mx.elem_dtype.name in ("float6_e3m2", "float6_e2m3")
             and weight_mx.fp4_pack == "pair"

@@ -234,7 +234,13 @@ class MXArray:
             elem_dtype in dtypes.SUPPORTED_ELEM_DTYPES
         ), f"unsupported elem_dtype {elem_dtype}"
         assert scale_e8m0.dtype == jnp.uint8, "scale must be uint8"
-        assert data.dtype in (jnp.uint8, jnp.int8), f"{data.dtype} is unsupported"
+        if fp4_pack == "halves" and elem_dtype == dtypes.float8_e4m3:
+            # fp8 kernel "halves" layout: u16 word p = (code[p] << 8) |
+            # code[p + K/2] — same bytes/element as flat fp8, SWAR-decoded
+            # two elements per i32 lane (see ops/pallas_matmul.py).
+            assert data.dtype == jnp.uint16, f"{data.dtype} (fp8 halves)"
+        else:
+            assert data.dtype in (jnp.uint8, jnp.int8), f"{data.dtype} is unsupported"
 
         assert fp4_pack in ("pair", "halves", "quarters"), fp4_pack
         self.scale_e8m0 = scale_e8m0
@@ -273,6 +279,9 @@ class MXArray:
         elif self.fp4_pack == "quarters":
             # fp6 planar packing: 3 byte-planes hold 4 code-planes.
             s[self.block_dim] = s[self.block_dim] * 4 // 3
+        elif self.fp4_pack == "halves" and self.elem_dtype == dtypes.float8_e4m3:
+            # fp8 halves: one u16 word covers two elements (p, p + K/2).
+            s[self.block_dim] = s[self.block_dim] * 2
         return tuple(s)
 
     @property
@@ -605,6 +614,51 @@ class MXArray:
             self.block_dim,
         )
 
+    def to_fp8_halves(self) -> "MXArray":
+        """Repack a 2-D K-major fp8 payload into the kernel "halves" layout:
+        u16 word p holds codes ``(p, p + K/2)`` — same bytes per element as
+        the flat layout, but the fused matmul SWAR-decodes both elements of
+        each word inside one i32 lane (``decode_fp8_swar_planes``), cutting
+        the VPU decode that dominates decode-sized matmuls.
+
+        Requires fp8_e4m3, block_dim == 0, no padding, K % 64 == 0 (each
+        half stays 32-block-aligned), and every scale >= 10: the SWAR kernel
+        drops the dead-lane masking (sub-bf16-normal results cannot occur at
+        ``se >= 10``; the borrow-free packed subtract relies on it).  Callers
+        check the scale bound eagerly (see ``layers/linear.py``).
+        """
+        assert self.elem_dtype == dtypes.float8_e4m3 and self.fp4_pack == "pair"
+        assert self.data.ndim == 2 and self.block_dim == 0 and self.padding == 0
+        K = self.shape[0]
+        assert K % 64 == 0, f"halves layout needs K % 64 == 0, got {K}"
+        codes = self.data.astype(jnp.uint16)
+        data = (codes[: K // 2] << 8) | codes[K // 2 :]
+        return MXArray(
+            self.scale_e8m0,
+            data,
+            self.elem_dtype,
+            self.block_size,
+            self.orig_dtype,
+            self.padding,
+            self.block_dim,
+            fp4_pack="halves",
+        )
+
+    def _fp8_halves_to_flat(self) -> "MXArray":
+        """Inverse of :meth:`to_fp8_halves`."""
+        assert self.fp4_pack == "halves" and self.elem_dtype == dtypes.float8_e4m3
+        w = self.data
+        codes = jnp.concatenate([w >> 8, w & 0xFF], axis=0).astype(jnp.uint8)
+        return MXArray(
+            self.scale_e8m0,
+            codes,
+            self.elem_dtype,
+            self.block_size,
+            self.orig_dtype,
+            self.padding,
+            self.block_dim,
+        )
+
     def _halves_to_pair(self) -> "MXArray":
         """Inverse of :meth:`to_fp4_halves`."""
         assert self.fp4_pack == "halves"
@@ -629,6 +683,8 @@ class MXArray:
         (reference ``mx_tensor.py:255-331``).
         """
         if self.fp4_pack == "halves":
+            if self.elem_dtype == dtypes.float8_e4m3:
+                return self._fp8_halves_to_flat().to_dtype(target_dtype)
             return self._halves_to_pair().to_dtype(target_dtype)
         if self.fp4_pack == "quarters":
             return self._quarters_to_flat().to_dtype(target_dtype)

@@ -213,6 +213,61 @@ def _fp4_swar_core(b, swfp, thrp):
     return w_hi, w_lo
 
 
+def decode_fp8_swar_planes(b, sa, sb):
+    """SWAR fp8_e4m3 decode: both codes of each halves-packed u16 word decode
+    inside ONE i32 lane (two bf16 fields built simultaneously) — the decode
+    chain runs on arrays of HALF the lanes of the flat 1-byte kernel's
+    generic ``decode_codes_to_bf16`` (~19 vector ops on full-size arrays),
+    which at decode M is the token latency.
+
+    Args:
+        b: (rows, bn) int32 — halves-packed words (bits [15:8]: the code of
+           element p of the first K half; [7:0]: element p + K/2).
+        sa, sb: (rows // 32, bn) int32 — E8M0 scale rows of the two halves.
+
+    Returns ``(w_hi, w_lo)`` bf16 planes, bit-identical to the scalar
+    ``decode_codes_to_bf16(..., dot_operand=True)`` on every (code, scale)
+    pair with ``scale >= 10`` (tested exhaustively).
+
+    Scheme: spread both codes to 16-bit fields, place exp/mantissa at the
+    bf16 positions (``mag = (code & 0x7F) << 4``), fold the scale in BIASED
+    form (``biased = mag + (se + subnormal) << 7``, always >= 0 so no
+    cross-half borrow), then one packed subtract of the 0x380 bias.
+    Subnormal codes (element exponent 0) decode through the same
+    implicit-bit identity as the scalar path — ``(1 + m/8)·2^F - 2^F`` —
+    with the correction word built by masking the mantissa nibble off the
+    packed bits, and ONE bf16 subtract per extracted plane.
+
+    Preconditions (enforced at pack time, ``MXArray.to_fp8_halves``): every
+    scale >= 10, so no decoded value can fall below the bf16-normal range —
+    the dead-lane masking (6+ packed ops) is dropped entirely, and
+    ``biased - 0x380`` can never borrow (``biased >= 0x580``).  The fp8 NaN
+    code follows the ``dot_operand`` contract (the quantizer never emits
+    it).  Zero codes fall out exact: ``2^F - 2^F = 0``.
+    """
+    swp = _expand_scale((sa << 23) | (sb << 7), BLOCK)
+    u = ((b << 8) | b) & _i32c(0x00FF00FF)
+    mag = (u & 0x007F007F) << 4
+    sgn = (u & _i32c(0x00800080)) << 8
+    # Per-field "element exponent nonzero" flag without a packed compare:
+    # field exp bits live at [10:7]; (mag | 0x800) - 0x80 leaves bit 11 set
+    # iff the field's mag >= 0x80 (no cross-field borrow: results >= 0x780).
+    d = (mag | _i32c(0x08000800)) - _i32c(0x00800080)
+    nzb = (d >> 11) & 0x00010001
+    subb = 0x00010001 - nzb
+    biased = (mag + swp) + (subb << 7)
+    bits0 = biased - _i32c(0x03800380)
+    # Subnormal correction: exponent-only field (mantissa nibble < 0x80
+    # masks off cleanly), zero for normal halves.
+    corr = (bits0 & (subb * 0xFF80)) | sgn
+    bits = bits0 | sgn
+    f_hi = jax.lax.bitcast_convert_type((bits >> 16).astype(jnp.uint16), jnp.bfloat16)
+    f_lo = jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+    c_hi = jax.lax.bitcast_convert_type((corr >> 16).astype(jnp.uint16), jnp.bfloat16)
+    c_lo = jax.lax.bitcast_convert_type(corr.astype(jnp.uint16), jnp.bfloat16)
+    return f_hi - c_hi, f_lo - c_lo
+
+
 def decode_int8_to_bf16(codes, se):
     """int8 codes: convert and fold 2^(se-127) into the exponent field."""
     vals = codes.astype(jnp.bfloat16)  # exact: |codes| <= 127
@@ -453,8 +508,11 @@ def _linear_kernel_fp4_halves(
     act_fq: Optional[str],
     x_cache: bool = False,
     pipe_fq: bool = False,
+    elem_name: str = "float4_e2m1",
 ):
-    """fp4 "halves" packing: byte p holds elements (p, p + K/2).
+    """fp4/fp8 "halves" packing: word p holds elements (p, p + K/2) —
+    nibbles of one byte for fp4, bytes of one u16 for fp8; either way both
+    elements SWAR-decode inside one i32 lane.
 
     The two nibble planes decode against their own scale rows and concatenate
     on sublanes into one (bk, bn) operand, so the MXU runs a single full-K
@@ -482,7 +540,11 @@ def _linear_kernel_fp4_halves(
     elif x_cache:
         _cache_x_tiles(k, act_fq, (xa_ref, scratch[0]), (xb_ref, scratch[1]))
     b = w_ref[:].astype(jnp.int32)
-    w_hi, w_lo = decode_fp4_swar_planes(
+    decode = (
+        decode_fp4_swar_planes if elem_name == "float4_e2m1"
+        else decode_fp8_swar_planes
+    )
+    w_hi, w_lo = decode(
         b, sa_ref[:].astype(jnp.int32), sb_ref[:].astype(jnp.int32)
     )
     w = jnp.concatenate([w_hi, w_lo], axis=0)
@@ -925,10 +987,13 @@ def _pallas_matmul_fp4(x, w_data, w_scale, bn, bk, out_dtype, act_fq=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bn", "bk", "out_dtype", "act_fq", "x_cache", "pipe_fq")
+    jax.jit,
+    static_argnames=("bn", "bk", "out_dtype", "act_fq", "x_cache", "pipe_fq",
+                     "elem_name"),
 )
 def _pallas_matmul_fp4_halves(
-    x, w_data, w_scale, bn, bk, out_dtype, act_fq=None, x_cache=False, pipe_fq=False
+    x, w_data, w_scale, bn, bk, out_dtype, act_fq=None, x_cache=False, pipe_fq=False,
+    elem_name="float4_e2m1",
 ):
     M, K = x.shape
     N = w_data.shape[1]
@@ -971,9 +1036,11 @@ def _pallas_matmul_fp4_halves(
             (bkp // BLOCK, bn), lambda j, k: (k + nko, j), memory_space=pltpu.VMEM
         ),
     ]
+    w_bytes = N * K // 2 if elem_name == "float4_e2m1" else N * K
     return pl.pallas_call(
         functools.partial(
-            _linear_kernel_fp4_halves, act_fq=act_fq, x_cache=x_cache, pipe_fq=pipe_fq
+            _linear_kernel_fp4_halves, act_fq=act_fq, x_cache=x_cache,
+            pipe_fq=pipe_fq, elem_name=elem_name,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -986,7 +1053,7 @@ def _pallas_matmul_fp4_halves(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=M * K * 2 + N * K // 2 + M * N * 2,
+            bytes_accessed=M * K * 2 + w_bytes + M * N * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),
@@ -1074,6 +1141,10 @@ def _format_geometry(elem_name: str, fp4_pack: str):
         return 0.5, (512 if fp4_pack == "halves" else 0)
     if fp4_pack == "quarters":
         return 0.75, 1024
+    if elem_name == "float8_e4m3" and fp4_pack == "halves":
+        # u16 word per 2 elements (1 byte/element); per-half scale tile is
+        # (bk/64, bn) like fp4 halves, so the same 512 minimum bk.
+        return 1.0, 512
     return 1.0, 0
 
 
@@ -1151,6 +1222,11 @@ def _run_kernel(x_hp, w: MXArray, out_dtype, act_fq=None) -> Optional[jax.Array]
             out = _pallas_matmul_fp4(
                 x_hp, w.data, w.scale_e8m0, bn, bk, out_dtype, act_fq
             )
+    elif w.elem_dtype == dtypes.float8_e4m3 and w.fp4_pack == "halves":
+        out = _pallas_matmul_fp4_halves(
+            x_hp, w.data, w.scale_e8m0, bn, bk, out_dtype, act_fq, x_cache,
+            pipe_fq, elem_name="float8_e4m3",
+        )
     elif w.fp4_pack == "quarters":
         out = _pallas_matmul_fp6q(
             x_hp, w.data, w.scale_e8m0, w.elem_dtype.name, bn, bk, out_dtype, act_fq,
