@@ -417,3 +417,195 @@ def test_ring_attention_mx_matches_dequantized_full(elem):
             ring_attention_mx(q, k_mx, v_mx, mesh, sm_scale=sm), np.float32
         )
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+# -- sliding windows and logit softcaps on the ring ---------------------------
+
+
+def _full_masked(q, k, v, sm_scale, window=None, softcap=None):
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * sm_scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
+    L = q.shape[2]
+    mask = np.tril(np.ones((L, L), bool))
+    if window is not None:
+        mask &= ~np.tril(np.ones((L, L), bool), -window)
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+
+
+@pytest.mark.parametrize("layout", ["contig", "zigzag"])
+def test_ring_attention_window_matches_dense(layout):
+    """Sliding-window ring attention (per-chunk window predication; chunks
+    wholly below the window skip their math via lax.cond) must match the
+    dense windowed-mask reference in both layouts — windows smaller than a
+    shard, spanning shards, and larger than the sequence."""
+    from torchmx_tpu.parallel.context import zigzag_order
+
+    q, k, v = _qkv(3, b=1, h=2, L=128, d=64)
+    sm = 1.0 / np.sqrt(64)
+    mesh = create_mesh()
+    n = mesh.shape["model"]
+    for window in (8, 48, 1024):
+        ref = np.asarray(_full_masked(q, k, v, sm, window=window), np.float32)
+        with mesh:
+            if layout == "zigzag":
+                perm = zigzag_order(q.shape[2], n)
+                out_z = ring_attention(
+                    q[:, :, perm], k[:, :, perm], v[:, :, perm], mesh,
+                    sm_scale=sm, layout="zigzag", window=window,
+                )
+                inv = np.empty_like(perm)
+                inv[perm] = np.arange(len(perm))
+                out = np.asarray(out_z[:, :, inv], np.float32)
+            else:
+                out = np.asarray(
+                    ring_attention(q, k, v, mesh, sm_scale=sm, window=window),
+                    np.float32,
+                )
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2,
+                                   err_msg=f"{layout} window={window}")
+
+
+@pytest.mark.parametrize("layout", ["contig", "zigzag"])
+def test_ring_attention_softcap_matches_dense(layout):
+    """Gemma2-style logit softcapping rides the ring: the cap is applied to
+    each block's scaled scores before masking (HF order), and the flash
+    merge over capped blocks equals the dense capped softmax."""
+    from torchmx_tpu.parallel.context import zigzag_order
+
+    q, k, v = _qkv(4, b=1, h=2, L=128, d=64)
+    sm = 1.0 / np.sqrt(64)
+    cap = 0.9  # tight cap so the tanh actually bends the scores
+    ref = np.asarray(_full_masked(q, k, v, sm, softcap=cap), np.float32)
+    mesh = create_mesh()
+    n = mesh.shape["model"]
+    with mesh:
+        if layout == "zigzag":
+            perm = zigzag_order(q.shape[2], n)
+            out_z = ring_attention(
+                q[:, :, perm], k[:, :, perm], v[:, :, perm], mesh,
+                sm_scale=sm, layout="zigzag", softcap=cap,
+            )
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            out = np.asarray(out_z[:, :, inv], np.float32)
+        else:
+            out = np.asarray(
+                ring_attention(q, k, v, mesh, sm_scale=sm, softcap=cap),
+                np.float32,
+            )
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_ring_attention_mx_window():
+    """MX-packed K/V shards + sliding window: skipped chunks never pay the
+    dequantize (cond) and the result matches the dequantized dense mask."""
+    q, k, v = _qkv(5, b=1, h=2, L=128, d=64)
+    sm = 1.0 / np.sqrt(64)
+    k_mx = MXArray.to_mx(k, "float8_e4m3", 32)
+    v_mx = MXArray.to_mx(v, "float8_e4m3", 32)
+    kd = k_mx.to_dtype(jnp.bfloat16)
+    vd = v_mx.to_dtype(jnp.bfloat16)
+    ref = np.asarray(_full_masked(q, kd, vd, sm, window=48), np.float32)
+    mesh = create_mesh()
+    with mesh:
+        out = np.asarray(
+            ring_attention_mx(q, k_mx, v_mx, mesh, sm_scale=sm, window=48),
+            np.float32,
+        )
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_context_parallel_windowed_model_matches_plain():
+    """A Mistral-shaped sliding-window model forwards under CP (previously
+    a NotImplementedError): logits match the plain dense-mask forward."""
+    from flax import nnx
+
+    from tests.test_scan_model import mixed_model
+    from torchmx_tpu.parallel import MODEL_AXIS
+    from torchmx_tpu.parallel.context import context_parallel
+
+    model = mixed_model(["sliding_attention"] * 4, seed=21, window=8)
+    ids = jnp.asarray(
+        np.random.RandomState(21).randint(0, 128, (2, 64)), jnp.int32
+    )
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def plain(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref = np.asarray(plain(state, ids), np.float32)
+    mesh = create_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    with mesh, context_parallel(mesh, MODEL_AXIS):
+
+        @jax.jit
+        def cp(state, ids):
+            logits, _ = nnx.merge(graphdef, state)(ids)
+            return logits
+
+        ids_sh = jax.device_put(ids, NamedSharding(mesh, P(None, MODEL_AXIS)))
+        got = np.asarray(cp(state, ids_sh), np.float32)
+    from tests.test_scan_model import _assert_close
+
+    _assert_close(got, ref)
+
+
+def test_context_parallel_gemma2_model_matches_plain():
+    """A Gemma2-shaped model (alternating sliding/full layers + attention
+    logit softcap) forwards under CP and matches the plain forward."""
+    from flax import nnx
+
+    from torchmx_tpu.models.gemma import Gemma2Config, Gemma2ForCausalLM
+    from torchmx_tpu.parallel import MODEL_AXIS
+    from torchmx_tpu.parallel.context import context_parallel
+
+    cfg = Gemma2Config(
+        vocab_size=128,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        sliding_window=16,
+        query_pre_attn_scalar=32.0,
+        attn_logit_softcapping=30.0,
+        final_logit_softcapping=30.0,
+    )
+    model = Gemma2ForCausalLM(cfg, rngs=__import__("flax").nnx.Rngs(22))
+    ids = jnp.asarray(
+        np.random.RandomState(22).randint(0, 128, (2, 64)), jnp.int32
+    )
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def plain(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref = np.asarray(plain(state, ids), np.float32)
+    mesh = create_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    with mesh, context_parallel(mesh, MODEL_AXIS):
+
+        @jax.jit
+        def cp(state, ids):
+            logits, _ = nnx.merge(graphdef, state)(ids)
+            return logits
+
+        ids_sh = jax.device_put(ids, NamedSharding(mesh, P(None, MODEL_AXIS)))
+        got = np.asarray(cp(state, ids_sh), np.float32)
+    from tests.test_scan_model import _assert_close
+
+    _assert_close(got, ref)

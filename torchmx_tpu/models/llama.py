@@ -634,19 +634,6 @@ class LlamaAttention(nnx.Module):
 
             cp = _cpmod.active_cp()
             if cp is not None:
-                if window is not None:
-                    raise NotImplementedError(
-                        "context-parallel forwards with sliding-window "
-                        "attention are not supported (the ring masks "
-                        "causally only); run without context_parallel"
-                    )
-                if self.attn_softcap is not None:
-                    raise NotImplementedError(
-                        "context-parallel forwards with attention logit "
-                        "softcapping are not supported (the ring merges "
-                        "partial softmaxes pre-cap); run without "
-                        "context_parallel"
-                    )
                 # Context-parallel prefill/scoring: the sequence is sharded
                 # over cp's mesh axis and ring attention masks causally from
                 # global offsets — no dense (L, L) mask anywhere.
@@ -666,10 +653,16 @@ class LlamaAttention(nnx.Module):
                 # Under the zigzag layout the caller already permuted the
                 # tokens (and passed matching position_ids); the ring gets
                 # told so it can skip fully-masked chunk-pairs.
+                # Sliding windows ride the ring as per-chunk predication
+                # (wholly-below-window chunks skip their math); Gemma2 logit
+                # softcaps apply to the scaled scores inside each block —
+                # the flash merge is unaffected (monotone transform).
                 out = _cpmod.ring_attention(
                     q.astype(jnp.bfloat16), k, v, mesh, axis=axis_name,
                     sm_scale=self.sm_scale,
                     layout=cp_layout,
+                    window=window,
+                    softcap=self.attn_softcap,
                 )
                 out = out.transpose(0, 2, 1, 3).reshape(bsz, q_len, -1)
                 return self.o_proj(out), None

@@ -117,22 +117,32 @@ def zigzag_inverse(length: int, n: int):
     return inv
 
 
-def _block_attn(q, k, v, q_off, kv_off, sm_scale):
+def _block_attn(q, k, v, q_off, kv_off, sm_scale, window=None, softcap=None):
     """Partial attention of a grouped Q block against one K/V block.
 
     ``q`` is (b, h_kv, g, lq, d) — queries grouped per KV head; ``k``/``v``
     are (b, h_kv, lk, d).  Returns (acc, m, l): unnormalized output,
     per-row max, per-row normalizer — the flash-merge state, shaped
     (b, h_kv, g, lq[, d]).  Causal: query global position ``q_off + i``
-    attends key positions ``<= q_off + i`` only.
+    attends key positions ``<= q_off + i`` only; with a sliding ``window``
+    additionally only positions ``> q_off + i - window``.  ``softcap``
+    applies Gemma2's logit soft cap ``cap·tanh(s/cap)`` to the SCALED
+    scores before masking (the HF order the eager path uses) — the flash
+    merge is unaffected (it merges max/normalizer of the capped scores,
+    which is the same monotone transform on every block).
     """
     lq = q.shape[3]
     lk = k.shape[2]
     s = jnp.einsum("bhgqd,bhkd->bhgqk", q, k, preferred_element_type=jnp.float32)
     s = s * sm_scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
     qpos = q_off + jnp.arange(lq)[:, None]
     kpos = kv_off + jnp.arange(lk)[None, :]
-    s = jnp.where(kpos <= qpos, s, NEG_INF)
+    allowed = kpos <= qpos
+    if window is not None:
+        allowed &= kpos > qpos - window
+    s = jnp.where(allowed, s, NEG_INF)
     m = jnp.max(s, axis=-1)  # (b, h_kv, g, lq)
     p = jnp.exp(s - m[..., None])
     # Fully-masked rows: m == NEG_INF -> exp(0) == 1 garbage; zero them.
@@ -198,7 +208,7 @@ def _init_state(b, h_kv, g, lq, d, axis):
     )
 
 
-def _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks):
+def _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks, window=None, softcap=None):
     """Build the zigzag per-hop step function.
 
     ``qf`` is the grouped (b, h_kv, g, 2c, d) query shard; ``kv_chunks(arrs,
@@ -213,24 +223,44 @@ def _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks):
     """
     qlo, qhi = qf[:, :, :, :c], qf[:, :, :, c:]
 
+    def wlive(q_off, kv_off):
+        """False iff the chunk is wholly BELOW the sliding window of every
+        query row (the ring's window predication: dead chunks skip their
+        math — and, in the MX path, their dequantize — via lax.cond)."""
+        if window is None:
+            return True
+        return kv_off + (c - 1) >= q_off - (window - 1)
+
     def step(state, arrs, r):
         idx_ = idx
         j = (idx_ - r) % n
-        klo, vlo = kv_chunks(arrs, 0)
         state_lo, state_hi = state
-        # qhi × klo: always fully unmasked (qhi rows live in the top half).
-        state_hi = _merge(
-            state_hi,
-            _block_attn(qhi, klo, vlo, (2 * n - 1 - idx_) * c, j * c, sm_scale),
-        )
+        # qhi × klo: causally always unmasked (qhi rows live in the top
+        # half) — but a window can kill the whole chunk.
+        def hi_lo(s):
+            klo, vlo = kv_chunks(arrs, 0)
+            return _merge(
+                s,
+                _block_attn(qhi, klo, vlo, (2 * n - 1 - idx_) * c, j * c,
+                            sm_scale, window, softcap),
+            )
+
+        if window is None:
+            state_hi = hi_lo(state_hi)
+        else:
+            state_hi = jax.lax.cond(
+                wlive((2 * n - 1 - idx) * c, j * c), hi_lo, lambda s: s, state_hi
+            )
         # qlo × klo: live only when j <= idx (diagonal at j == idx).
+        def lo_lo(s):
+            klo, vlo = kv_chunks(arrs, 0)
+            return _merge(
+                s, _block_attn(qlo, klo, vlo, idx_ * c, j * c, sm_scale,
+                               window, softcap)
+            )
+
         state_lo = jax.lax.cond(
-            j <= idx_,
-            lambda s: _merge(
-                s, _block_attn(qlo, klo, vlo, idx_ * c, j * c, sm_scale)
-            ),
-            lambda s: s,
-            state_lo,
+            (j <= idx_) & wlive(idx * c, j * c), lo_lo, lambda s: s, state_lo
         )
         # qhi × khi: live only when j >= idx (diagonal at j == idx).
         def hi_hi(s):
@@ -239,11 +269,14 @@ def _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks):
                 s,
                 _block_attn(
                     qhi, khi, vhi, (2 * n - 1 - idx_) * c, (2 * n - 1 - j) * c,
-                    sm_scale,
+                    sm_scale, window, softcap,
                 ),
             )
 
-        state_hi = jax.lax.cond(j >= idx_, hi_hi, lambda s: s, state_hi)
+        state_hi = jax.lax.cond(
+            (j >= idx_) & wlive((2 * n - 1 - idx) * c, (2 * n - 1 - j) * c),
+            hi_hi, lambda s: s, state_hi,
+        )
         return state_lo, state_hi
 
     return step
@@ -258,6 +291,8 @@ def ring_attention(
     axis: str = MODEL_AXIS,
     sm_scale: float,
     layout: str = "contig",
+    window: int = None,
+    softcap: float = None,
 ):
     """Causal attention with the SEQUENCE sharded over ``axis``.
 
@@ -302,7 +337,8 @@ def ring_attention(
                 sl = slice(half * c, (half + 1) * c)
                 return k_cur[:, :, sl], v_cur[:, :, sl]
 
-            step = _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks)
+            step = _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks,
+                                 window, softcap)
             state0 = (
                 _init_state(b, h_kv, g, c, d, axis),
                 _init_state(b, h_kv, g, c, d, axis),
@@ -314,12 +350,24 @@ def ring_attention(
             )
 
         def step(state, arrs, r):
-            k_cur, v_cur = arrs
             # K/V block r hops back from this device came from idx - r.
             src = (idx - r) % n
-            return _merge(
-                state, _block_attn(qf, k_cur, v_cur, idx * lq, src * lq, sm_scale)
+
+            def live(s):
+                k_cur, v_cur = arrs
+                return _merge(
+                    s, _block_attn(qf, k_cur, v_cur, idx * lq, src * lq,
+                                   sm_scale, window, softcap)
+                )
+
+            if window is None:
+                return live(state)
+            # Window predication: skip blocks wholly below the window (or
+            # wholly in the future) without touching their K/V bytes.
+            dead = (src * lq + (lq - 1) < idx * lq - (window - 1)) | (
+                src * lq > idx * lq + (lq - 1)
             )
+            return jax.lax.cond(dead, lambda s: s, live, state)
 
         state0 = _init_state(b, h_kv, g, lq, d, axis)
         return _finish(_ring(step, n, axis, perm, (k, v), state0), b, h, lq, d)
@@ -339,6 +387,8 @@ def ring_attention_mx(
     axis: str = MODEL_AXIS,
     sm_scale: float,
     layout: str = "contig",
+    window: int = None,
+    softcap: float = None,
 ):
     """Ring attention with MX-QUANTIZED K/V shards rotating over ICI.
 
@@ -396,7 +446,8 @@ def ring_attention_mx(
                     deq(vd_c[:, :, sl], vs_c[:, :, sl], vmeta),
                 )
 
-            step = _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks)
+            step = _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks,
+                                 window, softcap)
             state0 = (
                 _init_state(b, h_kv, g, c, d, axis),
                 _init_state(b, h_kv, g, c, d, axis),
@@ -410,17 +461,29 @@ def ring_attention_mx(
             )
 
         def step(state, arrs, r):
-            kd_c, ks_c, vd_c, vs_c = arrs
             src = (idx - r) % n
-            part = _block_attn(
-                qf,
-                deq(kd_c, ks_c, kmeta),
-                deq(vd_c, vs_c, vmeta),
-                idx * lq,
-                src * lq,
-                sm_scale,
+
+            def live(s):
+                kd_c, ks_c, vd_c, vs_c = arrs
+                part = _block_attn(
+                    qf,
+                    deq(kd_c, ks_c, kmeta),
+                    deq(vd_c, vs_c, vmeta),
+                    idx * lq,
+                    src * lq,
+                    sm_scale,
+                    window,
+                    softcap,
+                )
+                return _merge(s, part)
+
+            if window is None:
+                return live(state)
+            # Skipped blocks never pay the dequantize either (cond branch).
+            dead = (src * lq + (lq - 1) < idx * lq - (window - 1)) | (
+                src * lq > idx * lq + (lq - 1)
             )
-            return _merge(state, part)
+            return jax.lax.cond(dead, lambda s: s, live, state)
 
         state0 = _init_state(b, h_kv, g, lq, d, axis)
         return _finish(
