@@ -35,7 +35,7 @@ T_START = time.perf_counter()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
 M, K, N = 1024, 4096, 14336
-REPS_LO, REPS_HI, TRIALS = 40, 120, 7
+REPS_LO, REPS_HI, TRIALS = 40, 120, 5
 
 
 def _left() -> float:
@@ -53,38 +53,37 @@ def _timed_loop(step_fn, x, *consts):
     The execution path here has a large fixed per-call overhead and
     acknowledges short calls asynchronously, so absolute timings lie; the
     marginal cost (T(hi) - T(lo)) / (hi - lo) isolates the real device time.
-    The scan body folds the output back into the carry so XLA cannot elide or
-    reorder the work.
+    The loop body folds the output back into the carry so XLA cannot elide or
+    reorder the work.  The rep count is a DYNAMIC fori_loop bound so each
+    step_fn compiles exactly once (two static scan lengths doubled the
+    compile bill — the round-4 bench overran its budget on compiles alone).
     """
 
-    def make(reps):
-        @jax.jit
-        def loop(x, *consts):
-            def body(c, _):
-                y = step_fn(c, *consts)  # (M, N)
-                # Consume every output column NON-linearly (a linear reduction
-                # like sum gets strength-reduced into the weights, deleting
-                # the matmul).
-                col = jnp.max(y, axis=1, keepdims=True).astype(jnp.bfloat16)
-                c = c * 0.5 + col * 1e-6
-                return c, ()
+    @jax.jit
+    def loop(x, reps, *consts):
+        def body(_, c):
+            y = step_fn(c, *consts)  # (M, N)
+            # Consume every output column NON-linearly (a linear reduction
+            # like sum gets strength-reduced into the weights, deleting
+            # the matmul).
+            col = jnp.max(y, axis=1, keepdims=True).astype(jnp.bfloat16)
+            return c * 0.5 + col * 1e-6
 
-            c, _ = jax.lax.scan(body, x, None, length=reps)
-            # Scalar output: forcing the value to host is the only reliable
-            # sync point on this execution path.
-            return jnp.sum(c.astype(jnp.float32))
+        c = jax.lax.fori_loop(0, reps, body, x)
+        # Scalar output: forcing the value to host is the only reliable
+        # sync point on this execution path.
+        return jnp.sum(c.astype(jnp.float32))
 
-        return loop
-
-    lo, hi = make(REPS_LO), make(REPS_HI)
-    float(lo(x, *consts))
-    float(hi(x, *consts))
+    r_lo = jnp.asarray(REPS_LO, jnp.int32)
+    r_hi = jnp.asarray(REPS_HI, jnp.int32)
+    float(loop(x, r_lo, *consts))
+    float(loop(x, r_hi, *consts))
 
     def one_trial():
         t0 = time.perf_counter()
-        float(lo(x, *consts))
+        float(loop(x, r_lo, *consts))
         t1 = time.perf_counter()
-        float(hi(x, *consts))
+        float(loop(x, r_hi, *consts))
         t2 = time.perf_counter()
         return ((t2 - t1) - (t1 - t0)) / (REPS_HI - REPS_LO)
 
@@ -164,22 +163,24 @@ def _decode_attention(rng):
         p = jax.nn.softmax(s.astype(jnp.float32) * sm, axis=-1).astype(jnp.bfloat16)
         return jnp.matmul(p, vv, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-    t_attn_mx, t_attn_bf16 = _paired(
-        fused_trial("float8_e4m3"), _timed_loop(bf16_attn_step, qd, kc, vc)
-    )
-    # int8 cache: same bytes as fp8 but ~3x cheaper VPU decode — the
-    # recommended serving format (docs/results.md).
-    t_attn_int8, _ = _paired(fused_trial("int8"), fused_trial("float8_e4m3"))
-
     # Honest iso-kernel baseline: the SAME blockwise kernel with bf16 K/V
-    # tiles (no decode).  The eager bf16 path above overstates the MX
-    # speedup; the MX-vs-fused-bf16 ratio is the defensible number.
+    # tiles (no decode).  The eager bf16 path overstates the MX speedup;
+    # the MX-vs-fused-bf16 ratio is the defensible number.
     def bf16_fused_step(q, kf, vf):
         return pa.bf16_cached_attention(q, kf, vf, L - 1, L, sm)
 
-    t_attn_bf16_fused, t_attn_int8_b = _paired(
-        _timed_loop(bf16_fused_step, qd, kc, vc), fused_trial("int8")
-    )
+    # One trial closure per variant (a fresh _timed_loop closure means a
+    # fresh jit compile; reusing them keeps this section at 4 compiles).
+    tr_fp8 = fused_trial("float8_e4m3")
+    tr_int8 = fused_trial("int8")
+    tr_eager = _timed_loop(bf16_attn_step, qd, kc, vc)
+    tr_fused_bf16 = _timed_loop(bf16_fused_step, qd, kc, vc)
+
+    t_attn_mx, t_attn_bf16 = _paired(tr_fp8, tr_eager)
+    # int8 cache: same bytes as fp8 but ~3x cheaper VPU decode — the
+    # recommended serving format (docs/results.md).
+    t_attn_int8, _ = _paired(tr_int8, tr_fp8)
+    t_attn_bf16_fused, t_attn_int8_b = _paired(tr_fused_bf16, tr_int8)
     return {
         "shape": {"b": B, "hq": HQ, "hkv": HKV, "d": D, "L": L},
         "fused_mx_fp8_cache_ms": round(t_attn_mx * 1e3, 3),
@@ -256,7 +257,13 @@ def _moe_grouped(E=8, K_=4096, N_=14336, T=8, k=2, tm=8, bn=512, bk=512):
     x = jnp.asarray(rng.standard_normal((T, K_)) * 0.3, jnp.bfloat16)
 
     def trial(top_idx):
-        xs, te, rows, _ = group_tokens(x, top_idx, tm, E)
+        # jit the grouping: EAGER ops on the tunneled backend cost ~0.5-100s
+        # per dispatch, and group_tokens is ~15 ops — eager, this section
+        # "hangs" for minutes before the kernel ever runs (the round-3/4
+        # moe-section timeouts).
+        xs, te, rows, _ = jax.jit(group_tokens, static_argnums=(2, 3))(
+            x, top_idx, tm, E
+        )
         xs, te, rows = jax.device_put((xs, te, rows))
 
         def step(xs_, te_, rows_):

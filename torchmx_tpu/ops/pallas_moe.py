@@ -79,17 +79,23 @@ def _grouped_kernel_mx(te_ref, rows_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # Decode OUTSIDE the liveness predicate: Mosaic predicating the whole
+    # decode chain explodes compile time (measured on-chip: 121 s for a
+    # TINY config vs 0.7 s hoisted — the full Mixtral shape never finished).
+    # Dead tiles pay the (cheap, VPU) decode of an already-resident block;
+    # only the MXU dot stays conditional.
+    codes = w_ref[0].astype(jnp.int32)
+    se = _expand_scale(s_ref[0].astype(jnp.int32), BLOCK)
+    if elem_name == "int8":
+        w = decode_int8_to_bf16(codes, se)
+    else:
+        w = decode_codes_to_bf16(
+            codes, se, dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name],
+            dot_operand=True,
+        )
+
     @pl.when(rows_ref[t] > 0)
     def _():
-        codes = w_ref[0].astype(jnp.int32)
-        se = _expand_scale(s_ref[0].astype(jnp.int32), BLOCK)
-        if elem_name == "int8":
-            w = decode_int8_to_bf16(codes, se)
-        else:
-            w = decode_codes_to_bf16(
-                codes, se, dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name],
-                dot_operand=True,
-            )
         acc_ref[:] += jax.lax.dot_general(
             x_ref[:], w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
