@@ -25,6 +25,8 @@ from flax import nnx
 
 from torchmx_tpu import checkpoint as ckpt
 from torchmx_tpu.models.deepseek import DeepseekV3Config, DeepseekV3ForCausalLM
+from torchmx_tpu.models.gemma import Gemma2Config, Gemma2ForCausalLM
+from torchmx_tpu.models.mistral import MistralConfig, MistralForCausalLM
 from torchmx_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 from torchmx_tpu.models.mixtral import MixtralConfig, MixtralForCausalLM
 
@@ -104,6 +106,52 @@ PRESETS = {
             num_experts_per_tok=2,
         ),
     ),
+    # ~6M params, Gemma2 conventions (round-4 quality subject): sandwich
+    # norms, query_pre_attn_scalar, attention + final logit soft caps, and
+    # ALTERNATING sliding/full layers — the distinctive numerics the Llama
+    # presets never exercise.  Train: ``python tools/train_tiny_lm.py 1200
+    # gemma2``.
+    "gemma2": (
+        "lm_gemma2",
+        Gemma2Config(
+            vocab_size=256,
+            hidden_size=256,
+            intermediate_size=768,
+            num_hidden_layers=4,
+            num_attention_heads=2,
+            num_key_value_heads=2,
+            head_dim=128,
+            max_position_embeddings=512,
+            rope_theta=10000.0,
+            sliding_window=64,
+            query_pre_attn_scalar=128.0,
+            attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0,
+            layer_types=[
+                "sliding_attention", "full_attention",
+                "sliding_attention", "full_attention",
+            ],
+        ),
+    ),
+    # ~6M params, Mistral-shaped sliding-window model (round-4 quality
+    # subject): every layer windowed — the MX KV rows read a WINDOWED
+    # quantized cache.  Train: ``python tools/train_tiny_lm.py 1200
+    # mistral``.
+    "mistral": (
+        "lm_mistral",
+        MistralConfig(
+            vocab_size=256,
+            hidden_size=256,
+            intermediate_size=768,
+            num_hidden_layers=4,
+            num_attention_heads=2,
+            num_key_value_heads=2,
+            head_dim=128,
+            max_position_embeddings=512,
+            rope_theta=10000.0,
+            sliding_window=64,
+        ),
+    ),
     # ~7M params, MLA + 4-expert noaux-tc MoE (round-4 DeepSeek family): the
     # quality sweep's MLA subject — projections quantize through the MLA
     # seams and the MX LATENT cache rows measure the compressed-cache ΔPPL.
@@ -143,8 +191,13 @@ def model_class(config):
     """The model family a preset config builds (quality tooling uses this)."""
     if isinstance(config, DeepseekV3Config):
         return DeepseekV3ForCausalLM
+    if isinstance(config, Gemma2Config):
+        return Gemma2ForCausalLM
+    # Mixtral subclasses Mistral's config: check the subclass FIRST.
     if isinstance(config, MixtralConfig):
         return MixtralForCausalLM
+    if isinstance(config, MistralConfig):
+        return MistralForCausalLM
     return LlamaForCausalLM
 
 
