@@ -379,14 +379,25 @@ def test_qwen2_layer_types_gating_hf_parity():
     assert float(jnp.max(jnp.abs(allwin - logits))) > 0.05
 
 
-def test_mixed_layer_types_rejected_by_scan_and_pipeline():
+def test_mixed_layer_types_supported_by_scan():
+    """Round 4: mixed layer_types no longer raise — the scan model plans one
+    compiled body per attention KIND (plan_layer_bodies) and matches the
+    plain per-layer forward."""
+    from torchmx_tpu.models.llama import plan_layer_bodies
     from torchmx_tpu.models.scan import ScanLlamaForCausalLM
 
     cfg = tiny_config(window=4)
     cfg.layer_types = ("full_attention", "sliding_attention")
     model = MistralForCausalLM(cfg, rngs=nnx.Rngs(13))
-    with pytest.raises(NotImplementedError, match="mix attention kinds"):
-        ScanLlamaForCausalLM(model)
+    assert plan_layer_bodies(cfg)[0] in ("period", "runs")
+    scan_model = ScanLlamaForCausalLM(model)
+    ids = jnp.asarray(np.random.RandomState(13).randint(0, 256, (2, 12)), jnp.int32)
+    ref, _ = model(ids)
+    got, _ = scan_model(ids)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
 
 
 def test_pipeline_model_honors_sliding_window():
