@@ -404,3 +404,50 @@ def test_deepseek_grouped_moe_path():
         np.asarray(jnp.argmax(exact[:, -1], -1)),
         np.asarray(jnp.argmax(grouped[:, -1], -1)),
     )
+
+
+def test_deepseek_context_parallel_forward_matches_plain():
+    """Round 4: a DeepSeek cacheless causal forward runs under
+    context_parallel (previously NotImplementedError) — the expanded-form
+    per-head K/V ride the standard ring from each device's local latent
+    shard (dq != dv exercises the V-dim accumulator) — and matches the
+    plain dense-mask forward.  All-dense layers (first_k_dense_replace=n):
+    the subject is MLA attention under CP — routed-MoE top-k flips at
+    near-tie scores between two compilations would only add noise here
+    (the MoE seam is CP-agnostic token-wise math)."""
+    from torchmx_tpu.parallel import create_mesh
+    from torchmx_tpu.parallel.context import context_parallel
+    from torchmx_tpu.parallel.mesh import MODEL_AXIS
+
+    import jax
+
+    model = DeepseekV3ForCausalLM(
+        tiny_config(first_k_dense_replace=3), rngs=nnx.Rngs(31)
+    )
+    ids = jnp.asarray(
+        np.random.RandomState(31).randint(0, 256, (2, 64)), jnp.int32
+    )
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def plain(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref = np.asarray(plain(state, ids), np.float32)
+    mesh = create_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    with mesh, context_parallel(mesh, MODEL_AXIS):
+
+        @jax.jit
+        def cp(state, ids):
+            logits, _ = nnx.merge(graphdef, state)(ids)
+            return logits
+
+        ids_sh = jax.device_put(ids, NamedSharding(mesh, P(None, MODEL_AXIS)))
+        got = np.asarray(cp(state, ids_sh), np.float32)
+    d = np.abs(got - ref)
+    scale = ref.std()
+    assert d.max() <= 0.1 * scale, (d.max(), scale)
+    assert d.mean() <= 0.02 * scale, (d.mean(), scale)

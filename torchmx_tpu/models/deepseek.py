@@ -419,13 +419,9 @@ class MLAAttention(nnx.Module):
         if attention_mask is None:
             from ..parallel import context as _cpmod
 
-            if _cpmod.active_cp() is not None:
-                raise NotImplementedError(
-                    "context-parallel forwards are not supported for MLA "
-                    "attention (the ring rotates per-head K/V; MLA has "
-                    "none); run DeepSeek models without context_parallel"
-                )
-            attention_mask = make_causal_mask(s, s, jnp.float32)[None, None]
+            cp = _cpmod.active_cp()
+            if cp is None:
+                attention_mask = make_causal_mask(s, s, jnp.float32)[None, None]
 
         # Expanded form (HF parity): reconstruct per-head K/V from the
         # latent and run eager attention.
@@ -437,6 +433,23 @@ class MLAAttention(nnx.Module):
         kk = jnp.concatenate(
             [k_pass, jnp.broadcast_to(k_rot, (b, n, s, dr))], axis=-1
         )
+        if attention_mask is None and cp is not None:
+            # Context-parallel prefill/scoring (round 4): per-head K/V are
+            # reconstructed from each device's LOCAL latent shard anyway in
+            # the expanded form, so the standard ring rotates them like any
+            # MHA — the sequence stays sharded and no (L, L) mask exists.
+            # (The absorbed/compressed-latent ring — rotating the r+dr
+            # latent instead — is a bandwidth optimization left open; this
+            # path is numerics-identical to the dense expanded form.)
+            mesh, axis_name, cp_layout = cp
+            out = _cpmod.ring_attention(
+                qq.astype(jnp.bfloat16), kk.astype(jnp.bfloat16),
+                v.astype(jnp.bfloat16), mesh, axis=axis_name,
+                sm_scale=self.scaling, layout=cp_layout,
+            )
+            out = out[..., : self.v_head_dim]
+            out = out.transpose(0, 2, 1, 3).reshape(b, s, n * self.v_head_dim)
+            return self.o_proj(out), None
         scores = self._einsum("bhsd,bhld->bhsl", qq, kk) * self.scaling
         scores = scores + attention_mask
         p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(

@@ -327,6 +327,9 @@ def ring_attention(
     def device_fn(q, k, v):
         idx = jax.lax.axis_index(axis)
         b, h, lq, d = q.shape
+        # V may carry its own head dim (MLA's expanded form: dq != dv); the
+        # flash accumulator follows V.
+        dv = v.shape[3]
         qf = q.astype(jnp.bfloat16).reshape(b, h_kv, g, lq, d)
 
         if layout == "zigzag":
@@ -340,12 +343,12 @@ def ring_attention(
             step = _zigzag_steps(qf, idx, n, c, sm_scale, kv_chunks,
                                  window, softcap)
             state0 = (
-                _init_state(b, h_kv, g, c, d, axis),
-                _init_state(b, h_kv, g, c, d, axis),
+                _init_state(b, h_kv, g, c, dv, axis),
+                _init_state(b, h_kv, g, c, dv, axis),
             )
             state_lo, state_hi = _ring(step, n, axis, perm, (k, v), state0)
             return jnp.concatenate(
-                [_finish(state_lo, b, h, c, d), _finish(state_hi, b, h, c, d)],
+                [_finish(state_lo, b, h, c, dv), _finish(state_hi, b, h, c, dv)],
                 axis=2,
             )
 
@@ -369,8 +372,8 @@ def ring_attention(
             )
             return jax.lax.cond(dead, lambda s: s, live, state)
 
-        state0 = _init_state(b, h_kv, g, lq, d, axis)
-        return _finish(_ring(step, n, axis, perm, (k, v), state0), b, h, lq, d)
+        state0 = _init_state(b, h_kv, g, lq, dv, axis)
+        return _finish(_ring(step, n, axis, perm, (k, v), state0), b, h, lq, dv)
 
     return shard_map(
         device_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
