@@ -90,19 +90,35 @@ def _timed_loop(step_fn, x, *consts):
     return one_trial
 
 
-def _paired(trial_a, trial_b, trials: int = TRIALS):
+def _paired(trial_a, trial_b, trials: int = TRIALS, reserve: float = 0.0,
+            on_first=None):
     """Measure two warmed-up measurements with trials INTERLEAVED
     (a, b, a, b, ...): the tunneled device drifts several percent over
     minutes, and sequential measurement biases a ratio of the two; pairing
-    cancels the drift."""
+    cancels the drift.
+
+    ``reserve``: stop adding trials (keeping at least 2) once the remaining
+    budget falls below this many seconds — the tunnel's per-call overhead
+    swings 3x between runs (measured 165 s vs 438 s for the same headline),
+    and a median of 2 beats a timeout that voids the section.
+
+    ``on_first``: called with (a, b) after the FIRST pair — the headline
+    prints a provisional record there, so even a timeout one trial in
+    leaves a parseable result."""
     a, b = [], []
-    for _ in range(trials):
+    for i in range(trials):
         a.append(trial_a())
         b.append(trial_b())
+        if i == 0 and on_first is not None:
+            on_first(a[0], b[0])
+        if reserve and i >= 1 and _left() < reserve:
+            _note(f"paired: stopping at {i + 1}/{trials} trials "
+                  f"({_left():.0f}s left < {reserve:.0f}s reserve)")
+            break
     return float(np.median(a)), float(np.median(b))
 
 
-def _headline(rng):
+def _headline(rng, on_first=None):
     from torchmx_tpu.mx_array import MXArray
     from torchmx_tpu.ops import mx_dynamic_matmul
 
@@ -124,7 +140,17 @@ def _headline(rng):
         # (exactly what MXInferenceLinear runs per forward).
         return mx_dynamic_matmul(x, w_mx, "float8_e4m3", 32, out_dtype=jnp.bfloat16)
 
-    t_bf16, t_mx = _paired(_timed_loop(bf16_step, x, w), _timed_loop(mx_step, x, w_mx))
+    _note("headline: weights packed")
+    tr_bf16 = _timed_loop(bf16_step, x, w)
+    _note("headline: bf16 loop compiled")
+    tr_mx = _timed_loop(mx_step, x, w_mx)
+    _note("headline: mx loop compiled; trials starting")
+    # Reserve >half the budget for the detail sections: on a slow-tunnel day
+    # 2 interleaved trials still give a sound median, and the headline MUST
+    # print with time to spare.
+    t_bf16, t_mx = _paired(
+        tr_bf16, tr_mx, reserve=0.55 * BUDGET_S, on_first=on_first
+    )
     return t_bf16, t_mx
 
 
@@ -176,11 +202,13 @@ def _decode_attention(rng):
     tr_eager = _timed_loop(bf16_attn_step, qd, kc, vc)
     tr_fused_bf16 = _timed_loop(bf16_fused_step, qd, kc, vc)
 
-    t_attn_mx, t_attn_bf16 = _paired(tr_fp8, tr_eager)
+    t_attn_mx, t_attn_bf16 = _paired(tr_fp8, tr_eager, reserve=0.28 * BUDGET_S)
     # int8 cache: same bytes as fp8 but ~3x cheaper VPU decode — the
     # recommended serving format (docs/results.md).
-    t_attn_int8, _ = _paired(tr_int8, tr_fp8)
-    t_attn_bf16_fused, t_attn_int8_b = _paired(tr_fused_bf16, tr_int8)
+    t_attn_int8, _ = _paired(tr_int8, tr_fp8, reserve=0.24 * BUDGET_S)
+    t_attn_bf16_fused, t_attn_int8_b = _paired(
+        tr_fused_bf16, tr_int8, reserve=0.20 * BUDGET_S
+    )
     return {
         "shape": {"b": B, "hq": HQ, "hkv": HKV, "d": D, "L": L},
         "fused_mx_fp8_cache_ms": round(t_attn_mx * 1e3, 3),
@@ -281,7 +309,7 @@ def _moe_grouped(E=8, K_=4096, N_=14336, T=8, k=2, tm=8, bn=512, bk=512):
         [jnp.arange(T, dtype=jnp.int32) % E, (jnp.arange(T, dtype=jnp.int32) + 1) % E],
         axis=1,
     )
-    t_routed, t_all = _paired(trial(routed), trial(spread))
+    t_routed, t_all = _paired(trial(routed), trial(spread), reserve=30.0)
     return {
         "shape": {"E": E, "K": K_, "N": N_, "T": T, "k": k},
         "routed2_ms": round(t_routed * 1e3, 3),
@@ -322,7 +350,24 @@ def main():
     rng = np.random.default_rng(0)
 
     _note(f"budget {BUDGET_S:.0f}s; headline matmul starting")
-    t_bf16, t_mx = _headline(rng)
+
+    def emit(tb, tm, provisional):
+        r = tb / tm
+        rec = {
+            "metric": "mxfp4w_fp8a_matmul_frac_of_bf16",
+            "value": round(r, 4),
+            "unit": "ratio",
+            "vs_baseline": round(r / 0.80, 4),
+        }
+        if provisional:
+            rec["detail"] = {"provisional": "first trial pair"}
+        print(json.dumps(rec), flush=True)
+        _note(f"headline {'provisional ' if provisional else ''}printed: {r:.4f}")
+
+    # A provisional record lands after the FIRST trial pair: on a
+    # slow-compile day (measured 440 s for the two loop compiles alone) a
+    # driver timeout right after still finds a parseable headline.
+    t_bf16, t_mx = _headline(rng, on_first=lambda a, b: emit(a, b, True))
     ratio = t_bf16 / t_mx
     flops = 2.0 * M * K * N
     detail = {
