@@ -393,8 +393,11 @@ def main():
     # only starts when its estimate fits the remaining budget.
     sections = (
         ("decode_attention", lambda: _decode_attention(rng), 150.0),
+        # moe before serving: it is cheap (~45 s measured) while serving's
+        # first compile alone swings 20-90 s; serving's per-batch guards
+        # degrade gracefully when the budget runs short.
+        ("moe_grouped", _moe_grouped, 55.0),
         ("serving_8b", _serving_toks, 75.0),  # per-batch guards inside
-        ("moe_grouped", _moe_grouped, 60.0),
         ("compositions", _compositions, 45.0),
     )
     for name, fn, est in sections:

@@ -9,6 +9,11 @@ dropless grouped GEMM).  No reference counterpart: the reference has no MoE
 Usage: python examples/mixtral_moe_serving.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
