@@ -451,3 +451,124 @@ def test_deepseek_context_parallel_forward_matches_plain():
     scale = ref.std()
     assert d.max() <= 0.1 * scale, (d.max(), scale)
     assert d.mean() <= 0.02 * scale, (d.mean(), scale)
+
+
+def test_deepseek_scan_over_layers_matches_plain():
+    """Round 4: scan-over-layers serves DeepSeek (the 61-layer V3 compile
+    story).  Layers mix a dense-MLP prefix with MoE layers — same windows,
+    different graphdefs — so the plan refines into structure runs; logits,
+    cached greedy decode (MX latent caches), and the serving engine stream
+    must match the plain per-layer model."""
+    import pathlib
+    import sys as _sys
+
+    from torchmx_tpu import checkpoint as ckpt
+    from torchmx_tpu.models.generate import generate
+    from torchmx_tpu.models.scan import ScanLlamaForCausalLM
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    # The TRAINED MLA checkpoint: random-init MoE routing flips experts at
+    # near-tie scores between two compilations (scan vs plain), turning
+    # logit comparisons into coin flips; the trained router's margins are
+    # decisive (same rationale as trained_tiny_quantized).
+    root = pathlib.Path(__file__).resolve().parent.parent
+    if str(root) not in _sys.path:
+        _sys.path.insert(0, str(root))
+    from tools.train_tiny_lm import PRESETS, load_corpus
+
+    _, cfg = PRESETS["mla"]
+    model = DeepseekV3ForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = ckpt.load_model(str(root / "artifacts" / "lm_mla"), model)
+    corpus = load_corpus("lm_mla")
+    scan_model = ScanLlamaForCausalLM.from_model(model)
+    assert scan_model._plan[0] == "runs" and scan_model._plan[1] == [(0, 1), (1, 4)]
+
+    ids = jnp.asarray(
+        np.stack([corpus[i * 911 : i * 911 + 24] for i in range(2)]), jnp.int32
+    )
+
+    def logits_of(m):
+        graphdef, state = nnx.split(m)
+
+        import jax
+
+        @jax.jit
+        def fwd(state, ids):
+            out, _ = nnx.merge(graphdef, state)(ids)
+            return out
+
+        return np.asarray(fwd(state, ids), np.float32)
+
+    ref = logits_of(model)
+    got = logits_of(scan_model)
+    # Per-position gate with a routing-flip allowance: scan vs unrolled is
+    # a recompilation — hidden-state ulp drift can flip the MoE top-k at
+    # near-tie router scores on a few tokens (large but LEGAL logit
+    # changes there); everywhere else the drift must stay at bf16 scale.
+    d = np.abs(got - ref).max(-1)  # (b, s)
+    tight = d <= 0.1 * ref.std()
+    # Observed: flips cluster on EARLY positions (short context -> router
+    # scores near-tie); an all-dense config matches everywhere at bf16
+    # scale (max 0.023 vs std 0.71), pinning the loose positions on
+    # routing, not the scan machinery.
+    assert tight.mean() >= 0.8, (tight.mean(), d.max())
+    assert np.median(d) <= 0.05 * ref.std()
+
+    # And the MLA scan body itself is tight: all-dense layers, same seed
+    # recipe, strict elementwise gate.
+    dense = DeepseekV3ForCausalLM(
+        tiny_config(first_k_dense_replace=3), rngs=nnx.Rngs(7)
+    )
+    dense_scan = ScanLlamaForCausalLM.from_model(dense)
+    ids2 = jnp.asarray(
+        np.random.RandomState(7).randint(0, 256, (2, 24)), jnp.int32
+    )
+
+    def logits2(m):
+        graphdef, state = nnx.split(m)
+
+        import jax
+
+        @jax.jit
+        def fwd(state, ids):
+            out, _ = nnx.merge(graphdef, state)(ids)
+            return out
+
+        return np.asarray(fwd(state, ids2), np.float32)
+
+    rd, gd = logits2(dense), logits2(dense_scan)
+    assert np.abs(gd - rd).max() <= 0.1 * rd.std()
+
+    # Cached greedy decode through the MX LATENT caches, tie-aware (the
+    # same flip allowance at the stream level).
+    from tests.test_parallel import assert_streams_equal_outside_ties
+
+    prompt = jnp.asarray(np.asarray(corpus[5000:5012])[None], jnp.int32)
+    kv = MXConfig("int8")
+    refs, margins = _greedy_stream_with_margins(model, prompt, 6, kv)
+    toks = np.asarray(
+        generate(scan_model, prompt, max_new_tokens=6, kv_cache_config=kv)
+    )[:, -6:]
+    assert_streams_equal_outside_ties(
+        toks, refs, margins, min_compared=0.0
+    )
+
+    # Serving engine: stacked latent caches scatter per slot (slot axis 1).
+    p = [int(t) for t in corpus[7000:7009]]
+
+    def run(m):
+        eng = DecodeEngine(m, max_batch=2, max_len=64, kv_cache_config=kv)
+        slot = eng.add(p)
+        toks = []
+        while len(toks) < 5:
+            out = eng.step()
+            if slot in out:
+                toks.append(out[slot])
+        return toks
+
+    e_ref, e_margins = _greedy_stream_with_margins(
+        model, jnp.asarray(np.asarray(p)[None], jnp.int32), 5, kv
+    )
+    assert_streams_equal_outside_ties(
+        np.asarray(run(scan_model))[None], e_ref, e_margins, min_compared=0.0
+    )

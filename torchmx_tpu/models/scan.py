@@ -93,6 +93,49 @@ def stack_decoder_layer_groups(layers, period: int):
     return graphdefs, tuple(parts)
 
 
+def _refine_plan_by_structure(plan, layers, config):
+    """Split the window-based body plan wherever layers differ STRUCTURALLY
+    (unequal module trees): DeepSeek-V3 mixes a dense-MLP prefix
+    (``first_k_dense_replace``) with MoE layers — same windows, different
+    structures — and stacking across that boundary would fail (or worse,
+    misalign).  Structure is compared via the STATE pytree (treedef + leaf
+    shapes/dtypes), not the graphdef — graphdefs embed the static
+    ``layer_idx`` and would never compare equal.  Bodies whose layers
+    already share a structure pass through unchanged; otherwise the plan
+    falls back to runs of equal (window, structure)."""
+
+    def sig(layer):
+        leaves, treedef = jax.tree_util.tree_flatten(nnx.split(layer)[1])
+        return (
+            treedef,
+            tuple((tuple(x.shape), str(x.dtype)) for x in leaves),
+        )
+
+    gds = [sig(l) for l in layers]
+    n = len(gds)
+    if plan[0] == "uniform":
+        if all(g == gds[0] for g in gds):
+            return plan
+    elif plan[0] == "period":
+        if all(gds[i] == gds[i % plan[1]] for i in range(n)):
+            return plan
+    else:
+        if all(
+            gds[i] == gds[s] for s, e in plan[1] for i in range(s, e)
+        ):
+            return plan
+
+    def key(i):
+        return (config.layer_window(i), gds[i])
+
+    runs, s0 = [], 0
+    for i in range(1, n + 1):
+        if i == n or key(i) != key(s0):
+            runs.append((s0, i))
+            s0 = i
+    return ("runs", runs)
+
+
 class ScanLlamaForCausalLM(nnx.Module):
     """Llama forward with ``lax.scan`` over stacked decoder layers.
 
@@ -114,8 +157,10 @@ class ScanLlamaForCausalLM(nnx.Module):
         # body's window is static via its graphdef's layer_idx.
         from .llama import plan_layer_bodies
 
-        self._plan = plan_layer_bodies(model.config)
         inner = model.model
+        self._plan = _refine_plan_by_structure(
+            plan_layer_bodies(model.config), list(inner.layers), model.config
+        )
         self.embed_tokens = inner.embed_tokens
         self.norm = inner.norm
         self.inv_freq = inner.inv_freq
@@ -301,7 +346,27 @@ class ScanLlamaForCausalLM(nnx.Module):
                 "ring caches are implemented for MX KV caches; pass a "
                 "kv_cache_config"
             )
-        if kv_cache_config is None:
+        if getattr(c, "kv_lora_rank", None):
+            # DeepSeek MLA: the per-layer cache is a compressed LATENT
+            # buffer, not per-head K/V.
+            from .deepseek import MLACache, MXMLACache
+
+            if ring:
+                raise NotImplementedError(
+                    "ring caches apply to sliding-window models; "
+                    "DeepSeek-V3 attends full-causal"
+                )
+            if kv_cache_config is None:
+                one = MLACache.create(
+                    batch, max_len, c.kv_lora_rank, c.qk_rope_head_dim
+                )
+            else:
+                one = MXMLACache.create(
+                    batch, max_len, c.kv_lora_rank, c.qk_rope_head_dim,
+                    kv_cache_config.elem_dtype_name,
+                    kv_cache_config.block_size,
+                )
+        elif kv_cache_config is None:
             one = LayerKVCache.create(batch, c.num_key_value_heads, max_len, c.head_dim)
         else:
             one = MXLayerKVCache.create(
