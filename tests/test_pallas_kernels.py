@@ -427,6 +427,7 @@ def test_fp6_quarters_linear_layer_uses_quarters():
 @pytest.mark.parametrize("ename,pack", [
     ("float8_e4m3", "pair"),
     ("float4_e2m1", "halves"),
+    ("float8_e4m3", "halves"),
     ("float6_e3m2", "quarters"),
 ])
 def test_x_cache_path_bit_identical(ename, pack):
@@ -439,7 +440,10 @@ def test_x_cache_path_bit_identical(ename, pack):
     w = (jax.random.normal(jax.random.PRNGKey(30), (N, K)) * 0.1).astype(jnp.bfloat16)
     w_km = MXArray.to_mx(w, ename, 32).T
     if pack == "halves":
-        w_km = w_km.to_fp4_halves()
+        w_km = (
+            w_km.to_fp8_halves() if ename == "float8_e4m3"
+            else w_km.to_fp4_halves()
+        )
     elif pack == "quarters":
         w_km = w_km.to_fp6_quarters()
     x = rand_bf16(31, (M, K), spread=1.0)
@@ -452,7 +456,8 @@ def test_x_cache_path_bit_identical(ename, pack):
             xc, w_km.data, w_km.scale_e8m0, ename, bn, bk, jnp.bfloat16, None, cache
         ),
         "halves": lambda xc, cache: pm._pallas_matmul_fp4_halves(
-            xc, w_km.data, w_km.scale_e8m0, bn, bk, jnp.bfloat16, None, cache
+            xc, w_km.data, w_km.scale_e8m0, bn, bk, jnp.bfloat16, None, cache,
+            elem_name=ename,
         ),
         "quarters": lambda xc, cache: pm._pallas_matmul_fp6q(
             xc, w_km.data, w_km.scale_e8m0, ename, bn, bk, jnp.bfloat16, None, cache
@@ -481,6 +486,7 @@ def test_x_cache_path_bit_identical(ename, pack):
 @pytest.mark.parametrize("ename,pack", [
     ("float8_e4m3", "pair"),
     ("float4_e2m1", "halves"),
+    ("float8_e4m3", "halves"),
     ("float6_e3m2", "quarters"),
 ])
 def test_pipelined_fq_cache_bit_identical(ename, pack):
@@ -494,7 +500,10 @@ def test_pipelined_fq_cache_bit_identical(ename, pack):
     w = (jax.random.normal(jax.random.PRNGKey(40), (N, K)) * 0.1).astype(jnp.bfloat16)
     w_km = MXArray.to_mx(w, ename, 32).T
     if pack == "halves":
-        w_km = w_km.to_fp4_halves()
+        w_km = (
+            w_km.to_fp8_halves() if ename == "float8_e4m3"
+            else w_km.to_fp4_halves()
+        )
     elif pack == "quarters":
         w_km = w_km.to_fp6_quarters()
     x = rand_bf16(41, (M, K), spread=1.0)
@@ -505,7 +514,7 @@ def test_pipelined_fq_cache_bit_identical(ename, pack):
         ),
         "halves": lambda pipe: pm._pallas_matmul_fp4_halves(
             x, w_km.data, w_km.scale_e8m0, bn, bk, jnp.bfloat16,
-            "float8_e4m3", True, pipe,
+            "float8_e4m3", True, pipe, elem_name=ename,
         ),
         "quarters": lambda pipe: pm._pallas_matmul_fp6q(
             x, w_km.data, w_km.scale_e8m0, ename, bn, bk, jnp.bfloat16,
