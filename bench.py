@@ -294,13 +294,16 @@ def _moe_grouped(E=8, K_=4096, N_=14336, T=8, k=2, tm=8, bn=512, bk=512):
         )
         xs, te, rows = jax.device_put((xs, te, rows))
 
-        def step(xs_, te_, rows_):
+        # Weights ride as ARGUMENTS, never closure constants: a closed-over
+        # (E, K, N) int8 array bakes ~470 MB of literals into the HLO and
+        # the tunneled compile request dies with HTTP 413.
+        def step(xs_, te_, rows_, w_codes_, w_scale_):
             return grouped_matmul(
-                xs_, w_codes, te_, rows_, tm=tm, bn=bn, bk=bk,
-                w_scale=w_scale, elem_name="int8",
+                xs_, w_codes_, te_, rows_, tm=tm, bn=bn, bk=bk,
+                w_scale=w_scale_, elem_name="int8",
             )
 
-        return _timed_loop(step, xs, te, rows)
+        return _timed_loop(step, xs, te, rows, w_codes, w_scale)
 
     # Routed: all T tokens pick the same 2 experts (decode worst/best case
     # for locality); All: tokens spread over every expert.
@@ -398,7 +401,10 @@ def main():
         # degrade gracefully when the budget runs short.
         ("moe_grouped", _moe_grouped, 55.0),
         ("serving_8b", _serving_toks, 75.0),  # per-batch guards inside
-        ("compositions", _compositions, 45.0),
+        # Honest estimate: the 8-device CPU-mesh dryrun takes ~3-4 min, so
+        # this usually records a skip marker (MULTICHIP_r{N}.json carries
+        # the full composition story); it only runs on a fast-tunnel day.
+        ("compositions", _compositions, 220.0),
     )
     for name, fn, est in sections:
         if _left() < est:

@@ -71,6 +71,68 @@ def _grouped_kernel_bf16(te_ref, rows_ref, x_ref, w_ref, o_ref, acc_ref):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _grouped_kernel_tinner(
+    te_ref, rows_ref, x_ref, w_ref, *rest, elem_name, tm
+):
+    """Row-tile-INNERMOST variant (grid (j, k, t)) for decode-sized R.
+
+    With t outermost (the original layout) the dead-tile skip never
+    engaged: the weight block index ``(te[t], k, j)`` changes every step of
+    each tile's (j, k) sweep, so every tile — dead ones included —
+    re-streams AND re-decodes its expert's entire weight matrix (measured
+    on-chip: routed-2-of-8 cost the same as all-8, 2.57 vs 2.78 ms; the
+    decode VPU work dominated).  With t innermost, consecutive tiles of the
+    SAME expert keep the weight block resident (Pallas skips the DMA on an
+    unchanged index) and the MX decode lands in a (bk, bn) bf16 VMEM
+    scratch refreshed only when the tile's expert CHANGES — per (j, k)
+    step the kernel streams and decodes exactly the routed experts' blocks
+    once each (routed-2 measured 0.873 ms, 2.9x the t-outer layout).
+    Costs an (R, bn) fp32 accumulator in VMEM; ``grouped_matmul`` falls
+    back to the t-outer layout when that would not fit."""
+    if elem_name is None:
+        o_ref, acc_ref = rest
+        wdec_ref = None
+    else:
+        s_ref, o_ref, acc_ref, wdec_ref = rest
+    k = pl.program_id(1)
+    t = pl.program_id(2)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[pl.ds(t * tm, tm)] = jnp.zeros_like(acc_ref[pl.ds(t * tm, tm)])
+
+    if elem_name is None:
+        w_for_dot = lambda: w_ref[0]  # noqa: E731 — bf16 blocks decode-free
+    else:
+        fresh = (t == 0) | (te_ref[t] != te_ref[jnp.maximum(t - 1, 0)])
+
+        @pl.when(fresh)
+        def _():
+            codes = w_ref[0].astype(jnp.int32)
+            se = _expand_scale(s_ref[0].astype(jnp.int32), BLOCK)
+            if elem_name == "int8":
+                wdec_ref[:] = decode_int8_to_bf16(codes, se)
+            else:
+                wdec_ref[:] = decode_codes_to_bf16(
+                    codes, se, dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name],
+                    dot_operand=True,
+                )
+
+        w_for_dot = lambda: wdec_ref[:]  # noqa: E731
+
+    @pl.when(rows_ref[t] > 0)
+    def _():
+        acc_ref[pl.ds(t * tm, tm)] += jax.lax.dot_general(
+            x_ref[:], w_for_dot(), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[pl.ds(t * tm, tm)].astype(o_ref.dtype)
+
+
 def _grouped_kernel_mx(te_ref, rows_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, elem_name):
     t = pl.program_id(0)
     k = pl.program_id(2)
@@ -133,29 +195,62 @@ def grouped_matmul(
     R, K = x_sorted.shape
     E, _, N = w_stacked.shape
     assert R % tm == 0 and K % bk == 0 and N % bn == 0
-    grid = (R // tm, N // bn, K // bk)
-
-    x_spec = pl.BlockSpec(
-        (tm, bk), lambda t, j, k, te, rows: (t, k), memory_space=pltpu.VMEM
-    )
-    w_spec = pl.BlockSpec(
-        (1, bk, bn), lambda t, j, k, te, rows: (te[t], k, j), memory_space=pltpu.VMEM
-    )
-    out_spec = pl.BlockSpec(
-        (tm, bn), lambda t, j, k, te, rows: (t, j), memory_space=pltpu.VMEM
-    )
-    if w_scale is None:
-        kernel = _grouped_kernel_bf16
-        in_specs = [x_spec, w_spec]
-        args = (tile_expert, tile_rows, x_sorted, w_stacked)
-        w_bytes = 2
+    # Row-tile-innermost layout whenever its (R, bn) fp32 accumulator fits
+    # comfortably in VMEM: the ONLY grid order under which a row tile whose
+    # expert matches the previous tile's reuses the resident weight block
+    # (the dead-tile/dropless DMA skip — see _grouped_kernel_tinner).
+    t_inner = R * bn * 4 <= 4 * 1024 * 1024
+    if t_inner:
+        grid = (N // bn, K // bk, R // tm)
+        x_spec = pl.BlockSpec(
+            (tm, bk), lambda j, k, t, te, rows: (t, k), memory_space=pltpu.VMEM
+        )
+        w_spec = pl.BlockSpec(
+            (1, bk, bn), lambda j, k, t, te, rows: (te[t], k, j),
+            memory_space=pltpu.VMEM,
+        )
+        s_spec = pl.BlockSpec(
+            (1, bk // BLOCK, bn), lambda j, k, t, te, rows: (te[t], k, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (tm, bn), lambda j, k, t, te, rows: (t, j), memory_space=pltpu.VMEM
+        )
+        kernel = functools.partial(
+            _grouped_kernel_tinner,
+            elem_name=None if w_scale is None else elem_name,
+            tm=tm,
+        )
+        scratch = [pltpu.VMEM((R, bn), jnp.float32)]
+        if w_scale is not None:
+            scratch.append(pltpu.VMEM((bk, bn), jnp.bfloat16))
     else:
-        kernel = functools.partial(_grouped_kernel_mx, elem_name=elem_name)
+        grid = (R // tm, N // bn, K // bk)
+        x_spec = pl.BlockSpec(
+            (tm, bk), lambda t, j, k, te, rows: (t, k), memory_space=pltpu.VMEM
+        )
+        w_spec = pl.BlockSpec(
+            (1, bk, bn), lambda t, j, k, te, rows: (te[t], k, j),
+            memory_space=pltpu.VMEM,
+        )
         s_spec = pl.BlockSpec(
             (1, bk // BLOCK, bn),
             lambda t, j, k, te, rows: (te[t], k, j),
             memory_space=pltpu.VMEM,
         )
+        out_spec = pl.BlockSpec(
+            (tm, bn), lambda t, j, k, te, rows: (t, j), memory_space=pltpu.VMEM
+        )
+        kernel = (
+            _grouped_kernel_bf16 if w_scale is None
+            else functools.partial(_grouped_kernel_mx, elem_name=elem_name)
+        )
+        scratch = [pltpu.VMEM((tm, bn), jnp.float32)]
+    if w_scale is None:
+        in_specs = [x_spec, w_spec]
+        args = (tile_expert, tile_rows, x_sorted, w_stacked)
+        w_bytes = 2
+    else:
         in_specs = [x_spec, w_spec, s_spec]
         args = (tile_expert, tile_rows, x_sorted, w_stacked, w_scale)
         w_bytes = 1
@@ -164,7 +259,7 @@ def grouped_matmul(
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((tm, bn), jnp.float32)],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
