@@ -464,3 +464,43 @@ def test_engine_speculative_sampling_runs():
     assert a != c
     assert len(a) == n and all(0 <= t < cfg.vocab_size for t in a)
     assert 0 < va < n, va
+
+
+def test_speculative_on_deepseek_mla():
+    """Prompt-lookup speculation serves DeepSeek: the (K+1)-token verify
+    writes MLA LATENT cache rows (per-row kv_len hides stale ones), and the
+    emitted stream matches plain greedy tie-aware on the trained MLA
+    checkpoint."""
+    import pathlib
+    import sys as _sys
+
+    from torchmx_tpu import checkpoint as ckpt
+    from torchmx_tpu.config import MXConfig
+    from torchmx_tpu.models.deepseek import DeepseekV3ForCausalLM
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    if str(root) not in _sys.path:
+        _sys.path.insert(0, str(root))
+    from tools.train_tiny_lm import PRESETS, load_corpus
+
+    from tests.test_deepseek import _greedy_stream_with_margins
+    from tests.test_parallel import assert_streams_equal_outside_ties
+
+    _, cfg = PRESETS["mla"]
+    model = DeepseekV3ForCausalLM(cfg, rngs=nnx.Rngs(0))
+    model = ckpt.load_model(str(root / "artifacts" / "lm_mla"), model)
+    corpus = load_corpus("lm_mla")
+    prompt = jnp.asarray(np.asarray(corpus[900:924])[None], jnp.int32)
+
+    kv = MXConfig("int8")
+    ref, margins = _greedy_stream_with_margins(model, prompt, 16, kv)
+    got, stats = generate_speculative(
+        model, prompt, max_new_tokens=16, kv_cache_config=kv,
+        draft_len=5, return_stats=True,
+    )
+    assert_streams_equal_outside_ties(
+        np.asarray(got), ref, margins, min_compared=0.0
+    )
+    # Speculation must actually accept on repo text (fewer verifies than
+    # tokens), or the MLA verify path is silently degenerate.
+    assert stats["steps"] < 16, stats
