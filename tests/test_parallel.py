@@ -881,3 +881,31 @@ def test_pipeline_decode_rejects_aperiodic_mix():
     mesh = create_mesh((4, 2))
     with pytest.raises(NotImplementedError, match="APERIODIC"):
         pipeline_decode_model(model, mesh, n_microbatches=2)
+
+
+def test_pipeline_model_mixed_periodic_windows():
+    """Gemma2-shaped alternating sliding/full layers through the full-
+    forward pipeline (round 4; previously raised): the stage body unrolls
+    the period's sub-bodies with their own static masks, and staged logits
+    match the sequential model's."""
+    from tests.test_scan_model import _assert_close, mixed_model
+    from torchmx_tpu.parallel import pipeline_model
+
+    model = mixed_model(["sliding_attention", "full_attention"] * 2, seed=51)
+    ids = jnp.asarray(
+        np.random.RandomState(51).randint(0, 128, (4, 24)), jnp.int32
+    )
+    ref, _ = model(ids)
+    mesh = create_mesh((4, 2))
+    fwd, params = pipeline_model(model, mesh, n_microbatches=2)
+    with mesh:
+        staged_sh = NamedSharding(mesh, P(MODEL_AXIS))
+        params["staged"] = jax.tree.map(
+            lambda a: jax.device_put(a, staged_sh), params["staged"]
+        )
+        out = jax.jit(fwd)(params, ids)
+    _assert_close(np.asarray(out, np.float32), np.asarray(ref, np.float32))
+    # And the window must bite: a windowless clone diverges.
+    full = mixed_model(["full_attention"] * 4, seed=51)
+    full_ref, _ = full(ids)
+    assert float(jnp.max(jnp.abs(full_ref - ref))) > 0.05

@@ -429,22 +429,43 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
     """
     from flax import nnx
 
-    from ..models.llama import make_causal_mask, rope_cos_sin, uniform_layer_window
-    from ..models.scan import stack_decoder_layers
+    from ..models.llama import make_causal_mask, plan_layer_bodies, rope_cos_sin
+    from ..models.scan import stack_decoder_layer_groups
 
     cfg = model.config
     from ..models.llama import rope_attention_scaling as _ras
 
     _rope_scale = _ras(cfg)
     # Sliding-window models pipeline fine when every layer shares the
-    # window (Mistral); mixed layer_types raise here (shared stage body).
-    window = uniform_layer_window(cfg)
+    # window (Mistral); PERIODIC mixes (Gemma2 alternation) unroll the
+    # period's sub-bodies per stage scan step, each with its own static
+    # mask.  Aperiodic mixes don't tile stages (same rule as the decode
+    # variant).
+    plan = plan_layer_bodies(cfg)
+    if plan[0] == "runs":
+        raise NotImplementedError(
+            "pipeline stages share one compiled body per stage; an "
+            f"APERIODIC window mix (runs {plan[1]}) does not tile them — "
+            "use the plain or scan model for this config"
+        )
+    period = 1 if plan[0] == "uniform" else plan[1]
+    body_windows = (
+        [plan[1]] if plan[0] == "uniform"
+        else [cfg.layer_window(j) for j in range(period)]
+    )
     n_stages = mesh.shape[axis]
     L = cfg.num_hidden_layers
     assert L % n_stages == 0, f"{L} layers not divisible into {n_stages} stages"
-    layer_graphdef, stacked = stack_decoder_layers(model.model.layers)
+    layers_per_stage = L // n_stages
+    assert layers_per_stage % period == 0, (
+        f"window period {period} does not tile {layers_per_stage} layers/stage"
+    )
+    n_groups = layers_per_stage // period
+    layer_graphdefs, parts = stack_decoder_layer_groups(
+        model.model.layers, period
+    )
     staged = jax.tree.map(
-        lambda a: a.reshape(n_stages, L // n_stages, *a.shape[1:]), stacked
+        lambda a: a.reshape(n_stages, n_groups, *a.shape[1:]), parts
     )
 
     embed_gd, embed_state = nnx.split(model.model.embed_tokens)
@@ -462,16 +483,19 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
         inv_freq=model.model.inv_freq.get_value(),
     )
 
-    def stage_fn(stage_params, x, cos, sin, mask):
-        def body(x, lstate):
-            layer = nnx.merge(layer_graphdef, lstate)
-            y, _ = layer(
-                x, cos=cos, sin=sin, attention_mask=mask,
-                cache=None, cache_position=None,
-            )
-            return y, None
+    def stage_fn(stage_params, x, cos, sin, *masks):
+        # stage_params: tuple of `period` trees, each leaf (n_groups, ...);
+        # one static mask per sub-body.
+        def group_body(x, lstates):
+            for j in range(period):
+                layer = nnx.merge(layer_graphdefs[j], lstates[j])
+                x, _ = layer(
+                    x, cos=cos, sin=sin, attention_mask=masks[j],
+                    cache=None, cache_position=None,
+                )
+            return x, None
 
-        x, _ = jax.lax.scan(body, x, stage_params)
+        x, _ = jax.lax.scan(group_body, x, stage_params)
         return x
 
     def fwd(params, input_ids):
@@ -485,10 +509,17 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
         if _rope_scale != 1.0:  # LongRoPE attention factor (static)
             cos = cos * jnp.asarray(_rope_scale, cos.dtype)
             sin = sin * jnp.asarray(_rope_scale, sin.dtype)
-        mask = make_causal_mask(s, s, jnp.float32, window=window)[None, None]
+        built = {}
+
+        def mask_for(w):
+            if w not in built:
+                built[w] = make_causal_mask(s, s, jnp.float32, window=w)[None, None]
+            return built[w]
+
+        masks = tuple(mask_for(w) for w in body_windows)
         x = pipeline_apply(
             stage_fn, params["staged"], x, mesh, n_microbatches,
-            axis=axis, consts=(cos, sin, mask), data_axis=data_axis,
+            axis=axis, consts=(cos, sin) + masks, data_axis=data_axis,
             tp_axis=tp_axis,
         )
         hidden = nnx.merge(norm_gd, params["norm"])(x)
