@@ -235,12 +235,27 @@ def _serving_toks():
 
     prompt_len, new_tokens = 16, 32
     cfg = LlamaConfig(max_position_embeddings=1024, **LLAMA3_8B)
+    # Default quantized config (MXFP4-halves weights / fp8 activations /
+    # int8 KV).  The docs' TURBO recipe (int8-domain weights, d-major KV,
+    # all-int8 attention dot; 60.5 tok/s) does not fit this bench: the
+    # int8-domain 8.8 GB weights OOM beside the scan-stacking transient
+    # (measured RESOURCE_EXHAUSTED), and the int8-dot attention generate
+    # compile alone took >650 s on-chip (measured rc=124) — the driver
+    # budget cannot carry it.  tools/bench_8b_decode measures the turbo
+    # config on the plain model instead.
     t0 = time.perf_counter()
     model = build_zeros_quantized(cfg)
     # Scan-over-layers: the decoder layer compiles ONCE (~17x faster 8B
     # compiles), keeping the serving metric inside the bench time budget.
     model = ScanLlamaForCausalLM.from_model(model)
     _note(f"serving: built 8B in {time.perf_counter() - t0:.0f}s")
+    return _serving_toks_timed(model, prompt_len, new_tokens)
+
+
+def _serving_toks_timed(model, prompt_len, new_tokens):
+    from torchmx_tpu import MXConfig
+    from torchmx_tpu.models.generate import generate
+
     kv = MXConfig("int8")
     out = {"config": "mxfp4w_fp8a_int8kv_prompt16_new32"}
     rng = np.random.default_rng(0)
