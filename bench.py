@@ -228,8 +228,6 @@ def _serving_toks():
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     from bench_8b_decode import LLAMA3_8B, build_zeros_quantized
 
-    from torchmx_tpu import MXConfig
-    from torchmx_tpu.models.generate import generate
     from torchmx_tpu.models.llama import LlamaConfig
     from torchmx_tpu.models.scan import ScanLlamaForCausalLM
 
