@@ -335,18 +335,19 @@ def _moe_grouped(E=8, K_=4096, N_=14336, T=8, k=2, tm=8, bn=512, bk=512):
 
 
 def _compositions():
-    """Compile-and-run smoke of the multi-chip compositions (TP/PP/CP/EP)
-    on a virtual 8-device CPU mesh, in a subprocess so the CPU platform
-    switch cannot disturb this process's TPU backend.  Driver-visible
-    regression canary for the sharding paths (the full story lives in
-    MULTICHIP_r{N}.json)."""
+    """Compile-and-run smoke of the CORE multi-chip compositions (DPxTP QAT
+    step, quantized TP forward, PP cached decode, MX ring attention) on a
+    virtual 8-device CPU mesh, in a subprocess so the CPU platform switch
+    cannot disturb this process's TPU backend.  Driver-visible regression
+    canary for the sharding paths; the FULL dryrun (scan/PPxTP/CP/EP/MLA
+    too) lives in MULTICHIP_r{N}.json."""
     import subprocess
 
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "import sys; sys.path.insert(0, %r)\n"
         "from __graft_entry__ import dryrun_multichip\n"
-        "dryrun_multichip(8)\n"
+        "dryrun_multichip(8, sections=('qat', 'tp', 'ppd', 'ring'))\n"
         "print('COMPOSITIONS_OK')\n"
     ) % os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=8")
@@ -414,10 +415,10 @@ def main():
         # degrade gracefully when the budget runs short.
         ("moe_grouped", _moe_grouped, 55.0),
         ("serving_8b", _serving_toks, 75.0),  # per-batch guards inside
-        # Honest estimate: the 8-device CPU-mesh dryrun takes ~3-4 min, so
-        # this usually records a skip marker (MULTICHIP_r{N}.json carries
-        # the full composition story); it only runs on a fast-tunnel day.
-        ("compositions", _compositions, 220.0),
+        # Core-subset dryrun (qat/tp/ppd/ring; measured ~80 s on this CPU):
+        # fits the budget most days; MULTICHIP_r{N}.json carries the full
+        # composition story (scan, PPxTP, CP, EP, MLA).
+        ("compositions", _compositions, 110.0),
     )
     for name, fn, est in sections:
         if _left() < est:
