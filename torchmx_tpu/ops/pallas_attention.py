@@ -696,9 +696,13 @@ def _attn_kernel_int8dot(
         )  # (nc, rows, lt) exact
         eq = qs_ref[0, 0].astype(jnp.int32)  # (nc, rows)
         ek = ks_ref[0, 0].astype(jnp.int32)  # (nc, lt)
-        e = jnp.clip(eq[:, :, None] + ek[:, None, :] - 127, 0, 254)
-        scale = jax.lax.bitcast_convert_type(e << 23, jnp.float32)
-        s = jnp.sum(dots.astype(jnp.float32) * scale, axis=0) * sm_scale
+        # Factored rescale on the SMALL shapes (see _int8dot_kernel): saves
+        # the clipped exponent-sum construction on full (nc, rows, lt) lanes.
+        pq_s = jax.lax.bitcast_convert_type(eq << 23, jnp.float32)
+        pk_s = jax.lax.bitcast_convert_type(ek << 23, jnp.float32)
+        s = jnp.sum(
+            dots.astype(jnp.float32) * pq_s[:, :, None] * pk_s[:, None, :], axis=0
+        ) * sm_scale
 
         q_pos = q_hi + jnp.zeros((rows, lt), jnp.int32)
         kv_pos = kt * lt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 1)

@@ -760,11 +760,21 @@ def _int8dot_kernel(xcT_ref, sxT_ref, w_ref, sw_ref, o_ref, acc_ref):
     )  # (nb, m, bn) exact int32 block sums
     ex = sxT_ref[:].astype(jnp.int32)  # (nb, m)
     ew = sw_ref[:].astype(jnp.int32)  # (nb, bn)
-    # 2^(ex+ew-254) as f32 bits; exponent field clamped to [0, 254] (0 -> +0
-    # flushes products below the f32-normal range — far below bf16 anyway).
-    e = jnp.clip(ex[:, :, None] + ew[:, None, :] - 127, 0, 254)
-    scale = jax.lax.bitcast_convert_type(e << 23, jnp.float32)
-    acc_ref[:] += jnp.sum(dots.astype(jnp.float32) * scale, axis=0)
+    # Factored rescale: 2^(ex+ew-254) = 2^(ex-127) * 2^(ew-127), each factor
+    # built as f32 exponent bits on its SMALL native shape — the clipped
+    # exponent-sum construction on full (nb, m, bn) lanes was ~3 extra VPU
+    # ops per weight element, the token latency at decode M.  Exact for
+    # scales >= 1 on both sides: |dots| < 2^19 keeps every intermediate in
+    # f32 normal range (px >= 2^-126 so dots*px never flushes; a final
+    # underflow to 0 matches the old clamped flush, and a final overflow to
+    # inf is MORE faithful than the old silent clamp at 2^127).  A scale of
+    # 0 (a block whose every bf16 element is subnormal) flushes that block's
+    # contribution to +0 — below bf16 output precision everywhere.
+    px = jax.lax.bitcast_convert_type(ex << 23, jnp.float32)
+    pw = jax.lax.bitcast_convert_type(ew << 23, jnp.float32)
+    acc_ref[:] += jnp.sum(
+        dots.astype(jnp.float32) * px[:, :, None] * pw[:, None, :], axis=0
+    )
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _():
