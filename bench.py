@@ -415,9 +415,10 @@ def main():
         # degrade gracefully when the budget runs short.
         ("moe_grouped", _moe_grouped, 55.0),
         ("serving_8b", _serving_toks, 75.0),  # per-batch guards inside
-        # Core-subset dryrun (qat/tp/ppd/ring; measured ~80 s on this CPU):
-        # fits the budget most days; MULTICHIP_r{N}.json carries the full
-        # composition story (scan, PPxTP, CP, EP, MLA).
+        # Core-subset dryrun (qat/tp/ppd/ring; measured 59 s quiet / 96 s
+        # under load on this CPU): fits the budget most days;
+        # MULTICHIP_r{N}.json carries the full composition story
+        # (scan, PPxTP, CP, EP, MLA).
         ("compositions", _compositions, 110.0),
     )
     for name, fn, est in sections:
