@@ -28,6 +28,19 @@ import sys
 import time
 
 import jax
+
+# Persistent XLA compilation cache (round-5 fix): on driver day the two
+# headline loop compiles alone ate 461 s of the 480 s budget (BENCH_r04) —
+# the tunneled device's compile cost swings 3x between runs.  The builder's
+# own verification run primes this repo-local cache, so a cold process on
+# driver day re-loads the serialized executables in seconds instead of
+# recompiling them (measured on this backend: see docs/results.md).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,7 +104,7 @@ def _timed_loop(step_fn, x, *consts):
 
 
 def _paired(trial_a, trial_b, trials: int = TRIALS, reserve: float = 0.0,
-            on_first=None):
+            on_first=None, warmup: int = 0):
     """Measure two warmed-up measurements with trials INTERLEAVED
     (a, b, a, b, ...): the tunneled device drifts several percent over
     minutes, and sequential measurement biases a ratio of the two; pairing
@@ -104,7 +117,16 @@ def _paired(trial_a, trial_b, trials: int = TRIALS, reserve: float = 0.0,
 
     ``on_first``: called with (a, b) after the FIRST pair — the headline
     prints a provisional record there, so even a timeout one trial in
-    leaves a parseable result."""
+    leaves a parseable result.
+
+    ``warmup``: DISCARDED leading pairs.  The very first differential after
+    an executable loads from the persistent cache is unreliable on this
+    backend (measured a 7.8x bogus first-pair ratio on a warm-cache run —
+    deserialization/paging noise lands inside the first timed window); one
+    throwaway pair restores sane provisionals."""
+    for _ in range(warmup):
+        trial_a()
+        trial_b()
     a, b = [], []
     for i in range(trials):
         a.append(trial_a())
@@ -118,12 +140,19 @@ def _paired(trial_a, trial_b, trials: int = TRIALS, reserve: float = 0.0,
     return float(np.median(a)), float(np.median(b))
 
 
-def _headline(rng, on_first=None):
+def _headline(on_first=None):
     from torchmx_tpu.mx_array import MXArray
     from torchmx_tpu.ops import mx_dynamic_matmul
 
-    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
-    w = jnp.asarray(rng.standard_normal((N, K)) * 0.02, jnp.bfloat16)
+    # Inputs generated ON DEVICE (host-materialized arrays this size cost
+    # ~120 MB of tunnel transfer before the first compile even starts).
+    x, w = jax.jit(
+        lambda k: (
+            jax.random.normal(k, (M, K), jnp.bfloat16),
+            jax.random.normal(jax.random.fold_in(k, 1), (N, K), jnp.bfloat16)
+            * 0.02,
+        )
+    )(jax.random.key(0))
 
     # K-major kernel layout with fp4 halves packing, as stored by
     # MXInferenceLinear.
@@ -149,12 +178,12 @@ def _headline(rng, on_first=None):
     # 2 interleaved trials still give a sound median, and the headline MUST
     # print with time to spare.
     t_bf16, t_mx = _paired(
-        tr_bf16, tr_mx, reserve=0.55 * BUDGET_S, on_first=on_first
+        tr_bf16, tr_mx, reserve=0.55 * BUDGET_S, on_first=on_first, warmup=1
     )
     return t_bf16, t_mx
 
 
-def _decode_attention(rng):
+def _decode_attention():
     """Fused MX-KV-cache decode attention vs a bf16 cache
     (b=4 hq=32 hkv=8 d=128 L=8192 fp8; the serving hot path)."""
     import math
@@ -163,9 +192,17 @@ def _decode_attention(rng):
     from torchmx_tpu.ops import pallas_attention as pa
 
     B, HQ, HKV, D, L = 4, 32, 8, 128, 8192
-    qd = jnp.asarray(rng.standard_normal((B, HQ, 1, D)) * 0.3, jnp.bfloat16)
-    kc = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
-    vc = jnp.asarray(rng.standard_normal((B, HKV, L, D)) * 0.3, jnp.bfloat16)
+    # K/V caches generated ON DEVICE (host-side arrays would ship ~130 MB
+    # through the tunnel).
+    qd, kc, vc = jax.jit(
+        lambda k: (
+            jax.random.normal(k, (B, HQ, 1, D), jnp.bfloat16) * 0.3,
+            jax.random.normal(jax.random.fold_in(k, 1), (B, HKV, L, D),
+                              jnp.bfloat16) * 0.3,
+            jax.random.normal(jax.random.fold_in(k, 2), (B, HKV, L, D),
+                              jnp.bfloat16) * 0.3,
+        )
+    )(jax.random.key(2))
     sm = 1.0 / math.sqrt(D)
 
     def fused_trial(ename, layout="seq"):
@@ -198,7 +235,7 @@ def _decode_attention(rng):
         return pa.bf16_cached_attention(q, kf, vf, L - 1, L, sm)
 
     # One trial closure per variant (a fresh _timed_loop closure means a
-    # fresh jit compile; reusing them keeps this section at 4 compiles).
+    # fresh jit compile; reusing them keeps this section at 5 compiles).
     tr_fp8 = fused_trial("float8_e4m3")
     tr_int8 = fused_trial("int8")
     tr_int8_dm = fused_trial("int8", layout="dmajor")
@@ -235,15 +272,18 @@ def _decode_attention(rng):
 
 def _serving_toks():
     """8B-shape greedy-decode tok/s (scan-over-layers model, single-dispatch
-    lax.scan decode; tok/s counts prefill+decode wall clock at 32 new
-    tokens, so it is conservative vs the docs' steady-state table)."""
+    lax.scan decode), measured the way the docs table is: steady-state wall
+    clock of a full generate() call (prefill + 128 decode steps) AFTER the
+    compile call, min over repeats — `tools/bench_8b_decode.py`'s method.
+    Affordable inside the driver budget since round 5's persistent
+    compilation cache (the big generate compiles load from disk)."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     from bench_8b_decode import LLAMA3_8B, build_zeros_quantized
 
     from torchmx_tpu.models.llama import LlamaConfig
     from torchmx_tpu.models.scan import ScanLlamaForCausalLM
 
-    prompt_len, new_tokens = 16, 32
+    prompt_len, new_tokens = 64, 128
     cfg = LlamaConfig(max_position_embeddings=1024, **LLAMA3_8B)
     # Default quantized config (MXFP4-halves weights / fp8 activations /
     # int8 KV).  The docs' TURBO recipe (int8-domain weights, d-major KV,
@@ -267,10 +307,12 @@ def _serving_toks_timed(model, prompt_len, new_tokens):
     from torchmx_tpu.models.generate import generate
 
     kv = MXConfig("int8")
-    out = {"config": "mxfp4w_fp8a_int8kv_prompt16_new32"}
+    out = {"config": "mxfp4w_fp8a_int8kv_prompt64_new128_steady"}
     rng = np.random.default_rng(0)
-    # b=1 costs the big compile (~75s); b=32 reuses most of it (~20s).
-    for batch, key, est in ((1, "tok_s_b1", 120.0), (32, "tok_s_b32", 45.0)):
+    # b=1 costs the big compile (warm cache: seconds; cold: ~75-650s);
+    # b=32 reuses most of it.  Steady-state runtime per timed call is
+    # ~new_tokens/35 s at b=1 (~4s) — the estimates cover compile + 2 calls.
+    for batch, key, est in ((1, "tok_s_b1", 120.0), (32, "tok_s_b32", 60.0)):
         if _left() < est:
             out[key] = None
             out[f"{key}_skipped"] = "time budget"
@@ -301,13 +343,19 @@ def _moe_grouped(E=8, K_=4096, N_=14336, T=8, k=2, tm=8, bn=512, bk=512):
     from torchmx_tpu.mx_array import quantize_mx
     from torchmx_tpu.ops.pallas_moe import group_tokens, grouped_matmul
 
-    rng = np.random.default_rng(1)
-    w = jnp.asarray(rng.standard_normal((E, N_, K_)) * 0.02, jnp.bfloat16)
-    ws, wq = quantize_mx(w, "int8", 32)  # blocked along K
-    w_codes = jax.device_put(wq.swapaxes(1, 2))  # (E, K, N)
-    w_scale = jax.device_put(ws.swapaxes(1, 2))
-    del w, wq, ws
-    x = jnp.asarray(rng.standard_normal((T, K_)) * 0.3, jnp.bfloat16)
+    # Generate + quantize the (E, N, K) weights ON DEVICE: materializing
+    # them host-side shipped ~1 GB bf16 through the tunnel (measured: the
+    # transfer, not compute, dominated this section's 230 s wall).
+    @jax.jit
+    def make_weights(key):
+        w = jax.random.normal(key, (E, N_, K_), jnp.bfloat16) * 0.02
+        ws, wq = quantize_mx(w, "int8", 32)  # blocked along K
+        return wq.swapaxes(1, 2), ws.swapaxes(1, 2)  # (E, K, N)
+
+    w_codes, w_scale = make_weights(jax.random.key(1))
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((T, K_)) * 0.3, jnp.bfloat16
+    )
 
     def trial(top_idx):
         # jit the grouping: EAGER ops on the tunneled backend cost ~0.5-100s
@@ -362,7 +410,15 @@ def _compositions():
         "dryrun_multichip(8, sections=('qat', 'tp', 'ppd', 'ring'))\n"
         "print('COMPOSITIONS_OK')\n"
     ) % os.path.dirname(os.path.abspath(__file__))
-    env = dict(os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        # The CPU-mesh compiles cache too (separate keys from the TPU ones);
+        # a primed cache cuts this section from ~60-95s of compiles to IO.
+        JAX_COMPILATION_CACHE_DIR=_CACHE_DIR,
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+        JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
+    )
     t0 = time.perf_counter()
     proc = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
@@ -376,8 +432,6 @@ def _compositions():
 
 
 def main():
-    rng = np.random.default_rng(0)
-
     _note(f"budget {BUDGET_S:.0f}s; headline matmul starting")
 
     def emit(tb, tm, provisional):
@@ -396,7 +450,7 @@ def main():
     # A provisional record lands after the FIRST trial pair: on a
     # slow-compile day (measured 440 s for the two loop compiles alone) a
     # driver timeout right after still finds a parseable headline.
-    t_bf16, t_mx = _headline(rng, on_first=lambda a, b: emit(a, b, True))
+    t_bf16, t_mx = _headline(on_first=lambda a, b: emit(a, b, True))
     ratio = t_bf16 / t_mx
     flops = 2.0 * M * K * N
     detail = {
@@ -421,7 +475,11 @@ def main():
     # (name, fn, estimated cost in seconds) — priority order.  A section
     # only starts when its estimate fits the remaining budget.
     sections = (
-        ("decode_attention", lambda: _decode_attention(rng), 150.0),
+        # Estimates are COLD-cache costs; with the persistent compilation
+        # cache primed (the normal case — the builder's verification run
+        # writes it) each section's compiles load from disk in seconds and
+        # the actual cost is a fraction of the estimate.
+        ("decode_attention", _decode_attention, 170.0),
         # moe before serving: it is cheap (~45 s measured) while serving's
         # first compile alone swings 20-90 s; serving's per-batch guards
         # degrade gracefully when the budget runs short.

@@ -179,13 +179,9 @@ def test_context_parallel_perplexity_matches_plain():
     assert abs(ppl_cp - ppl_plain) < 0.02 * ppl_plain, (ppl_cp, ppl_plain)
 
 
-def test_context_parallel_rejects_qkv_quant_configs():
-    from flax import nnx
-    import pytest as _pytest
-
+def _qkv_quant_model():
     from tests.test_parallel import trained_tiny_quantized
     from torchmx_tpu.config import MXConfig, QAttentionConfig, QLinearConfig
-    from torchmx_tpu.parallel.context import context_parallel
     from torchmx_tpu.quant_api import quantize_llm_
 
     model, cfg, corpus = trained_tiny_quantized(quantize=False)
@@ -204,10 +200,86 @@ def test_context_parallel_rejects_qkv_quant_configs():
         ),
         qlin,
     )
+    return model, cfg, corpus
+
+
+def test_context_parallel_qkv_quant_matches_dense():
+    """CP forwards with Q/K/V quantization configs (round-5: previously a
+    NotImplementedError): the ring applies the SAME `_quantize_qkv` seam as
+    the dense eager path — Q/K fq'd along head_dim, V along the kv length —
+    and must match a dense forward with identical semantics (post-softmax
+    attention-weights quantization does not apply inside the ring's online
+    softmax; the reference semantics patch it out of the dense path)."""
+    from flax import nnx
+
+    from tests.test_parallel import _assert_greedy_tokens_match
+    from tests.test_scan_model import _assert_close
+    from torchmx_tpu.layers.mx_llama_attention import MXInferenceLlamaAttention
+    from torchmx_tpu.parallel import MODEL_AXIS
+    from torchmx_tpu.parallel.context import context_parallel
+
+    model, cfg, corpus = _qkv_quant_model()
+    # 256 tokens over 8 devices: 32-token chunks — exactly one V block each.
+    ids = jnp.asarray(
+        np.stack([corpus[i * 991 : i * 991 + 256] for i in range(2)]), jnp.int32
+    )
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def plain(state, ids):
+        logits, _ = nnx.merge(graphdef, state)(ids)
+        return logits
+
+    ref_full = np.asarray(plain(state, ids), np.float32)
+
+    # Ring-semantics dense reference: same Q/K/V quantization, attn-weights
+    # quantization disabled (the documented CP deviation).
+    patched = MXInferenceLlamaAttention._quantize_attn_weights
+    MXInferenceLlamaAttention._quantize_attn_weights = lambda self, w: w
+    try:
+
+        @jax.jit
+        def plain_noafq(state, ids):
+            logits, _ = nnx.merge(graphdef, state)(ids)
+            return logits
+
+        ref = np.asarray(plain_noafq(state, ids), np.float32)
+
+        mesh = create_mesh()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        with mesh, context_parallel(mesh, MODEL_AXIS):
+
+            @jax.jit
+            def cp(state, ids):
+                logits, _ = nnx.merge(graphdef, state)(ids)
+                return logits
+
+            ids_sh = jax.device_put(ids, NamedSharding(mesh, P(None, MODEL_AXIS)))
+            got = np.asarray(cp(state, ids_sh), np.float32)
+    finally:
+        MXInferenceLlamaAttention._quantize_attn_weights = patched
+
+    # Primary: elementwise match against the identical-semantics dense
+    # forward (only flash-merge vs dense-softmax rounding differs).
+    _assert_close(got, ref)
+    # Secondary: the full dense path (WITH attn-weights fq) still agrees on
+    # greedy tokens at confident positions — the deviation is sub-decision.
+    _assert_greedy_tokens_match(got, ref_full)
+
+
+def test_context_parallel_qkv_quant_chunk_guard():
+    """V blocks lie along the sharded sequence: a per-device chunk that
+    cannot hold whole V blocks is rejected with a clear error."""
+    import pytest as _pytest
+    from torchmx_tpu.parallel.context import context_parallel
+
+    model, cfg, corpus = _qkv_quant_model()
+    # 64 tokens over 8 devices -> 8-token chunks < block_size 32.
     ids = jnp.asarray(np.asarray(corpus[:64])[None], jnp.int32)
     mesh = create_mesh()
     with mesh, context_parallel(mesh):
-        with _pytest.raises(NotImplementedError, match="context-parallel"):
+        with _pytest.raises(ValueError, match="per-device chunk"):
             model(ids)
 
 

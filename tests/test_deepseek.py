@@ -572,3 +572,21 @@ def test_deepseek_scan_over_layers_matches_plain():
     assert_streams_equal_outside_ties(
         np.asarray(run(scan_model))[None], e_ref, e_margins, min_compared=0.0
     )
+
+
+def test_engine_ring_rejected_for_deepseek():
+    """DecodeEngine(ring=True) on DeepSeek fails with the clean
+    full-causal/sliding-window message (capability surfaced at construction,
+    not as a deep kernel error; model.generate(ring_cache=True) raises the
+    matching init_cache guard)."""
+    import pytest as _pytest
+
+    from torchmx_tpu.models.serve import DecodeEngine
+
+    model = DeepseekV3ForCausalLM(tiny_config(num_hidden_layers=1),
+                                  rngs=nnx.Rngs(9))
+    with _pytest.raises(ValueError, match="sliding-window"):
+        DecodeEngine(model, max_batch=1, max_len=64, ring=True,
+                     kv_cache_config=MXConfig("int8"))
+    with _pytest.raises(NotImplementedError, match="full-causal"):
+        model.init_cache(1, 64, MXConfig("int8"), ring=True)

@@ -417,6 +417,58 @@ def test_engine_logprobs_match_full_forward():
     assert slot not in eng.logprobs
 
 
+def test_engine_speculative_logprobs_match_plain_engine():
+    """Speculative decoding + return_logprobs (round 5 — previously
+    refused): greedy streams AND per-token logprobs match the plain
+    engine's (the verify forward computes every accepted position's full
+    logits row, so logprobs come for free)."""
+    model = tiny_model(seed=3)
+    prompt = [7, 42, 99, 3, 15, 8]
+
+    ref = DecodeEngine(model, max_batch=1, max_len=128, return_logprobs=True)
+    rs = ref.add(prompt)
+    want = collect(ref, rs, 12)
+    want_lps = list(ref.logprobs[rs])
+
+    eng = DecodeEngine(model, max_batch=1, max_len=128,
+                       speculative_draft_len=3, return_logprobs=True)
+    s = eng.add(prompt)
+    got = collect(eng, s, 12)
+    lps = eng.logprobs[s]
+    assert got == want
+    assert len(lps) == 12
+    # Verify-forward logits vs decode-step logits: same math, different
+    # executables — compilation drift only.
+    np.testing.assert_allclose(lps, want_lps, atol=5e-2, rtol=5e-2)
+    # Fewer verify forwards than emitted tokens (the speedup), even while
+    # recording logprobs.
+    assert eng.spec_verify_count < 12
+
+
+def test_engine_speculative_sampling_logprobs_teacher_forced():
+    """Sampling-mode speculation + logprobs: each recorded logprob equals
+    log_softmax of the model's own logits at that emitted position
+    (teacher-forced recompute — the same contract the plain logprobs test
+    checks), regardless of where rejections landed."""
+    import jax
+
+    model = tiny_model(seed=4)
+    prompt = [5, 99, 23, 60, 8]
+    eng = DecodeEngine(model, max_batch=1, max_len=128, temperature=0.8,
+                       top_k=40, seed=11, speculative_draft_len=3,
+                       return_logprobs=True)
+    slot = eng.add(prompt)
+    toks = collect(eng, slot, 8)
+    lps = eng.logprobs[slot]
+    assert len(lps) == 8
+    seq = list(prompt)
+    for t, lp in zip(toks, lps):
+        logits, _ = model(jnp.asarray([seq], jnp.int32))
+        full = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+        np.testing.assert_allclose(float(full[t]), lp, atol=5e-2, rtol=5e-2)
+        seq.append(t)
+
+
 def test_engine_ring_cache_serves_past_capacity():
     """Ring-cache serving: a sliding-window model decodes PAST the ring
     capacity in bounded HBM (no cache_full eviction); pre-wrap the stream

@@ -637,17 +637,37 @@ class LlamaAttention(nnx.Module):
                 # Context-parallel prefill/scoring: the sequence is sharded
                 # over cp's mesh axis and ring attention masks causally from
                 # global offsets — no dense (L, L) mask anywhere.
+                mesh, axis_name, cp_layout = cp
                 if (
                     getattr(self, "qconfig", None) is not None
                     and self.qconfig.is_qkv_quantization_enabled
                 ):
-                    raise NotImplementedError(
-                        "context-parallel forwards with Q/K/V/attn-weights "
-                        "quantization configs are not supported (the ring "
-                        "has no attention-weights quantization point); run "
-                        "without context_parallel or drop the QKV configs"
-                    )
-                mesh, axis_name, cp_layout = cp
+                    # Q/K/V quantization composes with the ring (round 5):
+                    # Q and K fake-quantize along head_dim and V along the
+                    # kv length — the SAME `_quantize_qkv` seam as the dense
+                    # eager path, applied before sharding GQA-folded (fq is
+                    # per-head, so it commutes with repeat_kv bit-exactly).
+                    # V's blocks lie along the SHARDED seq dim: each
+                    # device-local chunk must hold whole blocks, or a block
+                    # would group tokens across devices (zigzag chunks are
+                    # non-adjacent in global order, so such a block would
+                    # also differ numerically from the dense grid).
+                    vc = self.qconfig.value_config
+                    n_cp = mesh.shape[axis_name]
+                    chunk = q_len // (n_cp * (2 if cp_layout == "zigzag" else 1))
+                    if chunk % vc.block_size != 0:
+                        raise ValueError(
+                            f"context-parallel V quantization needs the "
+                            f"per-device chunk ({chunk}) to be a multiple "
+                            f"of value_config.block_size "
+                            f"({vc.block_size}); pad the sequence or "
+                            f"reduce the CP degree"
+                        )
+                    q, k, v = self._quantize_qkv(q, k, v)
+                    # Post-softmax attention-weights quantization does not
+                    # apply inside the ring's online softmax — the same
+                    # accuracy-FAVORING deviation as the fused cache kernel
+                    # (see MXInferenceLlamaAttention._fused_cache_attention_ok).
                 # GQA stays folded: K/V rotate the ring with their own
                 # (smaller) head count — group_factor x fewer ICI bytes/hop.
                 # Under the zigzag layout the caller already permuted the

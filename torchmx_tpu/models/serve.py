@@ -212,16 +212,16 @@ class DecodeEngine:
         self.speculative_ngram = int(speculative_ngram)
         if speculative_draft_len is not None:
             assert speculative_draft_len >= 1
-            assert not self.return_logprobs, (
-                "return_logprobs is not supported with speculative decoding "
-                "(accepted tokens' logits live in the verify step)"
-            )
             # Per-slot incremental lookup index over (prompt + emitted +
             # pending) feeding the prompt-lookup drafts, accepted-token
             # queues, and deferred evictions (emit the queue first, then
             # evict).
             self._history: List[Optional["object"]] = [None] * max_batch
             self._queue: List[list] = [[] for _ in range(max_batch)]
+            # Per-emitted-token logprobs queued alongside _queue (the verify
+            # step computes the full logits row for every position anyway,
+            # so speculative + return_logprobs costs one log_softmax).
+            self._lp_queue: List[list] = [[] for _ in range(max_batch)]
             self._evict_after_queue: Dict[int, str] = {}
             #: verify forwards dispatched; the speedup claim is
             #: spec_verify_count << tokens emitted (tested).
@@ -349,22 +349,24 @@ class DecodeEngine:
             def verify_step(state, caches, tokens, pos, key):
                 from .speculate import verify_forward
 
-                preds, new_caches = verify_forward(
-                    graphdef, state, caches, tokens, pos
+                out = verify_forward(
+                    graphdef, state, caches, tokens, pos,
+                    with_logprobs=want_lp,
                 )
-                return (preds,), new_caches
+                return out[:-1], out[-1]
 
         else:
 
             def verify_step(state, caches, tokens, pos, key):
                 from .speculate import verify_sample_forward
 
-                accept, resid, bonus, new_caches = verify_sample_forward(
+                out = verify_sample_forward(
                     graphdef, state, caches, tokens, pos, key,
                     jnp.asarray(temp, jnp.float32),
                     top_k=topk, top_p=topp, min_p=minp,
+                    with_logprobs=want_lp,
                 )
-                return (accept, resid, bonus), new_caches
+                return out[:-1], out[-1]
 
         self._prefill_one = jax.jit(prefill_one)
         self._prefill_chunk_fn = jax.jit(prefill_chunk_fn, donate_argnums=(1,))
@@ -556,6 +558,7 @@ class DecodeEngine:
                 self.speculative_ngram, list(prompt_ids) + [int(token[0])]
             )
             self._queue[slot] = []
+            self._lp_queue[slot] = []
             self._evict_after_queue.pop(slot, None)
         if int(token[0]) in self.eos_token_ids:
             # The prompt's very first continuation is EOS: nothing to emit.
@@ -667,22 +670,37 @@ class DecodeEngine:
             )
             plan = tuple(np.asarray(p) for p in plan)
             self.spec_verify_count += 1
+            want_lp = self.return_logprobs
             for i in participate:
                 if sampling:
-                    accept_row, resid_row, bonus_row = (p[i] for p in plan)
+                    accept_row, resid_row, bonus_row = (p[i] for p in plan[:3])
                     a = _accept_len(accept_row, K)
                     nxt = int(resid_row[a]) if a < K else int(bonus_row)
                     accepted = [int(t) for t in tokens[i, 1 : a + 1]]
+                    if want_lp:
+                        lp_draft, lp_resid, lp_bonus = (p[i] for p in plan[3:])
+                        lps_accepted = [float(x) for x in lp_draft[:a]]
+                        lp_next = float(lp_resid[a]) if a < K else float(lp_bonus)
                 else:
                     preds = plan[0][i]
                     a = _accept_prefix(tokens[i, 1:], preds, K)
                     nxt = int(preds[a])
                     accepted = [int(t) for t in preds[:a]]
+                    if want_lp:
+                        lp_row = plan[1][i]
+                        lps_accepted = [float(x) for x in lp_row[:a]]
+                        lp_next = float(lp_row[a])
                 # Emittable now: the pending token (its K/V row was written
                 # by this verify) plus the accepted drafts; the follow-up
                 # token (greedy bonus / rejection-sampling replacement)
                 # becomes the new pending token.
                 emit = [int(tokens[i, 0])] + accepted
+                # Each emitted token's logprob was computed at the forward
+                # that PRODUCED it: the pending token's at the previous
+                # verify/prefill (_next_lp), each accepted draft's at its
+                # verify position — identical to the plain decode stream.
+                if want_lp:
+                    emit_lps = [float(self._next_lp[i])] + lps_accepted
                 self.pos[i] += a + 1
                 bonus = nxt
                 # EOS inside the accepted run: emit up to (not including) it,
@@ -694,23 +712,33 @@ class DecodeEngine:
                 )
                 if cut is not None:
                     emit = emit[:cut]
+                    if want_lp:
+                        emit_lps = emit_lps[:cut]
                     self._evict_after_queue[i] = "eos"
                 elif bonus in self.eos_token_ids:
                     self._evict_after_queue[i] = "eos"
                 else:
                     self._next_token[i] = bonus
+                    if want_lp:
+                        self._next_lp[i] = lp_next
                     # History holds the pending token already; append the
                     # accepted drafts and the new pending token (evicting
                     # slots never draft again, so their history can go
                     # stale).
                     self._history[i].extend(accepted + [bonus])
                 self._queue[i].extend(emit)
+                if want_lp:
+                    self._lp_queue[i].extend(emit_lps)
         out: Dict[int, int] = {}
         for i in range(B):
             if not decoding[i]:
                 continue
             if self._queue[i]:
                 out[i] = self._queue[i].pop(0)
+                if self.return_logprobs:
+                    self.logprobs.setdefault(i, []).append(
+                        self._lp_queue[i].pop(0)
+                    )
                 if not self._queue[i] and i in self._evict_after_queue:
                     self._evict(i, self._evict_after_queue[i])
             elif i in self._evict_after_queue:
@@ -720,6 +748,10 @@ class DecodeEngine:
                 # pending token and retire the slot (costs up to K+1 tokens
                 # of cache capacity vs the non-speculative engine).
                 out[i] = int(self._next_token[i])
+                if self.return_logprobs:
+                    self.logprobs.setdefault(i, []).append(
+                        float(self._next_lp[i])
+                    )
                 self._evict(i, "cache_full")
         return out
 
@@ -758,6 +790,7 @@ class DecodeEngine:
                     [int(t) for t in p["ids"]] + [int(token[0])],
                 )
                 self._queue[slot] = []
+                self._lp_queue[slot] = []
                 self._evict_after_queue.pop(slot, None)
             if int(token[0]) in self.eos_token_ids:
                 self._evict(slot, "eos")
@@ -769,6 +802,7 @@ class DecodeEngine:
         self._pending.pop(slot, None)
         if self.speculative_draft_len is not None:
             self._queue[slot] = []
+            self._lp_queue[slot] = []
             self._history[slot] = None  # rebuilt by add()
             self._evict_after_queue.pop(slot, None)
 

@@ -31,7 +31,7 @@ with ``x`` excluded.  Every emitted token is therefore distributed as a
 direct sample from the target (temperature-scaled, top-k/top-p/min-p
 filtered) distribution conditioned on the accepted prefix — speculation
 changes throughput, never the sampling distribution (property-tested in
-``tests/test_speculative.py``).  With ``temperature == 0`` acceptance is
+``tests/test_speculate.py``).  With ``temperature == 0`` acceptance is
 exact argmax prefix-matching.
 """
 
@@ -108,7 +108,7 @@ def _session(model, samp=None):
     return built
 
 
-def verify_forward(graphdef, state, caches, tokens, pos):
+def verify_forward(graphdef, state, caches, tokens, pos, *, with_logprobs=False):
     """The speculative verify forward, shared by :func:`generate_speculative`
     and ``DecodeEngine``'s speculative step (each wraps it in its own jit /
     donation policy).
@@ -117,7 +117,13 @@ def verify_forward(graphdef, state, caches, tokens, pos):
     positions ``pos..pos+K``; returns the greedy prediction AFTER each input
     token ((b, K+1) int32) and the updated caches.  Rows a rejection leaves
     stale are invisible (per-row ``kv_len`` masking) and get rewritten by
-    the row's next verify."""
+    the row's next verify.
+
+    ``with_logprobs`` (static) additionally returns the (b, K+1) float32
+    log-probability of each prediction under the UNfiltered target
+    distribution at its position — the same quantity the engine's plain
+    decode step records per emitted token, so speculative and plain
+    ``return_logprobs`` streams match exactly."""
     m = nnx.merge(graphdef, state)
     s = tokens.shape[1]
     logits, new_caches = m(
@@ -127,7 +133,15 @@ def verify_forward(graphdef, state, caches, tokens, pos):
         caches=caches,
         cache_position=pos,
     )
-    return jnp.argmax(logits, -1).astype(jnp.int32), new_caches
+    preds = jnp.argmax(logits, -1).astype(jnp.int32)
+    if with_logprobs:
+        lp = jnp.take_along_axis(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+            preds[..., None],
+            axis=-1,
+        )[..., 0]
+        return preds, lp, new_caches
+    return preds, new_caches
 
 
 def spec_sample_decisions(
@@ -182,12 +196,19 @@ def spec_sample_decisions(
 
 def verify_sample_forward(
     graphdef, state, caches, tokens, pos, key, temperature,
-    *, top_k=0, top_p=1.0, min_p=0.0,
+    *, top_k=0, top_p=1.0, min_p=0.0, with_logprobs=False,
 ):
     """Sampling-mode speculative verify: one (K+1)-token forward plus the
     rejection-sampling plan (see :func:`spec_sample_decisions`).  Returns
     ``(accept, resid, bonus, new_caches)``; cache semantics are identical
-    to :func:`verify_forward` (stale rows invisible via per-row kv_len)."""
+    to :func:`verify_forward` (stale rows invisible via per-row kv_len).
+
+    ``with_logprobs`` (static) additionally returns, before ``new_caches``,
+    the raw-distribution log-probabilities of every token the host might
+    emit: ``lp_draft`` (b, K) for the drafts, ``lp_resid`` (b, K) for the
+    rejection replacements, ``lp_bonus`` (b,) for the all-accepted bonus —
+    all under the UNfiltered target logits, matching the plain decode
+    step's ``return_logprobs`` semantics."""
     m = nnx.merge(graphdef, state)
     s = tokens.shape[1]
     logits, new_caches = m(
@@ -201,6 +222,17 @@ def verify_sample_forward(
         logits, tokens[:, 1:], key, temperature,
         top_k=top_k, top_p=top_p, min_p=min_p,
     )
+    if with_logprobs:
+        K = tokens.shape[1] - 1
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        def take(lp, idx):
+            return jnp.take_along_axis(lp, idx[..., None], axis=-1)[..., 0]
+
+        lp_draft = take(logp[:, :K], tokens[:, 1:])
+        lp_resid = take(logp[:, :K], resid)
+        lp_bonus = jnp.take_along_axis(logp[:, K], bonus[:, None], axis=-1)[:, 0]
+        return accept, resid, bonus, lp_draft, lp_resid, lp_bonus, new_caches
     return accept, resid, bonus, new_caches
 
 
