@@ -106,16 +106,152 @@ def test_mla_hp_cache_variant():
     run_both(q_lat, q_rot, cache, L - 1, L)
 
 
-def test_mla_fp4_falls_back():
-    assert plan_mla_attention(N, 1, L, R, DR, "float4_e2m1") is None
-    q_lat, q_rot = make_q(8, 1)
-    cache = make_mx_cache(9, "float4_e2m1")
+def test_mla_fp4_halves_fused():
+    """fp4 latents (halves-packed, round 5 — previously an eager fallback)
+    run the fused kernel and match the eager dequantized reference.  Widths
+    must split into whole 32-blocks per nibble plane (% 64), so this test
+    uses dr=64 (the production DeepSeek-V3 value; the file default DR=32
+    is fp4-ineligible and stays a fallback, tested below)."""
+    dr = 64
+    assert plan_mla_attention(N, 1, L, R, dr, "float4_e2m1") is not None
+    # dr=32: one nibble plane would hold half a block — ineligible.
+    assert plan_mla_attention(N, 1, L, R, 32, "float4_e2m1") is None
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    lat = (jax.random.normal(k1, (B, L, R)) * 0.3).astype(jnp.bfloat16)
+    rot = (jax.random.normal(k2, (B, L, dr)) * 0.3).astype(jnp.bfloat16)
+    cache = MXMLACache.create(B, L, R, dr, "float4_e2m1", 32).write(lat, rot, 0)
+    k3, k4 = jax.random.split(jax.random.PRNGKey(12))
+    q_lat = (jax.random.normal(k3, (B, N, 1, R)) * 0.3).astype(jnp.bfloat16)
+    q_rot = (jax.random.normal(k4, (B, N, 1, dr)) * 0.3).astype(jnp.bfloat16)
+    sm = 1.0 / math.sqrt(R + dr)
     old = _force_fused()
     try:
-        out = mla_cached_attention(q_lat, q_rot, cache, L - 1, L, 1.0)
+        out = mla_cached_attention(q_lat, q_rot, cache, L - 1, L, sm)
     finally:
         env.TORCHMX_FUSED_ATTENTION = old
-    assert out is None
+    assert out is not None
+    ref = ref_absorbed(q_lat, q_rot, cache, L - 1, L, sm)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_mla_fp4_halves_roundtrip():
+    """MXMLACache fp4 write/read: halves-packed storage dequantizes to the
+    same values as a plain pair-packed quantize (the packing is layout, not
+    numerics)."""
+    from torchmx_tpu.mx_array import dequantize_mx, quantize_mx
+
+    dr = 64
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    lat = (jax.random.normal(k1, (B, L, R)) * 0.3).astype(jnp.bfloat16)
+    rot = (jax.random.normal(k2, (B, L, dr)) * 0.3).astype(jnp.bfloat16)
+    cache = MXMLACache.create(B, L, R, dr, "float4_e2m1", 32).write(lat, rot, 0)
+    got_lat, got_rot = cache.read()
+    s, d = quantize_mx(lat, "float4_e2m1", 32)
+    want_lat = dequantize_mx(d, s, "float4_e2m1", 32, jnp.bfloat16, 2)
+    s, d = quantize_mx(rot, "float4_e2m1", 32)
+    want_rot = dequantize_mx(d, s, "float4_e2m1", 32, jnp.bfloat16, 2)
+    np.testing.assert_array_equal(np.asarray(got_lat), np.asarray(want_lat))
+    np.testing.assert_array_equal(np.asarray(got_rot), np.asarray(want_rot))
+
+
+def test_mla_int8dot_decode_close_to_reference():
+    """The all-int8 MXU-dot MLA decode tier (d-major latent cache, round 5):
+    opt-in, decode-only, SQNR vs the eager dequantized reference above the
+    30 dB gate (q int8 quantization + fixed-point P requant are the only
+    error sources — above the fp8 the reference's QKV configs would apply)."""
+    from torchmx_tpu.ops.pallas_mla import use_mla_int8dot
+
+    r = 128  # int8-dot needs r % 128 == 0 (lane-multiple latent rank)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(14))
+    lat = (jax.random.normal(k1, (B, L, r)) * 0.3).astype(jnp.bfloat16)
+    rot = (jax.random.normal(k2, (B, L, DR)) * 0.3).astype(jnp.bfloat16)
+    cache = MXMLACache.create(B, L, r, DR, "int8", 32, layout="dmajor")
+    cache = cache.write(lat, rot, 0)
+    assert cache.lat_data.shape == (B, r, L)
+    k3, k4 = jax.random.split(jax.random.PRNGKey(15))
+    q_lat = (jax.random.normal(k3, (B, N, 1, r)) * 0.3).astype(jnp.bfloat16)
+    q_rot = (jax.random.normal(k4, (B, N, 1, DR)) * 0.3).astype(jnp.bfloat16)
+    sm = 1.0 / math.sqrt(r + DR)
+
+    assert not use_mla_int8dot(cache, 1, r, DR)  # off by default
+    old_flag = env.TORCHMX_ATTN_INT8_DOT
+    env.TORCHMX_ATTN_INT8_DOT = "1"
+    old = _force_fused()
+    try:
+        assert use_mla_int8dot(cache, 1, r, DR)
+        assert not use_mla_int8dot(cache, 4, r, DR)  # decode-only
+        out = mla_cached_attention(q_lat, q_rot, cache, L - 1, L, sm)
+    finally:
+        env.TORCHMX_FUSED_ATTENTION = old
+        env.TORCHMX_ATTN_INT8_DOT = old_flag
+    assert out is not None
+    ref = ref_absorbed(q_lat, q_rot, cache, L - 1, L, sm)
+    o = np.asarray(out, np.float64)
+    rf = np.asarray(ref, np.float64)
+    err = o - rf
+    sqnr = 10 * np.log10(np.sum(rf * rf) / max(np.sum(err * err), 1e-30))
+    assert sqnr > 30.0, f"MLA int8dot SQNR {sqnr:.1f} dB"
+
+
+def test_mla_int8dot_respects_prefix_mask():
+    from torchmx_tpu.ops.pallas_mla import use_mla_int8dot
+
+    r = 128
+    k1, k2 = jax.random.split(jax.random.PRNGKey(16))
+    lat = (jax.random.normal(k1, (B, L, r)) * 0.3).astype(jnp.bfloat16)
+    rot = (jax.random.normal(k2, (B, L, DR)) * 0.3).astype(jnp.bfloat16)
+    cache = MXMLACache.create(B, L, r, DR, "int8", 32, layout="dmajor")
+    cache = cache.write(lat, rot, 0)
+    k3, k4 = jax.random.split(jax.random.PRNGKey(17))
+    q_lat = (jax.random.normal(k3, (B, N, 1, r)) * 0.3).astype(jnp.bfloat16)
+    q_rot = (jax.random.normal(k4, (B, N, 1, DR)) * 0.3).astype(jnp.bfloat16)
+    sm = 1.0 / math.sqrt(r + DR)
+    old_flag = env.TORCHMX_ATTN_INT8_DOT
+    env.TORCHMX_ATTN_INT8_DOT = "1"
+    old = _force_fused()
+    try:
+        assert use_mla_int8dot(cache, 1, r, DR)
+        out = mla_cached_attention(q_lat, q_rot, cache, 99, 100, sm)
+    finally:
+        env.TORCHMX_FUSED_ATTENTION = old
+        env.TORCHMX_ATTN_INT8_DOT = old_flag
+    assert out is not None
+    ref = ref_absorbed(q_lat, q_rot, cache, 99, 100, sm)
+    o, rf = np.asarray(out, np.float64), np.asarray(ref, np.float64)
+    sqnr = 10 * np.log10(np.sum(rf * rf) / max(np.sum((o - rf) ** 2), 1e-30))
+    assert sqnr > 30.0, f"masked MLA int8dot SQNR {sqnr:.1f} dB"
+
+
+def test_mla_dmajor_cache_roundtrip_and_fallback():
+    """d-major MLA caches scatter on the lane dim and read() back exactly
+    the seq-layout values; without the int8-dot flag the fused path
+    declines (returns None) and the model's eager read() path serves."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(18))
+    lat = (jax.random.normal(k1, (B, L, R)) * 0.3).astype(jnp.bfloat16)
+    rot = (jax.random.normal(k2, (B, L, DR)) * 0.3).astype(jnp.bfloat16)
+    seq = MXMLACache.create(B, L, R, DR, "int8", 32).write(lat, rot, 0)
+    dm = MXMLACache.create(B, L, R, DR, "int8", 32, layout="dmajor").write(
+        lat, rot, 0
+    )
+    for a, b_ in zip(seq.read(), dm.read()):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    # Per-row scatter parity too (continuous batching).
+    pos = jnp.asarray([5, 40], jnp.int32)
+    seq2 = seq.write(lat[:, :3], rot[:, :3], pos)
+    dm2 = dm.write(lat[:, :3], rot[:, :3], pos)
+    for a, b_ in zip(seq2.read(), dm2.read()):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    q_lat, q_rot = make_q(19, 1)
+    old = _force_fused()
+    try:
+        out = mla_cached_attention(q_lat, q_rot, dm, L - 1, L, 1.0)
+    finally:
+        env.TORCHMX_FUSED_ATTENTION = old
+    assert out is None  # flag off -> eager fallback
 
 
 def test_mla_plan_oracle():

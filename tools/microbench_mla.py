@@ -94,6 +94,25 @@ def main():
         _timed_loop(eager_step, c0, mx), _timed_loop(fused_step, c0, mx)
     )
 
+    # All-int8 MXU-dot tier (round 5): d-major int8 latent cache, raw codes
+    # into the MXU — the latency answer for the quantized latent (the seq
+    # int8 kernel buys capacity but loses to the bf16 latent on decode ms).
+    t_int8dot = None
+    if elem == "int8":
+        from torchmx_tpu import env_variables as env_mod
+
+        dm = MXMLACache.create(b, L, r, dr, "int8", 32, layout="dmajor")
+        dm = jax.jit(lambda c, a, k: c.write(a, k, jnp.zeros((b,), jnp.int32)))(
+            dm, latent, k_rot
+        )
+        old_flag = env_mod.TORCHMX_ATTN_INT8_DOT
+        env_mod.TORCHMX_ATTN_INT8_DOT = "1"
+        try:
+            tr_int8dot = _timed_loop(fused_step, c0, dm)
+        finally:
+            env_mod.TORCHMX_ATTN_INT8_DOT = old_flag
+        t_int8dot, _ = _paired(tr_int8dot, _timed_loop(fused_step, c0, hp))
+
     # Uncompressed-MHA row: per-head K (d=128+... use d=128) and V caches at
     # the same head count — the memory MLA refuses to materialize.
     d = 128
@@ -119,6 +138,9 @@ def main():
     print(f"| path | ms |")
     print(f"|---|---|")
     print(f"| fused MX latent ({elem}) | {t_fused_mx * 1e3:.3f} |")
+    if t_int8dot is not None:
+        print(f"| fused int8 MXU-dot latent (dmajor, TORCHMX_ATTN_INT8_DOT) "
+              f"| {t_int8dot * 1e3:.3f} |")
     print(f"| fused bf16 latent (iso-kernel baseline) | {t_fused_bf16 * 1e3:.3f} |")
     print(f"| eager MX latent (full-cache dequantize, pre-r4) | {t_eager_mx * 1e3:.3f} |")
     print(f"| uncompressed MHA cache (fused bf16 kernel, d={d}) | {t_mha * 1e3:.3f} |")

@@ -148,6 +148,17 @@ def _lat_scatter(buf: Array, new: Array, pos) -> Array:
     )(buf, new, jnp.asarray(pos, jnp.int32))
 
 
+def _lat_scatter_last(buf: Array, new: Array, pos) -> Array:
+    """Write ``new`` (b, x, s) into ``buf`` (b, x, L) at sequence position
+    ``pos`` on the LAST dim (the d-major orientation)."""
+    new = new.astype(buf.dtype)
+    if jnp.ndim(pos) == 0:
+        return jax.lax.dynamic_update_slice(buf, new, (0, 0, pos))
+    return jax.vmap(
+        lambda b, n, p: jax.lax.dynamic_update_slice(b, n, (0, p))
+    )(buf, new, jnp.asarray(pos, jnp.int32))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MLACache:
@@ -187,22 +198,45 @@ class MXMLACache:
     """MX-quantized MLA latent cache: codes + E8M0 scales for the latent
     (blocked along ``kv_lora_rank``) and the rope key (blocked along
     ``qk_rope_head_dim``).  int8/fp8 halve the already-compressed latent;
-    fp4 (pair-packed, two codes/byte) quarters it.  Quantize-on-write,
-    dequantize-on-read — attention math sees exactly the values any later
-    read sees (the ``MXLayerKVCache.update`` contract)."""
+    fp4 (two codes/byte, **halves-packed** along each width — byte ``j``
+    holds elements ``(j, j + d/2)``, the fused kernel's layout) quarters it.
+    Quantize-on-write, dequantize-on-read — attention math sees exactly the
+    values any later read sees (the ``MXLayerKVCache.update`` contract).
 
-    lat_data: Array   # (b, L, r) u8/i8; fp4: (b, L, r/2) pair-packed
-    lat_scale: Array  # (b, L, r/block) u8
+    Two storage layouts (``layout``; default follows ``TORCHMX_KV_LAYOUT``
+    like the Llama cache):
+
+    * ``"seq"`` — (b, L, x): the natural orientation; the fused MLA kernel
+      broadcasts scales over lane blocks via an MXU dot.
+    * ``"dmajor"`` — (b, x, L), scales (b, x//block, L): feature dims on
+      sublanes, positions on lanes — the layout the all-int8 MXU-dot MLA
+      decode kernel consumes (raw int8 codes into the MXU, zero per-element
+      decode; see ``ops/pallas_mla.py``)."""
+
+    lat_data: Array   # seq (b, L, r) u8/i8 (fp4: r/2 halves-packed) / dmajor (b, r, L)
+    lat_scale: Array  # seq (b, L, r/block) u8 / dmajor (b, r/block, L)
     rot_data: Array
     rot_scale: Array
     elem_dtype_name: str = dataclasses.field(metadata=dict(static=True))
     block_size: int = dataclasses.field(metadata=dict(static=True))
+    layout: str = dataclasses.field(default="seq", metadata=dict(static=True))
 
     @staticmethod
     def create(batch: int, max_len: int, kv_lora_rank: int, qk_rope_head_dim: int,
-               elem_dtype_name: str = "int8", block_size: int = 32) -> "MXMLACache":
+               elem_dtype_name: str = "int8", block_size: int = 32,
+               layout: Optional[str] = None) -> "MXMLACache":
         from .. import dtypes as _dt
+        from .. import env_variables as _env
 
+        if layout is None:
+            layout = _env.TORCHMX_KV_LAYOUT
+            if elem_dtype_name == "float4_e2m1":
+                # The env default must not crash fp4 latents (the int8-dot
+                # dmajor kernel has no fp4 tier); explicit layout= still
+                # raises below.
+                layout = "seq"
+        if layout not in ("seq", "dmajor"):
+            raise ValueError(f"unknown MLA cache layout {layout!r}")
         elem = _dt.STR_TO_SUPPORTED_ELEM_DTYPE[elem_dtype_name]
         if kv_lora_rank % block_size or qk_rope_head_dim % block_size:
             raise ValueError(
@@ -210,22 +244,59 @@ class MXMLACache:
                 f"qk_rope_head_dim ({qk_rope_head_dim}) divisible by "
                 f"block_size ({block_size})"
             )
-        pdt = jnp.int8 if elem == _dt.int8 else jnp.uint8
         pack = 2 if elem == _dt.float4_e2m1 else 1
-        mk = lambda d: (
-            jnp.zeros((batch, max_len, d // pack), pdt),
-            jnp.zeros((batch, max_len, d // block_size), jnp.uint8),
-        )
+        if pack == 2 and layout == "dmajor":
+            raise ValueError(
+                "fp4 MLA caches use the seq layout (the int8-dot dmajor "
+                "kernel consumes raw int8 codes)"
+            )
+        if pack == 2 and (kv_lora_rank % 64 or qk_rope_head_dim % 64):
+            raise ValueError(
+                "fp4 halves packing needs widths divisible by 64, got "
+                f"kv_lora_rank={kv_lora_rank} qk_rope_head_dim={qk_rope_head_dim}"
+            )
+        pdt = jnp.int8 if elem == _dt.int8 else jnp.uint8
+        if layout == "dmajor":
+            mk = lambda d: (
+                jnp.zeros((batch, d, max_len), pdt),
+                jnp.zeros((batch, d // block_size, max_len), jnp.uint8),
+            )
+        else:
+            mk = lambda d: (
+                jnp.zeros((batch, max_len, d // pack), pdt),
+                jnp.zeros((batch, max_len, d // block_size), jnp.uint8),
+            )
         ld, ls = mk(kv_lora_rank)
         rd, rs = mk(qk_rope_head_dim)
         return MXMLACache(
             lat_data=ld, lat_scale=ls, rot_data=rd, rot_scale=rs,
             elem_dtype_name=elem_dtype_name, block_size=block_size,
+            layout=layout,
         )
 
     @property
     def max_len(self) -> int:
-        return self.lat_data.shape[1]
+        return self.lat_data.shape[2] if self.layout == "dmajor" else self.lat_data.shape[1]
+
+    def _pack(self, codes: Array) -> Array:
+        """fp4: adjacent-pair packed (quantize_mx output) -> d-halves bytes
+        (byte j = elements (j, j + d/2)) — the fused kernel's layout."""
+        if self.elem_dtype_name != "float4_e2m1":
+            return codes
+        from ..packing import unpack_uint4
+
+        u = unpack_uint4(codes, packing_dim=-1)
+        half = u.shape[-1] // 2
+        return ((u[..., :half] << 4) | (u[..., half:] & 0xF)).astype(jnp.uint8)
+
+    def _unpack(self, data: Array) -> Array:
+        """Inverse of :meth:`_pack`: d-halves bytes -> adjacent-pair packed."""
+        if self.elem_dtype_name != "float4_e2m1":
+            return data
+        from ..packing import pack_uint4
+
+        codes = jnp.concatenate([data >> 4, data & 0xF], axis=-1)
+        return pack_uint4(codes.astype(jnp.uint8), packing_dim=-1)
 
     def write(self, latent_new: Array, k_rot_new: Array, pos) -> "MXMLACache":
         from ..mx_array import quantize_mx
@@ -239,10 +310,24 @@ class MXMLACache:
             axis=-1,
         )
         s_all, d_all = quantize_mx(cat, self.elem_dtype_name, self.block_size)
-        rc = self.lat_data.shape[-1]  # payload width (r, or r/2 pair-packed)
-        ld, rd = d_all[..., :rc], d_all[..., rc:]
+        if self.elem_dtype_name == "float4_e2m1":
+            # Split the PAIR-packed payload on pair boundaries (r even),
+            # then halves-repack each stream against its own width.
+            ld = self._pack(d_all[..., : r // 2])
+            rd = self._pack(d_all[..., r // 2 :])
+        else:
+            ld, rd = d_all[..., :r], d_all[..., r:]
         nb = r // self.block_size
         ls, rs = s_all[..., :nb], s_all[..., nb:]
+        if self.layout == "dmajor":
+            sw = lambda a: a.swapaxes(1, 2)
+            return dataclasses.replace(
+                self,
+                lat_data=_lat_scatter_last(self.lat_data, sw(ld), pos),
+                lat_scale=_lat_scatter_last(self.lat_scale, sw(ls), pos),
+                rot_data=_lat_scatter_last(self.rot_data, sw(rd), pos),
+                rot_scale=_lat_scatter_last(self.rot_scale, sw(rs), pos),
+            )
         return dataclasses.replace(
             self,
             lat_data=_lat_scatter(self.lat_data, ld, pos),
@@ -254,12 +339,19 @@ class MXMLACache:
     def read(self) -> Tuple[Array, Array]:
         from ..mx_array import dequantize_mx
 
+        if self.layout == "dmajor":
+            ld, ls = self.lat_data.swapaxes(1, 2), self.lat_scale.swapaxes(1, 2)
+            rd, rs = self.rot_data.swapaxes(1, 2), self.rot_scale.swapaxes(1, 2)
+        else:
+            ld, ls, rd, rs = (
+                self.lat_data, self.lat_scale, self.rot_data, self.rot_scale
+            )
         latent = dequantize_mx(
-            self.lat_data, self.lat_scale, self.elem_dtype_name,
+            self._unpack(ld), ls, self.elem_dtype_name,
             self.block_size, jnp.bfloat16, 2,
         )
         k_rot = dequantize_mx(
-            self.rot_data, self.rot_scale, self.elem_dtype_name,
+            self._unpack(rd), rs, self.elem_dtype_name,
             self.block_size, jnp.bfloat16, 2,
         )
         return latent, k_rot

@@ -29,10 +29,17 @@ high-precision :class:`~torchmx_tpu.models.deepseek.MLACache` through the
 same blockwise structure (and doubling as the honest iso-kernel baseline
 for the MX-latent speedup numbers).
 
-fp4 pair-packed latents fall back to the eager path (the in-kernel nibble
-interleave prices out on lane-dim blocks; see ``_decode_fp4_halves``'s note
-— the d-halves layout that fixes it for K/V caches does not compose with
-the single shared latent buffer yet).
+fp4 latents are stored HALVES-PACKED (byte ``j`` holds elements
+``(j, j + d/2)``; round 5) so the kernel reads each nibble plane as a
+contiguous half and splits both contractions — the same d-halves treatment
+that fixed fp4 K/V caches.  Widths must split into whole 32-blocks per
+plane (% 64; DeepSeek-V3's r=512, dr=64 qualify).
+
+``layout="dmajor"`` latent caches (features on sublanes, positions on
+lanes) serve the all-int8 MXU-dot decode tier (:func:`use_mla_int8dot`,
+opt-in via ``TORCHMX_ATTN_INT8_DOT``): raw int8 latent codes feed the MXU
+directly — zero per-element decode work, the fix for the int8 latent
+losing to the bf16 latent on pure latency (round-4 verdict item).
 
 Reference anchor: the reference's KV-cache quantization TODO
 (rain-neuromorphics/torchmx ``torchmx/layers/mx_llama_attention.py:176-183``)
@@ -52,10 +59,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import dtypes
 from .backend import interpret as _interpret
+from .. import env_variables as env
 from .pallas_attention import (
     BLOCK,
     MAX_ROWS,
     NEG_INF,
+    _decode_fp4_halves,
     _decode_tile,
     _pick_lt,
     _pick_sqt,
@@ -102,22 +111,50 @@ def _mla_kernel(
     q_hi = q_off + (qt + 1) * sqt - 1
     work = (kt * lt <= q_hi) & (kt * lt < kv_len)
 
+    fp4 = (not bf16_cache) and elem == dtypes.float4_e2m1
+
     @pl.when(work)
     def _():
         ql = ql_ref[0]  # (rows, r) bf16, rows ordered (si, hi)
         qr = qr_ref[0]  # (rows, dr)
+        dn_qk = (((1,), (1,)), ((), ()))
         if bf16_cache:
             lat_f = ld_ref[0]  # (lt, r)
             rot_f = rd_ref[0]  # (lt, dr)
+        elif fp4:
+            # Halves-packed fp4 latent (round 5 — previously an eager
+            # fallback): decode the two nibble planes once and split both
+            # contractions, exactly the K/V-cache halves treatment.
+            lat_hi, lat_lo = _decode_fp4_halves(ld_ref[0], ls_ref[0], r)
+            rot_hi, rot_lo = _decode_fp4_halves(rd_ref[0], rs_ref[0], dr)
         else:
             lat_f = _decode_tile(ld_ref[0], ls_ref[0], elem, r)
             rot_f = _decode_tile(rd_ref[0], rs_ref[0], elem, dr)
-        dn_qk = (((1,), (1,)), ((), ()))
-        s = jax.lax.dot_general(
-            ql, lat_f, dn_qk, preferred_element_type=jnp.float32
-        ) + jax.lax.dot_general(
-            qr, rot_f, dn_qk, preferred_element_type=jnp.float32
-        )
+        if fp4:
+            s = (
+                jax.lax.dot_general(
+                    ql[:, : r // 2], lat_hi, dn_qk,
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    ql[:, r // 2 :], lat_lo, dn_qk,
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    qr[:, : dr // 2], rot_hi, dn_qk,
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    qr[:, dr // 2 :], rot_lo, dn_qk,
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        else:
+            s = jax.lax.dot_general(
+                ql, lat_f, dn_qk, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                qr, rot_f, dn_qk, preferred_element_type=jnp.float32
+            )
         s = s * sm_scale
 
         q_pos = q_off + qt * sqt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 0) // g
@@ -131,11 +168,25 @@ def _mla_kernel(
         p = jnp.exp(s - m_new)
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-        # V is the SAME decoded latent tile — the second dot reuses lat_f.
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), lat_f, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (rows, r)
+        # V is the SAME decoded latent tile — the second dot reuses it.
+        dn_pv = (((1,), (0,)), ((), ()))
+        p16 = p.astype(jnp.bfloat16)
+        if fp4:
+            pv = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        p16, lat_hi, dn_pv, preferred_element_type=jnp.float32
+                    ),
+                    jax.lax.dot_general(
+                        p16, lat_lo, dn_pv, preferred_element_type=jnp.float32
+                    ),
+                ],
+                axis=1,
+            )  # (rows, r)
+        else:
+            pv = jax.lax.dot_general(
+                p16, lat_f, dn_pv, preferred_element_type=jnp.float32
+            )  # (rows, r)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:, :1] = m_new
 
@@ -156,6 +207,9 @@ def _mla_cached_attention(
     b, rows, r = q_lat3.shape
     dr = q_rot3.shape[2]
     L = lat_data.shape[1]
+    # Payload widths straight off the buffers: r / dr, or halved for
+    # halves-packed fp4 (two codes per byte).
+    rp, dp = lat_data.shape[2], rot_data.shape[2]
     nbr = r // BLOCK
     nbd = dr // BLOCK
     rows_t = sqt * g
@@ -171,9 +225,9 @@ def _mla_cached_attention(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, rows_t, r), lambda ib, qt, kt: (ib, qt, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows_t, dr), lambda ib, qt, kt: (ib, qt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lt, r), lambda ib, qt, kt: (ib, kt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, rp), lambda ib, qt, kt: (ib, kt, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lt, nbr), lambda ib, qt, kt: (ib, kt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lt, dr), lambda ib, qt, kt: (ib, kt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, dp), lambda ib, qt, kt: (ib, kt, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lt, nbd), lambda ib, qt, kt: (ib, kt, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -196,13 +250,15 @@ def plan_mla_attention(n_heads: int, sq: int, L: int, r: int, dr: int,
                        elem_name: str):
     """Static kernel-path oracle (mirror of ``plan_cached_attention``): the
     (lt, sqt) tiling, or None when the shape falls back to the eager path.
-    fp4's pair-packed latent is ineligible (see module docstring)."""
+    fp4 latents are eligible in the halves-packed layout (round 5; widths
+    must split into whole 32-blocks per nibble plane, i.e. % 64)."""
     if elem_name != "bfloat16":
         if elem_name not in dtypes.STR_TO_SUPPORTED_ELEM_DTYPE:
             return None
         if dtypes.STR_TO_SUPPORTED_ELEM_DTYPE[elem_name] == dtypes.float4_e2m1:
-            return None
-        if r % BLOCK or dr % BLOCK:
+            if r % (2 * BLOCK) or dr % (2 * BLOCK):
+                return None
+        elif r % BLOCK or dr % BLOCK:
             return None
     lt = _pick_lt(L)
     sqt = _pick_sqt(sq, n_heads)
@@ -239,11 +295,24 @@ def mla_cached_attention(
         elem_name = cache.elem_dtype_name
         if cache.block_size != BLOCK:
             return None
+        if getattr(cache, "layout", "seq") == "dmajor":
+            # d-major latents serve the all-int8 MXU-dot decode kernel
+            # only; other shapes fall back to the eager read() path.
+            if use_mla_int8dot(cache, sq, r, dr):
+                lt = _pick_lt(cache.lat_data.shape[2])
+                if lt is None or n > MAX_ROWS:
+                    return None
+                return _mla_int8dot_attention(
+                    q_lat, q_rot, cache, q_off, kv_len, sm_scale, lt
+                )
+            return None
         lat_data, lat_scale = cache.lat_data, cache.lat_scale
         rot_data, rot_scale = cache.rot_data, cache.rot_scale
         L = lat_data.shape[1]
-        if lat_data.shape[2] != r or rot_data.shape[2] != dr:
-            return None  # fp4 pair-packed (r/2 bytes) lands here
+        expect_r = r // 2 if elem_name == "float4_e2m1" else r
+        expect_d = dr // 2 if elem_name == "float4_e2m1" else dr
+        if lat_data.shape[2] != expect_r or rot_data.shape[2] != expect_d:
+            return None  # unexpected payload packing
     elif hasattr(cache, "latent"):  # MLACache (bf16)
         elem_name = "bfloat16"
         lat_data = cache.latent.astype(jnp.bfloat16)
@@ -269,3 +338,208 @@ def mla_cached_attention(
         q_off, kv_len, elem_name, float(sm_scale), lt, g=n, sqt=sqt,
     )  # (b, sq*n, r)
     return out.reshape(b, sq, n, r).transpose(0, 2, 1, 3)
+
+
+def _mla_kernel_int8dot(
+    qoff_ref,
+    kvlen_ref,
+    ql_ref,
+    qls_ref,
+    qr_ref,
+    qrs_ref,
+    ld_ref,
+    ls_ref,
+    rd_ref,
+    rs_ref,
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    sm_scale: float,
+):
+    """Absorbed-MLA decode with int8 latent codes fed to the MXU RAW — the
+    ``_attn_kernel_int8dot`` recipe on the shared latent (zero per-element
+    decode work; at decode the VPU decode chain IS the latency, measured
+    0.186 ms int8-seq vs 0.096 ms bf16 at b=8 L=8192 before this tier).
+
+    q_lat/q_rot are MXINT8-quantized per 32-block by the wrapper; both
+    score dots run as batched int8xint8 MXU contractions with exact int32
+    partials, rescaled by 2^(se_q + se_k - 254) per (chunk, row, position)
+    and summed over chunks.  P.V re-uses the latent tile: the latent scale
+    folds into the small P side per chunk, P requantizes to 8-bit fixed
+    point per (chunk, row) (~0.4% relative error on attention weights —
+    above the fp8 the reference's QKV configs would apply), and P.V runs
+    int8xint8 too.  Opt-in via ``TORCHMX_ATTN_INT8_DOT`` like the Llama
+    tier.  Decode-only (sq == 1); rows = n query heads (MQA folding).
+    """
+    kt = pl.program_id(1)
+    ncr, _, rows = ql_ref.shape[1], ql_ref.shape[2], ql_ref.shape[3]
+    ncd = qr_ref.shape[1]
+    lt = ld_ref.shape[2]
+
+    @pl.when(kt == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ib = pl.program_id(0)
+    q_hi = qoff_ref[ib]
+    kv_len = kvlen_ref[ib]
+    work = (kt * lt <= q_hi) & (kt * lt < kv_len)
+
+    @pl.when(work)
+    def _():
+        ql3 = ql_ref[0]  # (ncr, 32, rows) int8
+        lat3 = ld_ref[0].reshape(ncr, BLOCK, lt)  # (r, lt) -> sublane chunks
+        dots_l = jax.lax.dot_general(
+            ql3, lat3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (ncr, rows, lt) exact
+        eq = qls_ref[0].astype(jnp.int32)  # (ncr, rows)
+        ek = ls_ref[0].astype(jnp.int32)   # (ncr, lt)
+        # Factored rescale on the SMALL shapes (see _attn_kernel_int8dot).
+        pq_s = jax.lax.bitcast_convert_type(eq << 23, jnp.float32)
+        pk_s = jax.lax.bitcast_convert_type(ek << 23, jnp.float32)
+        s = jnp.sum(
+            dots_l.astype(jnp.float32) * pq_s[:, :, None] * pk_s[:, None, :],
+            axis=0,
+        )
+        qr3 = qr_ref[0]  # (ncd, 32, rows)
+        rot3 = rd_ref[0].reshape(ncd, BLOCK, lt)
+        dots_r = jax.lax.dot_general(
+            qr3, rot3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (ncd, rows, lt)
+        er = qrs_ref[0].astype(jnp.int32)
+        ekr = rs_ref[0].astype(jnp.int32)
+        pr_s = jax.lax.bitcast_convert_type(er << 23, jnp.float32)
+        prk_s = jax.lax.bitcast_convert_type(ekr << 23, jnp.float32)
+        s = s + jnp.sum(
+            dots_r.astype(jnp.float32) * pr_s[:, :, None] * prk_s[:, None, :],
+            axis=0,
+        )
+        s = s * sm_scale
+
+        q_pos = q_hi + jnp.zeros((rows, lt), jnp.int32)
+        kv_pos = kt * lt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 1)
+        valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (rows, lt)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        # V is the latent again: its per-block scale (pk_s) folds into the
+        # small P side; P requantizes to 8-bit fixed point per (chunk, row).
+        p3 = p[None, :, :] * pk_s[:, None, :]  # (ncr, rows, lt)
+        mx = jnp.max(p3, axis=2, keepdims=True)
+        mx = jnp.where(mx == 0.0, 1.0, mx)
+        pq = jnp.round(p3 * (127.0 / mx)).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            pq, lat3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (ncr, rows, 32)
+        acc_ref[:] = acc_ref[:] * alpha[None] + pv.astype(jnp.float32) * (
+            mx * (1.0 / 127.0)
+        )
+        m_ref[:, :1] = m_new
+
+    @pl.when(kt == pl.num_programs(1) - 1)
+    def _():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l[None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "lt"))
+def _mla_cached_attention_int8dot(
+    ql3, qls3, qr3, qrs3, lat_data, lat_scale, rot_data, rot_scale,
+    q_off, kv_len, sm_scale, lt,
+):
+    b, ncr, blk, rows = ql3.shape
+    ncd = qr3.shape[1]
+    r = ncr * blk
+    dr = ncd * blk
+    L = lat_data.shape[2]
+    nbr, nbd = r // BLOCK, dr // BLOCK
+    grid = (b, L // lt)
+    kernel = functools.partial(_mla_kernel_int8dot, sm_scale=sm_scale)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ncr, blk, rows), lambda ib, kt: (ib, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncr, rows), lambda ib, kt: (ib, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncd, blk, rows), lambda ib, kt: (ib, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncd, rows), lambda ib, kt: (ib, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, lt), lambda ib, kt: (ib, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbr, lt), lambda ib, kt: (ib, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dr, lt), lambda ib, kt: (ib, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbd, lt), lambda ib, kt: (ib, 0, kt), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ncr, rows, blk), lambda ib, kt: (ib, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, ncr, rows, blk), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((ncr, rows, blk), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(q_off, kv_len, ql3, qls3, qr3, qrs3, lat_data, lat_scale, rot_data, rot_scale)
+
+
+def use_mla_int8dot(cache, sq: int, r: int, dr: int) -> bool:
+    """True when the all-int8 MXU-dot MLA decode kernel serves this shape:
+    opt-in flag, int8 d-major latent cache, single query position,
+    lane-multiple latent rank."""
+    return (
+        env.TORCHMX_ATTN_INT8_DOT == "1"
+        and getattr(cache, "layout", "seq") == "dmajor"
+        and cache.elem_dtype_name == "int8"
+        and sq == 1
+        and r % 128 == 0
+        and dr % BLOCK == 0
+    )
+
+
+def _mla_int8dot_attention(q_lat, q_rot, cache, q_off, kv_len, sm_scale, lt):
+    from ..mx_array import quantize_mx
+
+    b, n, sq, r = q_lat.shape
+    dr = q_rot.shape[3]
+    ncr, ncd = r // BLOCK, dr // BLOCK
+    # Quantize q_lat/q_rot to MXINT8 per 32-block (38 dB — above the fp8
+    # the reference's QKV configs would apply to q), then chunk with the
+    # feature dim on sublanes for the batched int8 dots.
+    qls, qld = quantize_mx(
+        q_lat.astype(jnp.bfloat16).reshape(b, n, r), "int8", BLOCK
+    )  # (b, n, ncr) u8, (b, n, r) i8
+    qrs, qrd = quantize_mx(
+        q_rot.astype(jnp.bfloat16).reshape(b, n, dr), "int8", BLOCK
+    )
+    ql3 = qld.transpose(0, 2, 1).reshape(b, ncr, BLOCK, n)
+    qls3 = qls.transpose(0, 2, 1)  # (b, ncr, n)
+    qr3 = qrd.transpose(0, 2, 1).reshape(b, ncd, BLOCK, n)
+    qrs3 = qrs.transpose(0, 2, 1)
+    q_off = jnp.broadcast_to(jnp.asarray(q_off, jnp.int32), (b,))
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+    out = _mla_cached_attention_int8dot(
+        ql3, qls3, qr3, qrs3,
+        cache.lat_data, cache.lat_scale, cache.rot_data, cache.rot_scale,
+        q_off, kv_len, float(sm_scale), lt,
+    )  # (b, ncr, n, 32)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, r)[:, :, None, :].reshape(
+        b, n, sq, r
+    )
