@@ -227,23 +227,37 @@ def test_mla_int8dot_respects_prefix_mask():
 
 
 def test_mla_dmajor_cache_roundtrip_and_fallback():
-    """d-major MLA caches scatter on the lane dim and read() back exactly
-    the seq-layout values; without the int8-dot flag the fused path
-    declines (returns None) and the model's eager read() path serves."""
+    """d-major MLA caches quantize PER POSITION (one shared exponent over
+    each width — what lets the int8-dot kernel run unchunked): read() is
+    close to the source (int8 per-512 SQNR gate), per-row scatter lands on
+    the lane dim, and without the int8-dot flag the fused path declines
+    (returns None) so the model's eager read() path serves."""
     k1, k2 = jax.random.split(jax.random.PRNGKey(18))
     lat = (jax.random.normal(k1, (B, L, R)) * 0.3).astype(jnp.bfloat16)
     rot = (jax.random.normal(k2, (B, L, DR)) * 0.3).astype(jnp.bfloat16)
-    seq = MXMLACache.create(B, L, R, DR, "int8", 32).write(lat, rot, 0)
     dm = MXMLACache.create(B, L, R, DR, "int8", 32, layout="dmajor").write(
         lat, rot, 0
     )
-    for a, b_ in zip(seq.read(), dm.read()):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
-    # Per-row scatter parity too (continuous batching).
+    assert dm.lat_scale.shape == (B, 1, L)  # per-position scales
+    for got, src in zip(dm.read(), (lat, rot)):
+        g = np.asarray(got, np.float64)
+        s = np.asarray(src, np.float64)
+        err = g - s
+        sqnr = 10 * np.log10(np.sum(s * s) / max(np.sum(err * err), 1e-30))
+        assert sqnr > 30.0, f"dmajor per-position roundtrip SQNR {sqnr:.1f} dB"
+    # Per-row scatter parity: scattering rows at positions must equal
+    # building the cache with those rows already in place.
     pos = jnp.asarray([5, 40], jnp.int32)
-    seq2 = seq.write(lat[:, :3], rot[:, :3], pos)
     dm2 = dm.write(lat[:, :3], rot[:, :3], pos)
-    for a, b_ in zip(seq2.read(), dm2.read()):
+    lat_exp = np.asarray(lat).copy()
+    rot_exp = np.asarray(rot).copy()
+    for i, p in enumerate(np.asarray(pos)):
+        lat_exp[i, p : p + 3] = np.asarray(lat[i, :3])
+        rot_exp[i, p : p + 3] = np.asarray(rot[i, :3])
+    dm_exp = MXMLACache.create(B, L, R, DR, "int8", 32, layout="dmajor").write(
+        jnp.asarray(lat_exp, jnp.bfloat16), jnp.asarray(rot_exp, jnp.bfloat16), 0
+    )
+    for a, b_ in zip(dm2.read(), dm_exp.read()):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
     q_lat, q_rot = make_q(19, 1)
     old = _force_fused()

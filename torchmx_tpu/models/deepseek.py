@@ -208,13 +208,20 @@ class MXMLACache:
 
     * ``"seq"`` — (b, L, x): the natural orientation; the fused MLA kernel
       broadcasts scales over lane blocks via an MXU dot.
-    * ``"dmajor"`` — (b, x, L), scales (b, x//block, L): feature dims on
-      sublanes, positions on lanes — the layout the all-int8 MXU-dot MLA
-      decode kernel consumes (raw int8 codes into the MXU, zero per-element
-      decode; see ``ops/pallas_mla.py``)."""
+    * ``"dmajor"`` — (b, x, L), scales (b, 1, L): feature dims on sublanes,
+      positions on lanes — the layout the all-int8 MXU-dot MLA decode
+      kernel consumes (raw int8 codes into the MXU, zero per-element
+      decode; see ``ops/pallas_mla.py``).  d-major quantizes **per
+      position** (one shared E8M0 exponent over the whole latent vector /
+      rope key — block = r and dr respectively, not ``block_size``): scales
+      constant along each contraction let both kernel dots run as single
+      unchunked int8 MXU contractions with rank-1 rescales, which is what
+      makes the quantized latent WIN on latency (~34 dB vs per-32's
+      ~38 dB; both far above the 19 dB fp8 the reference's QKV configs
+      apply)."""
 
     lat_data: Array   # seq (b, L, r) u8/i8 (fp4: r/2 halves-packed) / dmajor (b, r, L)
-    lat_scale: Array  # seq (b, L, r/block) u8 / dmajor (b, r/block, L)
+    lat_scale: Array  # seq (b, L, r/block) u8 / dmajor (b, 1, L) per-position
     rot_data: Array
     rot_scale: Array
     elem_dtype_name: str = dataclasses.field(metadata=dict(static=True))
@@ -259,7 +266,7 @@ class MXMLACache:
         if layout == "dmajor":
             mk = lambda d: (
                 jnp.zeros((batch, d, max_len), pdt),
-                jnp.zeros((batch, d // block_size, max_len), jnp.uint8),
+                jnp.zeros((batch, 1, max_len), jnp.uint8),
             )
         else:
             mk = lambda d: (
@@ -301,10 +308,29 @@ class MXMLACache:
     def write(self, latent_new: Array, k_rot_new: Array, pos) -> "MXMLACache":
         from ..mx_array import quantize_mx
 
+        r = latent_new.shape[-1]
+        if self.layout == "dmajor":
+            # Per-POSITION shared exponents (block = full width): scales
+            # constant along each kernel contraction — see the class
+            # docstring.  Quantize each stream over its whole width.
+            ls, ld = quantize_mx(
+                latent_new.astype(jnp.bfloat16), self.elem_dtype_name, r
+            )
+            rs, rd = quantize_mx(
+                k_rot_new.astype(jnp.bfloat16), self.elem_dtype_name,
+                k_rot_new.shape[-1],
+            )
+            sw = lambda a: a.swapaxes(1, 2)
+            return dataclasses.replace(
+                self,
+                lat_data=_lat_scatter_last(self.lat_data, sw(ld), pos),
+                lat_scale=_lat_scatter_last(self.lat_scale, sw(ls), pos),
+                rot_data=_lat_scatter_last(self.rot_data, sw(rd), pos),
+                rot_scale=_lat_scatter_last(self.rot_scale, sw(rs), pos),
+            )
         # One fused quantize over [latent | rope-key]: block_size divides
         # both widths, so block boundaries align and the split is exact —
         # halves the quantize dispatches per written token.
-        r = latent_new.shape[-1]
         cat = jnp.concatenate(
             [latent_new.astype(jnp.bfloat16), k_rot_new.astype(jnp.bfloat16)],
             axis=-1,
@@ -319,15 +345,6 @@ class MXMLACache:
             ld, rd = d_all[..., :r], d_all[..., r:]
         nb = r // self.block_size
         ls, rs = s_all[..., :nb], s_all[..., nb:]
-        if self.layout == "dmajor":
-            sw = lambda a: a.swapaxes(1, 2)
-            return dataclasses.replace(
-                self,
-                lat_data=_lat_scatter_last(self.lat_data, sw(ld), pos),
-                lat_scale=_lat_scatter_last(self.lat_scale, sw(ls), pos),
-                rot_data=_lat_scatter_last(self.rot_data, sw(rd), pos),
-                rot_scale=_lat_scatter_last(self.rot_scale, sw(rs), pos),
-            )
         return dataclasses.replace(
             self,
             lat_data=_lat_scatter(self.lat_data, ld, pos),
@@ -340,18 +357,22 @@ class MXMLACache:
         from ..mx_array import dequantize_mx
 
         if self.layout == "dmajor":
+            # Per-position scales: dequantize with block = full width.
             ld, ls = self.lat_data.swapaxes(1, 2), self.lat_scale.swapaxes(1, 2)
             rd, rs = self.rot_data.swapaxes(1, 2), self.rot_scale.swapaxes(1, 2)
-        else:
-            ld, ls, rd, rs = (
-                self.lat_data, self.lat_scale, self.rot_data, self.rot_scale
+            latent = dequantize_mx(
+                ld, ls, self.elem_dtype_name, ld.shape[-1], jnp.bfloat16, 2
             )
+            k_rot = dequantize_mx(
+                rd, rs, self.elem_dtype_name, rd.shape[-1], jnp.bfloat16, 2
+            )
+            return latent, k_rot
         latent = dequantize_mx(
-            self._unpack(ld), ls, self.elem_dtype_name,
+            self._unpack(self.lat_data), self.lat_scale, self.elem_dtype_name,
             self.block_size, jnp.bfloat16, 2,
         )
         k_rot = dequantize_mx(
-            self._unpack(rd), rs, self.elem_dtype_name,
+            self._unpack(self.rot_data), self.rot_scale, self.elem_dtype_name,
             self.block_size, jnp.bfloat16, 2,
         )
         return latent, k_rot

@@ -344,9 +344,9 @@ def _mla_kernel_int8dot(
     qoff_ref,
     kvlen_ref,
     ql_ref,
-    qls_ref,
+    qlsc_ref,
     qr_ref,
-    qrs_ref,
+    qrsc_ref,
     ld_ref,
     ls_ref,
     rd_ref,
@@ -355,27 +355,34 @@ def _mla_kernel_int8dot(
     m_ref,
     l_ref,
     acc_ref,
-    *,
-    sm_scale: float,
 ):
     """Absorbed-MLA decode with int8 latent codes fed to the MXU RAW — the
-    ``_attn_kernel_int8dot`` recipe on the shared latent (zero per-element
-    decode work; at decode the VPU decode chain IS the latency, measured
-    0.186 ms int8-seq vs 0.096 ms bf16 at b=8 L=8192 before this tier).
+    ``_attn_kernel_int8dot`` recipe on the shared latent, restructured
+    around the d-major cache's PER-POSITION scales (one shared exponent
+    per cached position over the whole latent vector; see ``MXMLACache``).
 
-    q_lat/q_rot are MXINT8-quantized per 32-block by the wrapper; both
-    score dots run as batched int8xint8 MXU contractions with exact int32
-    partials, rescaled by 2^(se_q + se_k - 254) per (chunk, row, position)
-    and summed over chunks.  P.V re-uses the latent tile: the latent scale
-    folds into the small P side per chunk, P requantizes to 8-bit fixed
-    point per (chunk, row) (~0.4% relative error on attention weights —
-    above the fp8 the reference's QKV configs would apply), and P.V runs
-    int8xint8 too.  Opt-in via ``TORCHMX_ATTN_INT8_DOT`` like the Llama
-    tier.  Decode-only (sq == 1); rows = n query heads (MQA folding).
+    Scales constant along both contractions collapse the chunked v1 form
+    (r/32 = 16 batched 32-deep dots + three rescale passes over
+    (16, rows, lt) planes — measured 0.138 ms, above the 0.122 ms bf16
+    latent) into:
+
+    * scores: ONE (rows, r) x (r, lt) int8 MXU dot with exact int32
+      partials (r = 512: |sum| <= 512*127^2 << 2^31), rescaled by the
+      rank-1 outer product of the per-row q scale (sm_scale pre-folded by
+      the wrapper) and the per-position latent scale — 2 VPU passes over
+      a single (rows, lt) plane;
+    * P.V: the per-position latent scale folds into P (1 plane), P
+      requantizes to 8-bit fixed point per row (~0.4% relative — above
+      the fp8 the reference's QKV configs would apply), and ONE
+      (rows, lt) x (lt, r) int8 dot accumulates exactly (lt <= 2048:
+      |sum| <= 2048*127^2 << 2^31).
+
+    The flat (rows, r) accumulator replaces v1's chunked one — no
+    un-chunking in the wrapper.  Opt-in via ``TORCHMX_ATTN_INT8_DOT``;
+    decode-only (sq == 1); rows = n query heads (MQA folding).
     """
     kt = pl.program_id(1)
-    ncr, _, rows = ql_ref.shape[1], ql_ref.shape[2], ql_ref.shape[3]
-    ncd = qr_ref.shape[1]
+    rows = ql_ref.shape[1]
     lt = ld_ref.shape[2]
 
     @pl.when(kt == 0)
@@ -391,36 +398,30 @@ def _mla_kernel_int8dot(
 
     @pl.when(work)
     def _():
-        ql3 = ql_ref[0]  # (ncr, 32, rows) int8
-        lat3 = ld_ref[0].reshape(ncr, BLOCK, lt)  # (r, lt) -> sublane chunks
-        dots_l = jax.lax.dot_general(
-            ql3, lat3, (((1,), (1,)), ((0,), (0,))),
+        ql = ql_ref[0]   # (rows, r) int8
+        lat = ld_ref[0]  # (r, lt) int8
+        s_int = jax.lax.dot_general(
+            ql, lat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (ncr, rows, lt) exact
-        eq = qls_ref[0].astype(jnp.int32)  # (ncr, rows)
-        ek = ls_ref[0].astype(jnp.int32)   # (ncr, lt)
-        # Factored rescale on the SMALL shapes (see _attn_kernel_int8dot).
-        pq_s = jax.lax.bitcast_convert_type(eq << 23, jnp.float32)
-        pk_s = jax.lax.bitcast_convert_type(ek << 23, jnp.float32)
-        s = jnp.sum(
-            dots_l.astype(jnp.float32) * pq_s[:, :, None] * pk_s[:, None, :],
-            axis=0,
-        )
-        qr3 = qr_ref[0]  # (ncd, 32, rows)
-        rot3 = rd_ref[0].reshape(ncd, BLOCK, lt)
-        dots_r = jax.lax.dot_general(
-            qr3, rot3, (((1,), (1,)), ((0,), (0,))),
+        )  # (rows, lt) exact
+        qr = qr_ref[0]   # (rows, dr) int8
+        rot = rd_ref[0]  # (dr, lt) int8
+        sr_int = jax.lax.dot_general(
+            qr, rot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (ncd, rows, lt)
-        er = qrs_ref[0].astype(jnp.int32)
-        ekr = rs_ref[0].astype(jnp.int32)
-        pr_s = jax.lax.bitcast_convert_type(er << 23, jnp.float32)
-        prk_s = jax.lax.bitcast_convert_type(ekr << 23, jnp.float32)
-        s = s + jnp.sum(
-            dots_r.astype(jnp.float32) * pr_s[:, :, None] * prk_s[:, None, :],
-            axis=0,
         )
-        s = s * sm_scale
+        # Rank-1 rescale: per-row q scale (sm_scale folded in by the
+        # wrapper) x per-position cache scale 2^(e-127).
+        pk_l = jax.lax.bitcast_convert_type(
+            ls_ref[0].astype(jnp.int32) << 23, jnp.float32
+        )  # (1, lt)
+        pk_r = jax.lax.bitcast_convert_type(
+            rs_ref[0].astype(jnp.int32) << 23, jnp.float32
+        )
+        s = (
+            s_int.astype(jnp.float32) * qlsc_ref[0] * pk_l
+            + sr_int.astype(jnp.float32) * qrsc_ref[0] * pk_r
+        )
 
         q_pos = q_hi + jnp.zeros((rows, lt), jnp.int32)
         kv_pos = kt * lt + jax.lax.broadcasted_iota(jnp.int32, (rows, lt), 1)
@@ -433,17 +434,17 @@ def _mla_kernel_int8dot(
         p = jnp.exp(s - m_new)  # (rows, lt)
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-        # V is the latent again: its per-block scale (pk_s) folds into the
-        # small P side; P requantizes to 8-bit fixed point per (chunk, row).
-        p3 = p[None, :, :] * pk_s[:, None, :]  # (ncr, rows, lt)
-        mx = jnp.max(p3, axis=2, keepdims=True)
+        # V is the latent again: its per-position scale folds into P, which
+        # requantizes to 8-bit fixed point per row.
+        p3 = p * pk_l  # (rows, lt)
+        mx = jnp.max(p3, axis=1, keepdims=True)
         mx = jnp.where(mx == 0.0, 1.0, mx)
         pq = jnp.round(p3 * (127.0 / mx)).astype(jnp.int8)
         pv = jax.lax.dot_general(
-            pq, lat3, (((2,), (2,)), ((0,), (0,))),
+            pq, lat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (ncr, rows, 32)
-        acc_ref[:] = acc_ref[:] * alpha[None] + pv.astype(jnp.float32) * (
+        )  # (rows, r) exact
+        acc_ref[:] = acc_ref[:] * alpha + pv.astype(jnp.float32) * (
             mx * (1.0 / 127.0)
         )
         m_ref[:, :1] = m_new
@@ -452,52 +453,47 @@ def _mla_kernel_int8dot(
     def _():
         l = l_ref[:, :1]
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_ref[:] / l[None]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "lt"))
+@functools.partial(jax.jit, static_argnames=("lt",))
 def _mla_cached_attention_int8dot(
-    ql3, qls3, qr3, qrs3, lat_data, lat_scale, rot_data, rot_scale,
-    q_off, kv_len, sm_scale, lt,
+    ql, qlsc, qr, qrsc, lat_data, lat_scale, rot_data, rot_scale,
+    q_off, kv_len, lt,
 ):
-    b, ncr, blk, rows = ql3.shape
-    ncd = qr3.shape[1]
-    r = ncr * blk
-    dr = ncd * blk
+    b, rows, r = ql.shape
+    dr = qr.shape[2]
     L = lat_data.shape[2]
-    nbr, nbd = r // BLOCK, dr // BLOCK
     grid = (b, L // lt)
-    kernel = functools.partial(_mla_kernel_int8dot, sm_scale=sm_scale)
     return pl.pallas_call(
-        kernel,
+        _mla_kernel_int8dot,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ncr, blk, rows), lambda ib, kt: (ib, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncr, rows), lambda ib, kt: (ib, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncd, blk, rows), lambda ib, kt: (ib, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncd, rows), lambda ib, kt: (ib, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, r), lambda ib, kt: (ib, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1), lambda ib, kt: (ib, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, dr), lambda ib, kt: (ib, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1), lambda ib, kt: (ib, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r, lt), lambda ib, kt: (ib, 0, kt), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nbr, lt), lambda ib, kt: (ib, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt), lambda ib, kt: (ib, 0, kt), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dr, lt), lambda ib, kt: (ib, 0, kt), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nbd, lt), lambda ib, kt: (ib, 0, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt), lambda ib, kt: (ib, 0, kt), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, ncr, rows, blk), lambda ib, kt: (ib, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+            (1, rows, r), lambda ib, kt: (ib, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, ncr, rows, blk), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, rows, r), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((rows, 128), jnp.float32),
             pltpu.VMEM((rows, 128), jnp.float32),
-            pltpu.VMEM((ncr, rows, blk), jnp.float32),
+            pltpu.VMEM((rows, r), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(q_off, kv_len, ql3, qls3, qr3, qrs3, lat_data, lat_scale, rot_data, rot_scale)
+    )(q_off, kv_len, ql, qlsc, qr, qrsc, lat_data, lat_scale, rot_data, rot_scale)
 
 
 def use_mla_int8dot(cache, sq: int, r: int, dr: int) -> bool:
@@ -519,27 +515,26 @@ def _mla_int8dot_attention(q_lat, q_rot, cache, q_off, kv_len, sm_scale, lt):
 
     b, n, sq, r = q_lat.shape
     dr = q_rot.shape[3]
-    ncr, ncd = r // BLOCK, dr // BLOCK
-    # Quantize q_lat/q_rot to MXINT8 per 32-block (38 dB — above the fp8
-    # the reference's QKV configs would apply to q), then chunk with the
-    # feature dim on sublanes for the batched int8 dots.
+    # Quantize q_lat/q_rot to int8 with one shared exponent per ROW (block =
+    # full width, mirroring the cache's per-position scales; ~34 dB — above
+    # the 19 dB fp8 the reference's QKV configs would apply to q), and fold
+    # sm_scale into the resulting f32 per-row scales.
     qls, qld = quantize_mx(
-        q_lat.astype(jnp.bfloat16).reshape(b, n, r), "int8", BLOCK
-    )  # (b, n, ncr) u8, (b, n, r) i8
+        q_lat.astype(jnp.bfloat16).reshape(b, n, r), "int8", r
+    )  # (b, n, 1) u8, (b, n, r) i8
     qrs, qrd = quantize_mx(
-        q_rot.astype(jnp.bfloat16).reshape(b, n, dr), "int8", BLOCK
+        q_rot.astype(jnp.bfloat16).reshape(b, n, dr), "int8", dr
     )
-    ql3 = qld.transpose(0, 2, 1).reshape(b, ncr, BLOCK, n)
-    qls3 = qls.transpose(0, 2, 1)  # (b, ncr, n)
-    qr3 = qrd.transpose(0, 2, 1).reshape(b, ncd, BLOCK, n)
-    qrs3 = qrs.transpose(0, 2, 1)
+    to_f32 = lambda e: jax.lax.bitcast_convert_type(
+        e.astype(jnp.int32) << 23, jnp.float32
+    )
+    qlsc = to_f32(qls) * sm_scale  # (b, n, 1) f32
+    qrsc = to_f32(qrs) * sm_scale
     q_off = jnp.broadcast_to(jnp.asarray(q_off, jnp.int32), (b,))
     kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
     out = _mla_cached_attention_int8dot(
-        ql3, qls3, qr3, qrs3,
+        qld, qlsc, qrd, qrsc,
         cache.lat_data, cache.lat_scale, cache.rot_data, cache.rot_scale,
-        q_off, kv_len, float(sm_scale), lt,
-    )  # (b, ncr, n, 32)
-    return out.transpose(0, 2, 1, 3).reshape(b, n, r)[:, :, None, :].reshape(
-        b, n, sq, r
-    )
+        q_off, kv_len, lt,
+    )  # (b, n, r)
+    return out[:, :, None, :]
