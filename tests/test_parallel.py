@@ -868,18 +868,97 @@ def test_pipeline_decode_mixed_periodic_windows():
     assert_streams_equal_outside_ties(got, ref, margins, min_compared=0.0)
 
 
-def test_pipeline_decode_rejects_aperiodic_mix():
-    """Qwen2-style run gating (windowed prefix + full suffix) does not tile
-    pipeline stages: construction raises with remediation, it does not
-    build silently-wrong stages."""
-    from tests.test_scan_model import mixed_model
+def test_pipeline_decode_aperiodic_mix():
+    """Qwen2-style run gating (windowed prefix + full suffix; round 5 —
+    previously raised) through PP decode: the stage body lax.switches one
+    compiled body per attention KIND on a stage-sharded kind index, so
+    stages need not align with run boundaries.  The [s, s, s, f] split over
+    2 stages puts BOTH kinds inside stage 1 — the non-aligned case.  Greedy
+    token streams match the sequential model tie-aware; prefill logits
+    gated with the bf16-scale tolerance."""
+    from tests.test_scan_model import _assert_close, _jit_logits, mixed_model
+    from torchmx_tpu.models.llama import plan_layer_bodies
     from torchmx_tpu.parallel import pipeline_decode_model
 
     model = mixed_model(
-        ["sliding_attention"] * 2 + ["full_attention"] * 2, seed=12
+        ["sliding_attention"] * 3 + ["full_attention"], seed=12
     )
+    assert plan_layer_bodies(model.config)[0] == "runs"
+    b, s, new_tokens, max_len = 4, 24, 6, 64
+    prompt = jnp.asarray(
+        np.random.RandomState(12).randint(0, 128, (b, s)), jnp.int32
+    )
+    ref_logits = _jit_logits(model, prompt)
+    ref, margins = _greedy_stream_sequential(model, prompt, new_tokens, None, max_len)
+
+    mesh = create_mesh((4, 2))  # 2 stages x 2 layers; stage 1 mixes kinds
+    fwd, params, init_caches = pipeline_decode_model(model, mesh, n_microbatches=2)
+    with mesh:
+        staged_sh = NamedSharding(mesh, P(MODEL_AXIS))
+        params["staged"] = jax.tree.map(
+            lambda a: jax.device_put(a, staged_sh), params["staged"]
+        )
+        caches = init_caches(b, max_len, None)
+        caches = jax.tree.map(lambda a: jax.device_put(a, staged_sh), caches)
+        fwd_j = jax.jit(fwd, donate_argnums=(1,))
+        logits, caches = fwd_j(
+            params, caches, prompt, jnp.arange(s)[None, :], jnp.zeros((b,), jnp.int32)
+        )
+        _assert_close(np.asarray(logits, np.float32), ref_logits)
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        stream = [np.asarray(tok)]
+        for i in range(new_tokens - 1):
+            pos = jnp.full((b,), s + i, jnp.int32)
+            logits, caches = fwd_j(params, caches, tok[:, None], pos[:, None], pos)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            stream.append(np.asarray(tok))
+    got = np.stack(stream, axis=1)
+    assert_streams_equal_outside_ties(got, ref, margins, min_compared=0.0)
+
+
+def test_pipeline_model_aperiodic_mix():
+    """The full-forward pipeline on the same run-gated config (round 5 —
+    previously raised): per-layer kind switch with one static mask per
+    kind; staged logits match the sequential model's and the window bites."""
+    from tests.test_scan_model import _assert_close, mixed_model
+    from torchmx_tpu.parallel import pipeline_model
+
+    model = mixed_model(
+        ["sliding_attention"] * 3 + ["full_attention"], seed=52
+    )
+    ids = jnp.asarray(
+        np.random.RandomState(52).randint(0, 128, (4, 24)), jnp.int32
+    )
+    ref, _ = model(ids)
     mesh = create_mesh((4, 2))
-    with pytest.raises(NotImplementedError, match="APERIODIC"):
+    fwd, params = pipeline_model(model, mesh, n_microbatches=2)
+    with mesh:
+        staged_sh = NamedSharding(mesh, P(MODEL_AXIS))
+        params["staged"] = jax.tree.map(
+            lambda a: jax.device_put(a, staged_sh), params["staged"]
+        )
+        out = jax.jit(fwd)(params, ids)
+    _assert_close(np.asarray(out, np.float32), np.asarray(ref, np.float32))
+    # And the window must bite: a windowless clone diverges.
+    full = mixed_model(["full_attention"] * 4, seed=52)
+    full_ref, _ = full(ids)
+    assert float(jnp.max(jnp.abs(full_ref - ref))) > 0.05
+
+
+def test_pipeline_decode_rejects_structure_mix():
+    """A layer-STRUCTURE mix (DeepSeek dense-MLP prefix before MoE layers)
+    still cannot stack into one per-layer-switched state: construction
+    raises with remediation, it does not build silently-wrong stages."""
+    from flax import nnx
+
+    from tests.test_deepseek import tiny_config
+    from torchmx_tpu.models.deepseek import DeepseekV3ForCausalLM
+    from torchmx_tpu.parallel import pipeline_decode_model
+
+    cfg = tiny_config(num_hidden_layers=4, first_k_dense_replace=1)
+    model = DeepseekV3ForCausalLM(cfg, rngs=nnx.Rngs(0))
+    mesh = create_mesh((4, 2))
+    with pytest.raises(NotImplementedError, match="STRUCTURE"):
         pipeline_decode_model(model, mesh, n_microbatches=2)
 
 

@@ -90,6 +90,42 @@ def shard_staged_params(staged, mesh: Mesh, axis: str, tp_axis: str):
     return jax.tree_util.tree_map_with_path(place, staged)
 
 
+def _runs_kind_stacking(model, cfg, L: int):
+    """Stacking for APERIODIC window mixes (``plan_layer_bodies`` ->
+    ("runs", ...)): stack ALL layers into one (L, ...) state, build one
+    graphdef per distinct WINDOW (a graphdef pins its layer's static
+    window), and return the per-layer kind index the stage body
+    ``lax.switch``es on.  Requires structurally identical layers — a
+    structure mix (DeepSeek's dense-MLP prefix before MoE layers) cannot
+    stack into one state and still refuses."""
+    import jax.numpy as _jnp
+    from flax import nnx
+
+    from ..models.scan import stack_decoder_layers
+
+    layers = list(model.model.layers)
+
+    def sig(layer):
+        leaves, treedef = jax.tree_util.tree_flatten(nnx.split(layer)[1])
+        return (treedef, tuple((tuple(x.shape), str(x.dtype)) for x in leaves))
+
+    s0 = sig(layers[0])
+    if any(sig(l) != s0 for l in layers[1:]):
+        raise NotImplementedError(
+            "pipeline per-layer body selection needs structurally identical "
+            "layers; this config mixes layer STRUCTURES (e.g. a dense-MLP "
+            "prefix before MoE layers) — use the plain or scan model"
+        )
+    windows = [cfg.layer_window(i) for i in range(L)]
+    kinds = list(dict.fromkeys(windows))
+    kind_graphdefs = [
+        nnx.split(layers[windows.index(w)])[0] for w in kinds
+    ]
+    kind_of = _jnp.asarray([kinds.index(w) for w in windows], _jnp.int32)
+    _, parts = stack_decoder_layers(layers)
+    return kind_graphdefs, parts, kind_of
+
+
 def pipeline_apply(
     stage_fn: Callable,
     stacked_params,
@@ -217,33 +253,49 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
     from ..models.llama import rope_attention_scaling as _ras
 
     _rope_scale = _ras(cfg)
-    # Layers may mix attention kinds with a PERIODIC pattern (Gemma2
-    # alternating sliding/full): the stage body then unrolls P sub-bodies
-    # per scan step, body j's graphdef pinned to layer_idx == j (its static
-    # window).  Aperiodic mixes (Qwen2 run gating) don't tile stages.
-    plan = plan_layer_bodies(cfg)
-    if plan[0] == "runs":
-        raise NotImplementedError(
-            "pipeline stages share one compiled body per stage; an "
-            f"APERIODIC window mix (runs {plan[1]}) does not tile them — "
-            "use the plain or scan model for this config"
-        )
-    period = 1 if plan[0] == "uniform" else plan[1]
+    # Layers may mix attention kinds: a PERIODIC pattern (Gemma2
+    # alternating sliding/full) unrolls P sub-bodies per scan step, body
+    # j's graphdef pinned to layer_idx == j (its static window).  An
+    # APERIODIC mix (Qwen2 ``max_window_layers`` run gating; round 5)
+    # compiles one body per attention KIND and ``lax.switch``es per
+    # scanned layer on a stage-sharded kind index — every device runs the
+    # same program (all branches compiled once), so stages need not align
+    # with run boundaries.
+    from ..models.scan import _refine_plan_by_structure
+
+    plan = _refine_plan_by_structure(
+        plan_layer_bodies(cfg), list(model.model.layers), cfg
+    )
     n_stages = mesh.shape[axis]
     M = n_microbatches
     L = cfg.num_hidden_layers
     assert L % n_stages == 0, f"{L} layers not divisible into {n_stages} stages"
     layers_per_stage = L // n_stages
-    assert layers_per_stage % period == 0, (
-        f"window period {period} does not tile {layers_per_stage} layers/stage"
-    )
-    n_groups = layers_per_stage // period
-    layer_graphdefs, parts = stack_decoder_layer_groups(model.model.layers, period)
-    # Part j leaves are (L/P, ...) over global groups; stage s owns groups
-    # [s*n_groups, (s+1)*n_groups).
-    staged = jax.tree.map(
-        lambda a: a.reshape(n_stages, n_groups, *a.shape[1:]), parts
-    )
+    runs_mode = plan[0] == "runs"
+    if runs_mode:
+        kind_graphdefs, parts, kind_of = _runs_kind_stacking(model, cfg, L)
+        period, n_groups = 1, layers_per_stage
+        layer_graphdefs = None
+        staged = (
+            jax.tree.map(
+                lambda a: a.reshape(n_stages, n_groups, *a.shape[1:]), parts
+            ),
+            kind_of.reshape(n_stages, n_groups),
+        )
+    else:
+        period = 1 if plan[0] == "uniform" else plan[1]
+        assert layers_per_stage % period == 0, (
+            f"window period {period} does not tile {layers_per_stage} layers/stage"
+        )
+        n_groups = layers_per_stage // period
+        layer_graphdefs, parts = stack_decoder_layer_groups(
+            model.model.layers, period
+        )
+        # Part j leaves are (L/P, ...) over global groups; stage s owns groups
+        # [s*n_groups, (s+1)*n_groups).
+        staged = jax.tree.map(
+            lambda a: a.reshape(n_stages, n_groups, *a.shape[1:]), parts
+        )
 
     embed_gd, embed_state = nnx.split(model.model.embed_tokens)
     norm_gd, norm_state = nnx.split(model.model.norm)
@@ -291,6 +343,30 @@ def pipeline_decode_model(model, mesh: Mesh, *, n_microbatches: int,
         mb_loc = xs.shape[1]
 
         def stage_apply(x, mcaches, cos_m, sin_m, cp_m):
+            if runs_mode:
+                # Aperiodic window mix: scan per LAYER, lax.switch-ing the
+                # body on the layer's kind index (all kind bodies live in
+                # the one compiled program; the switch picks at runtime).
+                states, kind_loc = my_params
+
+                def layer_body(x, inp2):
+                    lstate, lcache, kind = inp2
+
+                    def mk(k):
+                        def br(xx):
+                            layer = nnx.merge(kind_graphdefs[k], lstate)
+                            return layer(
+                                xx, cos=cos_m, sin=sin_m, attention_mask=None,
+                                cache=lcache, cache_position=cp_m,
+                            )
+                        return br
+
+                    return jax.lax.switch(
+                        kind, [mk(k) for k in range(len(kind_graphdefs))], x
+                    )
+
+                return jax.lax.scan(layer_body, x, (states, mcaches, kind_loc))
+
             # Scan over layer GROUPS, unrolling the ``period`` sub-bodies
             # inside each step (body j's graphdef pins its static window).
             # Cache leaves keep local layer-major order: local layer
@@ -439,34 +515,48 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
     # Sliding-window models pipeline fine when every layer shares the
     # window (Mistral); PERIODIC mixes (Gemma2 alternation) unroll the
     # period's sub-bodies per stage scan step, each with its own static
-    # mask.  Aperiodic mixes don't tile stages (same rule as the decode
-    # variant).
-    plan = plan_layer_bodies(cfg)
-    if plan[0] == "runs":
-        raise NotImplementedError(
-            "pipeline stages share one compiled body per stage; an "
-            f"APERIODIC window mix (runs {plan[1]}) does not tile them — "
-            "use the plain or scan model for this config"
-        )
-    period = 1 if plan[0] == "uniform" else plan[1]
-    body_windows = (
-        [plan[1]] if plan[0] == "uniform"
-        else [cfg.layer_window(j) for j in range(period)]
+    # mask.  APERIODIC mixes (Qwen2 run gating; round 5) compile one body
+    # per attention KIND and lax.switch per scanned layer — same scheme as
+    # the decode variant.
+    from ..models.scan import _refine_plan_by_structure
+
+    plan = _refine_plan_by_structure(
+        plan_layer_bodies(cfg), list(model.model.layers), cfg
     )
     n_stages = mesh.shape[axis]
     L = cfg.num_hidden_layers
     assert L % n_stages == 0, f"{L} layers not divisible into {n_stages} stages"
     layers_per_stage = L // n_stages
-    assert layers_per_stage % period == 0, (
-        f"window period {period} does not tile {layers_per_stage} layers/stage"
-    )
-    n_groups = layers_per_stage // period
-    layer_graphdefs, parts = stack_decoder_layer_groups(
-        model.model.layers, period
-    )
-    staged = jax.tree.map(
-        lambda a: a.reshape(n_stages, n_groups, *a.shape[1:]), parts
-    )
+    runs_mode = plan[0] == "runs"
+    if runs_mode:
+        kind_graphdefs, parts, kind_of = _runs_kind_stacking(model, cfg, L)
+        period, n_groups = 1, layers_per_stage
+        layer_graphdefs = None
+        body_windows = list(dict.fromkeys(
+            cfg.layer_window(i) for i in range(L)
+        ))  # one mask per KIND, switch-selected
+        staged = (
+            jax.tree.map(
+                lambda a: a.reshape(n_stages, n_groups, *a.shape[1:]), parts
+            ),
+            kind_of.reshape(n_stages, n_groups),
+        )
+    else:
+        period = 1 if plan[0] == "uniform" else plan[1]
+        body_windows = (
+            [plan[1]] if plan[0] == "uniform"
+            else [cfg.layer_window(j) for j in range(period)]
+        )
+        assert layers_per_stage % period == 0, (
+            f"window period {period} does not tile {layers_per_stage} layers/stage"
+        )
+        n_groups = layers_per_stage // period
+        layer_graphdefs, parts = stack_decoder_layer_groups(
+            model.model.layers, period
+        )
+        staged = jax.tree.map(
+            lambda a: a.reshape(n_stages, n_groups, *a.shape[1:]), parts
+        )
 
     embed_gd, embed_state = nnx.split(model.model.embed_tokens)
     norm_gd, norm_state = nnx.split(model.model.norm)
@@ -484,6 +574,31 @@ def pipeline_model(model, mesh: Mesh, *, n_microbatches: int, axis: str = MODEL_
     )
 
     def stage_fn(stage_params, x, cos, sin, *masks):
+        if runs_mode:
+            # (state_tree, kind) leaves (n_groups, ...): per-layer
+            # lax.switch on the kind index, one mask per KIND.
+            states, kind_loc = stage_params
+
+            def layer_body(x, inp):
+                lstate, kind = inp
+
+                def mk(k):
+                    def br(xx):
+                        layer = nnx.merge(kind_graphdefs[k], lstate)
+                        return layer(
+                            xx, cos=cos, sin=sin, attention_mask=masks[k],
+                            cache=None, cache_position=None,
+                        )[0]
+                    return br
+
+                x = jax.lax.switch(
+                    kind, [mk(k) for k in range(len(kind_graphdefs))], x
+                )
+                return x, None
+
+            x, _ = jax.lax.scan(layer_body, x, (states, kind_loc))
+            return x
+
         # stage_params: tuple of `period` trees, each leaf (n_groups, ...);
         # one static mask per sub-body.
         def group_body(x, lstates):
