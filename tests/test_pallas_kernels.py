@@ -688,6 +688,64 @@ def test_int8dot_dispatch_and_eligibility():
     assert pm.plan_int8dot(1024, 14336, 4096) is None
 
 
+def test_fp8dot_matmul_matches_sim():
+    """The fp8-MXU-dot decode kernel (round 5, TORCHMX_FP8_DOT): raw e4m3
+    codes contract on the MXU; every e4m3xe4m3 product is exact in f32, so
+    results agree with the dequantize-then-dot reference to f32
+    accumulation tolerance (one rounding class wider than int8-dot's
+    bit-exact partials)."""
+    M, K, N = 8, 512, 1024
+    x = rand_bf16(52, (M, K), spread=1.0)
+    w = (jax.random.normal(jax.random.PRNGKey(53), (N, K)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    wm = MXArray.to_mx(w, "float8_e4m3", 32).T  # flat 1-byte kernel layout
+    assert wm.fp4_pack == "pair"
+    out = pm.fp8dot_any(x, wm, jnp.bfloat16)
+    assert out is not None
+    xq = MXArray.to_mx(x, "float8_e4m3", 32)
+    ref = jnp.matmul(xq.to_dtype(jnp.float32), wm.to_dtype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref.astype(jnp.bfloat16), np.float32),
+        rtol=1e-2,
+        atol=1e-2,
+    )
+    # Halves-packed weights are ineligible (u16 words don't feed the MXU raw).
+    wh = MXArray.to_mx(w * 1e-0, "float8_e4m3", 32).T.to_fp8_halves()
+    assert pm.fp8dot_any(x, wh, jnp.bfloat16) is None
+
+
+def test_fp8dot_dispatch_env():
+    """mx_dynamic_matmul with fp8 activations routes decode-size shapes
+    through the fp8-dot kernel only under TORCHMX_FP8_DOT=1; the result
+    matches the jnp simulation within f32 accumulation tolerance."""
+    from torchmx_tpu.ops import mx_dynamic_matmul
+
+    M, K, N = 8, 512, 1024
+    x = rand_bf16(54, (M, K), spread=1.0)
+    w = (jax.random.normal(jax.random.PRNGKey(55), (N, K)) * 0.05).astype(
+        jnp.bfloat16
+    )
+    wm = MXArray.to_mx(w, "float8_e4m3", 32).T
+    old_b, old_f = env.TORCHMX_QUANTIZE_BACKEND, env.TORCHMX_FP8_DOT
+    try:
+        env.TORCHMX_QUANTIZE_BACKEND = "pallas"
+        env.TORCHMX_FP8_DOT = "1"
+        out_k = mx_dynamic_matmul(x, wm, "float8_e4m3", 32, out_dtype=jnp.bfloat16)
+        env.TORCHMX_QUANTIZE_BACKEND = "jnp"
+        out_j = mx_dynamic_matmul(x, wm, "float8_e4m3", 32, out_dtype=jnp.bfloat16)
+    finally:
+        env.TORCHMX_QUANTIZE_BACKEND = old_b
+        env.TORCHMX_FP8_DOT = old_f
+    np.testing.assert_allclose(
+        np.asarray(out_k, np.float32),
+        np.asarray(out_j, np.float32),
+        rtol=1e-2,
+        atol=1e-2,
+    )
+
+
 def test_int8_domain_linear_layer_env():
     """TORCHMX_INT8_DOMAIN=1 re-codes eligible fp4/fp6_e2m3 linear weights;
     forward matches the packed-layout layer within f32 accumulation

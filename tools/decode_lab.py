@@ -377,6 +377,23 @@ def main():
             _timed_loop(step, x, w_int8.data, w_int8.scale_e8m0),
             bf16_trial,
         )
+    if not only or "fp8dot" in only:
+        # Round-5 production tier (TORCHMX_FP8_DOT): raw e4m3 codes into
+        # the MXU via the shipping fp8dot_any wrapper (incl. act quantize).
+        def fp8dot_step(c, wd, ws):
+            w_flat = MXArray(
+                ws, wd, w_fp8.elem_dtype, 32, jnp.bfloat16, 0, 0,
+            )
+            out = pm.fp8dot_any(c, w_flat, jnp.bfloat16)
+            assert out is not None
+            return out
+
+        time_pair(
+            "fp8_dot(incl act quant)",
+            _timed_loop(fp8dot_step, x, w_fp8.data, w_fp8.scale_e8m0),
+            bf16_trial,
+        )
+
     if results.get("fp4_swar_ok"):
         def swar_step(c, wd, ws):
             return matmul_fp4_swar(swar_x_arrange(c, bk), wd, ws, bn, bk)

@@ -58,6 +58,18 @@ TORCHMX_FP8_HALVES = os.environ.get("TORCHMX_FP8_HALVES", "1")
 # configs); default "0".
 TORCHMX_ATTN_INT8_DOT = os.environ.get("TORCHMX_ATTN_INT8_DOT", "0")
 
+# "1": fp8_e4m3 activations x fp8_e4m3 weights at decode sizes feed the MXU
+# RAW e4m3 codes (this TPU generation's MXU consumes f8e4m3fn natively —
+# probed: the HLO keeps f8 operands into the convolution) with the same
+# per-32-block factored rescale as the int8-dot kernel.  Zero per-element
+# decode work — the latency answer for MXFP8 weights (the SWAR-halves
+# decode chain still lost to bf16 at M=8).  Each e4m3xe4m3 product is
+# exact in f32; only the per-block accumulation grouping differs from the
+# dequantize reference (f32-reordering tolerance, like int8-dot).  Keeps
+# the FLAT 1-byte weight layout (overrides TORCHMX_FP8_HALVES for
+# eligible weights).  Default "0".
+TORCHMX_FP8_DOT = os.environ.get("TORCHMX_FP8_DOT", "0")
+
 # MX KV cache storage layout: "seq" (reference orientation — (b, h, L, d)
 # with MX blocks on the LANE dim, decoded via the MXU-dot scale broadcast)
 # or "dmajor" ((b, h, d, L): head_dim on SUBLANES, so the per-32-block scale

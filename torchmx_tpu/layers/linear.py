@@ -120,6 +120,9 @@ class MXInferenceLinear(nnx.Module):
             and weight_mx.padding == 0
             and weight_mx.shape[0] % 512 == 0  # kernel needs bk >= 512
             and env.TORCHMX_FP8_HALVES == "1"
+            # fp8-dot feeds the MXU raw FLAT codes — halves-packed u16
+            # words would have to be unpacked first; keep the flat layout.
+            and env.TORCHMX_FP8_DOT != "1"
             and _concrete_min_ge(weight_mx.scale_e8m0, 10)
         ):
             # fp8 kernel layout: u16 word p holds codes (p, p + K/2), SWAR-

@@ -109,6 +109,13 @@ def mx_dynamic_matmul(
             out = pallas_matmul.int8dot_any(x, w, out_dtype)
             if out is not None:
                 return out
+        if elem_name == "float8_e4m3" and env.TORCHMX_FP8_DOT == "1":
+            # fp8 acts x flat fp8 weights at decode sizes: raw e4m3 codes
+            # into the MXU (native f8 dots on this TPU generation) — zero
+            # per-element decode; f32-rounding-class numerics (round 5).
+            out = pallas_matmul.fp8dot_any(x, w, out_dtype)
+            if out is not None:
+                return out
         out = pallas_matmul.matmul_any(x, w, out_dtype, act_fq=elem_name)
         if out is not None:
             return out

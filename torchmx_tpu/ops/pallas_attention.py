@@ -696,8 +696,11 @@ def _attn_kernel_int8dot(
         )  # (nc, rows, lt) exact
         eq = qs_ref[0, 0].astype(jnp.int32)  # (nc, rows)
         ek = ks_ref[0, 0].astype(jnp.int32)  # (nc, lt)
-        # Factored rescale on the SMALL shapes (see _int8dot_kernel): saves
-        # the clipped exponent-sum construction on full (nc, rows, lt) lanes.
+        # Factored rescale on the SMALL shapes (see _int8dot_kernel, incl.
+        # the documented scale-0 -> +0.0 / inf*0 deviations — here a NaN
+        # would poison the softmax row, but an inf factor needs an E8M0
+        # sum > 381, impossible): saves the clipped exponent-sum
+        # construction on full (nc, rows, lt) lanes.
         pq_s = jax.lax.bitcast_convert_type(eq << 23, jnp.float32)
         pk_s = jax.lax.bitcast_convert_type(ek << 23, jnp.float32)
         s = jnp.sum(

@@ -725,8 +725,17 @@ def _pallas_matmul_fp6q(
 # ---------------------------------------------------------------------------
 
 
-def _int8dot_kernel(xcT_ref, sxT_ref, w_ref, sw_ref, o_ref, acc_ref):
-    """MXINT8 x MXINT8 fused matmul with native int8 MXU dots.
+def _int8dot_kernel(xcT_ref, sxT_ref, w_ref, sw_ref, o_ref, acc_ref, *,
+                    fp8: bool = False):
+    """MXINT8 x MXINT8 fused matmul with native int8 MXU dots — or, with
+    ``fp8=True`` (round 5, ``TORCHMX_FP8_DOT``), MXFP8 x MXFP8 with native
+    **f8e4m3 MXU dots**: both code tiles bitcast u8 -> float8_e4m3fn and
+    feed the MXU raw (this TPU generation consumes e4m3 operands natively —
+    probed via HLO: no convert before the convolution).  Every e4m3xe4m3
+    product is exact in f32 (<= 8 significand bits); the 32-deep MXU sum
+    accumulates in f32, so block partials match the dequantize reference
+    within f32 rounding instead of int8's bit-exactness — the same
+    "per-block grouping" numerics contract, one rounding class wider.
 
     Decode-M rewrite (round 3): instead of decoding every weight byte to bf16
     on the VPU (~10 ops/element — the token latency at decode sizes), the
@@ -753,11 +762,16 @@ def _int8dot_kernel(xcT_ref, sxT_ref, w_ref, sw_ref, o_ref, acc_ref):
     bk, m = xcT_ref.shape
     bn = w_ref.shape[1]
     nb = bk // BLOCK
-    x3 = xcT_ref[:].reshape(nb, BLOCK, m)
-    w3 = w_ref[:].reshape(nb, BLOCK, bn)
+    xt, wt = xcT_ref[:], w_ref[:]
+    if fp8:
+        xt = jax.lax.bitcast_convert_type(xt, jnp.float8_e4m3fn)
+        wt = jax.lax.bitcast_convert_type(wt, jnp.float8_e4m3fn)
+    x3 = xt.reshape(nb, BLOCK, m)
+    w3 = wt.reshape(nb, BLOCK, bn)
     dots = jax.lax.dot_general(
-        x3, w3, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
-    )  # (nb, m, bn) exact int32 block sums
+        x3, w3, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32 if fp8 else jnp.int32,
+    )  # (nb, m, bn) block sums: exact int32, or f32 of exact products
     ex = sxT_ref[:].astype(jnp.int32)  # (nb, m)
     ew = sw_ref[:].astype(jnp.int32)  # (nb, bn)
     # Factored rescale: 2^(ex+ew-254) = 2^(ex-127) * 2^(ew-127), each factor
@@ -765,11 +779,17 @@ def _int8dot_kernel(xcT_ref, sxT_ref, w_ref, sw_ref, o_ref, acc_ref):
     # exponent-sum construction on full (nb, m, bn) lanes was ~3 extra VPU
     # ops per weight element, the token latency at decode M.  Exact for
     # scales >= 1 on both sides: |dots| < 2^19 keeps every intermediate in
-    # f32 normal range (px >= 2^-126 so dots*px never flushes; a final
-    # underflow to 0 matches the old clamped flush, and a final overflow to
-    # inf is MORE faithful than the old silent clamp at 2^127).  A scale of
-    # 0 (a block whose every bf16 element is subnormal) flushes that block's
-    # contribution to +0 — below bf16 output precision everywhere.
+    # f32 normal range (px >= 2^-126 so dots*px never flushes).
+    # DOCUMENTED DEVIATIONS from the old clipped exponent-sum (all outside
+    # realistic NN magnitudes; quantizing finite bf16 with int8's max_pow2=6
+    # yields scale 0 only for a block whose amax < 2^-120):
+    # * scale byte 0 here means factor +0.0 (the old form computed e.g.
+    #   ex=0, ew=200 exactly as 2^-181->clamped); that block's contribution
+    #   flushes to +0 even when the OTHER side's scale is huge — and if the
+    #   other factor overflowed to inf, inf*0 -> NaN poisons the tile
+    #   (unreachable: an inf factor needs ew > 381, but E8M0 <= 254).
+    # * a final product overflow yields inf where the old form clamped to
+    #   2^127 (again needs ex+ew > 381: impossible for E8M0 pairs).
     px = jax.lax.bitcast_convert_type(ex << 23, jnp.float32)
     pw = jax.lax.bitcast_convert_type(ew << 23, jnp.float32)
     acc_ref[:] += jnp.sum(
@@ -781,13 +801,14 @@ def _int8dot_kernel(xcT_ref, sxT_ref, w_ref, sw_ref, o_ref, acc_ref):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bn", "bk", "out_dtype"))
-def _pallas_matmul_int8dot(xcT, sxT, w_codes, w_scale, bn, bk, out_dtype):
+@functools.partial(jax.jit, static_argnames=("bn", "bk", "out_dtype", "fp8"))
+def _pallas_matmul_int8dot(xcT, sxT, w_codes, w_scale, bn, bk, out_dtype,
+                           fp8=False):
     K, M = xcT.shape
     N = w_codes.shape[1]
     grid = (N // bn, K // bk)
     return pl.pallas_call(
-        _int8dot_kernel,
+        functools.partial(_int8dot_kernel, fp8=fp8),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bk, M), lambda j, k: (k, 0), memory_space=pltpu.VMEM),
@@ -854,6 +875,45 @@ def int8dot_any(x_hp, w: MXArray, out_dtype) -> Optional[jax.Array]:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
     sx, xc = quantize_mx(x2, "int8", BLOCK)
     out = _pallas_matmul_int8dot(xc.T, sx.T, w.data, w.scale_e8m0, bn, bk, out_dtype)
+    if pad_m:
+        out = out[:M]
+    return out.reshape(*lead, N)
+
+
+def fp8dot_any(x_hp, w: MXArray, out_dtype) -> Optional[jax.Array]:
+    """fp8-dot path for ``mx_dynamic_matmul`` with fp8 activations and FLAT
+    (1 byte/code, K-major) fp8_e4m3 weights: raw e4m3 codes into the MXU
+    (``TORCHMX_FP8_DOT``).  ``x_hp`` is the raw bf16 activation; it is
+    quantized to MXFP8 codes here (same values as the fused act-fq path —
+    the cross-block accumulation grouping and the f32 32-deep sums differ,
+    see :func:`_int8dot_kernel` with ``fp8=True``).  Returns None if
+    ineligible."""
+    if not isinstance(w, MXArray) or w.elem_dtype != dtypes.float8_e4m3:
+        return None
+    if w.fp4_pack != "pair":  # halves-packed u16 words don't feed the MXU raw
+        return None
+    if not _is_kernel_layout(w):
+        return None
+    if x_hp.ndim < 2:
+        return None
+    lead = x_hp.shape[:-1]
+    K = x_hp.shape[-1]
+    N = w.shape[1]
+    M = int(math.prod(lead)) if lead else 1
+    plan = plan_int8dot(M + (8 - M % 8) % 8, N, K)
+    if plan is None:
+        return None
+    bn, bk = plan
+    from ..mx_array import quantize_mx
+
+    x2 = x_hp.astype(jnp.bfloat16).reshape(M, K)
+    pad_m = (8 - M % 8) % 8
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    sx, xc = quantize_mx(x2, "float8_e4m3", BLOCK)
+    out = _pallas_matmul_int8dot(
+        xc.T, sx.T, w.data, w.scale_e8m0, bn, bk, out_dtype, fp8=True
+    )
     if pad_m:
         out = out[:M]
     return out.reshape(*lead, N)
