@@ -431,6 +431,65 @@ def _compositions():
     return res
 
 
+def _mla_decode(L=8192, b=8, n=32, r=512, dr=64):
+    """Absorbed-MLA decode attention at a 32-head DeepSeek-V3 slice: the
+    all-int8 MXU-dot latent tier (d-major per-position cache, round 5) vs
+    the fused bf16-latent iso-kernel baseline.  The quantized latent must
+    WIN on latency here (it reads half the bytes and contracts raw codes
+    on the MXU) — ratio > 1 means int8-dot is faster."""
+    from torchmx_tpu import env_variables as envmod
+    from torchmx_tpu.models.deepseek import MLACache, MXMLACache
+    from torchmx_tpu.ops.pallas_mla import mla_cached_attention
+
+    sm = 1.0 / float(np.sqrt(r + dr))
+
+    @jax.jit
+    def make_inputs(key):
+        ks = jax.random.split(key, 4)
+        return (
+            jax.random.normal(ks[0], (b, L, r), jnp.bfloat16) * 0.3,
+            jax.random.normal(ks[1], (b, L, dr), jnp.bfloat16) * 0.3,
+            jax.random.normal(ks[2], (b, n, 1, r), jnp.bfloat16) * 0.3,
+            jax.random.normal(ks[3], (b, n, 1, dr), jnp.bfloat16) * 0.3,
+        )
+
+    latent, k_rot, q_lat, q_rot = make_inputs(jax.random.key(3))
+    zero_pos = jnp.zeros((b,), jnp.int32)
+    dm = jax.jit(lambda c, a, k: c.write(a, k, zero_pos))(
+        MXMLACache.create(b, L, r, dr, "int8", 32, layout="dmajor"),
+        latent, k_rot,
+    )
+    hp = jax.jit(lambda c, a, k: c.write(a, k, zero_pos))(
+        MLACache.create(b, L, r, dr), latent, k_rot
+    )
+    q_off = jnp.full((b,), L - 1, jnp.int32)
+    kv_len = jnp.full((b,), L, jnp.int32)
+
+    def step(c, cache):
+        out = mla_cached_attention(
+            q_lat + c[None, :, None, :] * 1e-6, q_rot, cache, q_off, kv_len, sm
+        )
+        assert out is not None, "fused MLA path ineligible at this shape"
+        return out[0, :, 0, :]
+
+    c0 = jnp.zeros((n, r), jnp.bfloat16)
+    old = envmod.TORCHMX_ATTN_INT8_DOT
+    envmod.TORCHMX_ATTN_INT8_DOT = "1"
+    try:
+        t_int8dot, t_bf16 = _paired(
+            _timed_loop(step, c0, dm), _timed_loop(step, c0, hp),
+            reserve=30.0, warmup=1,
+        )
+    finally:
+        envmod.TORCHMX_ATTN_INT8_DOT = old
+    return {
+        "config": f"b{b}_n{n}_L{L}_r{r}_int8dot_dmajor_vs_bf16_latent",
+        "int8dot_ms": round(t_int8dot * 1e3, 3),
+        "bf16_latent_ms": round(t_bf16 * 1e3, 3),
+        "speedup_vs_bf16_latent": round(t_bf16 / t_int8dot, 2),
+    }
+
+
 def main():
     _note(f"budget {BUDGET_S:.0f}s; headline matmul starting")
 
@@ -485,6 +544,9 @@ def main():
         # degrade gracefully when the budget runs short.
         ("moe_grouped", _moe_grouped, 55.0),
         ("serving_8b", _serving_toks, 75.0),  # per-batch guards inside
+        # MLA latent decode (round 5): 3 jit compiles + one kernel pair;
+        # ~100 s cold, ~25 s with the cache primed.
+        ("mla_decode", _mla_decode, 100.0),
         # Core-subset dryrun (qat/tp/ppd/ring; measured 59 s quiet / 96 s
         # under load on this CPU): fits the budget most days;
         # MULTICHIP_r{N}.json carries the full composition story

@@ -185,22 +185,29 @@ def main():
     # quantization config (MXFP6/FP8 + int8 KV).
     if filt and "decode" not in filt.lower():
         return
-    if isinstance(CONFIG, DeepseekV3Config):
-        # The decode-path layout/int8-dot toggles drive the Llama KV-cache
-        # kernels; the MLA latent cache has one (fused) decode path, already
-        # exercised by the KV rows above.
-        return
     from torchmx_tpu import env_variables as envmod
     from torchmx_tpu.models import evaluate as ev
 
     print()
     print("| decode-path config (MXFP6/FP8 + int8 KV) | val PPL | Δ vs exact decode |")
     print("|---|---|---|")
-    rows = [
-        ("seq layout (exact decode)", "seq", "0"),
-        ("dmajor layout (exact decode)", "dmajor", "0"),
-        ("dmajor + all-int8 MXU dot", "dmajor", "1"),
-    ]
+    if isinstance(CONFIG, DeepseekV3Config):
+        # MLA latent-cache decode tiers (round 5): the seq layout is the
+        # per-32-block exact-decode baseline; dmajor quantizes the latent
+        # PER POSITION (block = kv_lora_rank) and, with the flag, serves
+        # the all-int8 MXU-dot kernel — this row gates the per-position +
+        # q-per-row + fixed-point-P numerics of the latency-first tier.
+        rows = [
+            ("seq latent layout (exact decode)", "seq", "0"),
+            ("dmajor latent (per-position scales)", "dmajor", "0"),
+            ("dmajor latent + all-int8 MXU dot", "dmajor", "1"),
+        ]
+    else:
+        rows = [
+            ("seq layout (exact decode)", "seq", "0"),
+            ("dmajor layout (exact decode)", "dmajor", "0"),
+            ("dmajor + all-int8 MXU dot", "dmajor", "1"),
+        ]
     base_dec = None
     for name, layout, int8dot in rows:
         envmod.TORCHMX_KV_LAYOUT = layout

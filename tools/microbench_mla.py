@@ -132,7 +132,8 @@ def main():
         _timed_loop(fused_step, c0, mx),
     )
 
-    lat_bytes = b * L * (r + dr) * (1 if elem != "bfloat16" else 2)
+    per_elem = {"bfloat16": 2.0, "float4_e2m1": 0.5}.get(elem, 1.0)
+    lat_bytes = int(b * L * (r + dr) * per_elem)
     mha_bytes = 2 * b * n * L * d * 2
     print(f"MLA decode attention  b={b} n={n} L={L} r={r} dr={dr} elem={elem}")
     print(f"| path | ms |")
